@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window / rollup / dashboard aggregations (SURVEY §2.3 A1–A8).
+  *
+  * The driver `events` table plays the trade stream (FIXTURES.md §B):
+  * `user_id` → market key, `value` → price, `props.k` → volume,
+  * `event_type='purchase'` → BID, `ts` → source_ts.
+  *
+  * Scale notes (100 TB): every query here is a single hash-aggregate over a
+  * declarative plan — Spark runs it as partial (map-side) + final aggregation
+  * with one shuffle on the group keys, the same incremental-aggregation shape
+  * the reference hand-built with Flink's `aggregate()`
+  * (`function/TradeAggregator.java:44-91`, chosen for O(1) window memory per
+  * `docs/04-flink-streaming.md:206-216`). Filters sit directly on the scan so
+  * Catalyst pushes them into the parquet reader; no query here collects or
+  * re-shuffles beyond the single keyed exchange.
+  */
+object TradeAggregates {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+
+  /** A1+A2: per-key 5-minute tumbling window aggregate, the reference's
+    * flagship operator (`function/TradeAggregator.java:44-91`): count,
+    * conditional BID/ASK counts, sums, min/max, avg, VWAP with zero-guard
+    * (`:72-75`), window bounds from the window context (`:97-107`). */
+  def windowAgg5m(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("k", G.propsK(col("props")))
+    ev.groupBy(
+        window(col("ts"), "5 minutes").getField("start").as("window_start"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("trade_count"),
+        count(when(col("event_type") === "purchase", 1)).as("bid_count"),
+        count(when(col("event_type") =!= "purchase", 1)).as("ask_count"),
+        G.dsum(col("value") * col("k")).as("total_amount"),
+        sum(col("k")).as("total_volume"),
+        (G.dsum(col("value")) / count(col("value"))).as("avg_price"),
+        min(col("value")).as("min_price"),
+        max(col("value")).as("max_price"),
+        // VWAP = totalAmount/totalVolume, 0 when volume is 0
+        // (reference zero-guard, TradeAggregator.java:75)
+        when(sum(col("k")) > 0,
+          G.dsum(col("value") * col("k")) / sum(col("k")))
+          .otherwise(0.0).as("vwap"))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  val windowAgg5mSql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, user_id,
+      |  count(*) AS trade_count,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid_count,
+      |  count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask_count,
+      |  CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
+      |  SUM(k) AS total_volume,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
+      |  MIN(value) AS min_price,
+      |  MAX(value) AS max_price,
+      |  CASE WHEN SUM(k) > 0
+      |       THEN CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) / SUM(k)
+      |       ELSE 0.0 END AS vwap
+      |FROM (SELECT *, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}
