@@ -19,12 +19,61 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_a1_window_agg_5m" -> ((s, d) => TradeAggregates.windowAgg5m(s, d))
+    // A1/A2: flagship 5-min window aggregate
+    "q_a1_window_agg_5m" -> ((s, d) => TradeAggregates.windowAgg5m(s, d)),
+    // P1/P2/S2: CDC envelope parse (all flatMap branches)
+    "q_p1_cdc_parse" -> ((s, d) => CdcParser.cdcParseRoundtrip(s, d)),
+    // P3/P4/P5: op filters + changed-rows predicate
+    "q_p5_changed_rows" -> ((s, d) => CdcParser.changedRowCounts(s, d)),
+    // A3: minute rollup (materialized-view analogue)
+    "q_a3_minute_rollup" -> ((s, d) => DashboardQueries.minuteRollup(s, d)),
+    // A4: stat panels
+    "q_a4_stat_panels" -> ((s, d) => DashboardQueries.statPanels(s, d)),
+    // A5: distinct (exact for oracle; approx variant rows-only)
+    "q_a5_distinct_users" -> ((s, d) => DashboardQueries.distinctUsers(s, d)),
+    "q_a5_approx_distinct" -> ((s, d) => DashboardQueries.approxDistinctUsers(s, d)),
+    // A6: liveness conditional on aggregate
+    "q_a6_liveness" -> ((s, d) => DashboardQueries.liveness(s, d)),
+    // A7: grouped time-series
+    "q_a7_price_timeseries" -> ((s, d) => DashboardQueries.priceTimeseries(s, d)),
+    // A8 + O4: group-by with computed sort key
+    "q_a8_bid_ask_by_user" -> ((s, d) => DashboardQueries.bidAskByUser(s, d)),
+    // P6: dashboard recent-window predicate
+    "q_p6_recent_hour" -> ((s, d) => DashboardQueries.recentHourCount(s, d)),
+    // O1/O2/O3: top-N / ordered outputs
+    "q_o1_recent_top50" -> ((s, d) => DashboardQueries.recentTop50(s, d)),
+    "q_o2_recent_purchases" -> ((s, d) => DashboardQueries.recentPurchases30(s, d)),
+    "q_o3_minute_counts" -> ((s, d) => DashboardQueries.minuteCounts(s, d)),
+    // Relational additive surface (joins, windows)
+    "q_r1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q_r2_revenue_by_brand" -> ((s, d) => Relational.revenueByBrand(s, d)),
+    "q_r3_top_customers" -> ((s, d) => Relational.topCustomers(s, d)),
+    "q_r4_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    "q_r5_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q_r6_running_totals" -> ((s, d) => Relational.supplierRunningTotals(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_a1_window_agg_5m" -> TradeAggregates.windowAgg5mSql
+    "q_a1_window_agg_5m" -> TradeAggregates.windowAgg5mSql,
+    "q_p1_cdc_parse" -> CdcParser.cdcParseRoundtripSql,
+    "q_p5_changed_rows" -> CdcParser.changedRowCountsSql,
+    "q_a3_minute_rollup" -> DashboardQueries.minuteRollupSql,
+    "q_a4_stat_panels" -> DashboardQueries.statPanelsSql,
+    "q_a5_distinct_users" -> DashboardQueries.distinctUsersSql,
+    "q_a6_liveness" -> DashboardQueries.livenessSql,
+    "q_a7_price_timeseries" -> DashboardQueries.priceTimeseriesSql,
+    "q_a8_bid_ask_by_user" -> DashboardQueries.bidAskByUserSql,
+    "q_p6_recent_hour" -> DashboardQueries.recentHourCountSql,
+    "q_o1_recent_top50" -> DashboardQueries.recentTop50Sql,
+    "q_o2_recent_purchases" -> DashboardQueries.recentPurchases30Sql,
+    "q_o3_minute_counts" -> DashboardQueries.minuteCountsSql,
+    "q_r1_pricing_summary" -> Relational.pricingSummarySql,
+    "q_r2_revenue_by_brand" -> Relational.revenueByBrandSql,
+    "q_r3_top_customers" -> Relational.topCustomersSql,
+    "q_r4_revenue_by_nation" -> Relational.revenueByNationSql,
+    "q_r5_customers_no_orders" -> Relational.customersWithoutOrdersSql,
+    "q_r6_running_totals" -> Relational.supplierRunningTotalsSql
   )
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving-layer analytics (SURVEY §2.3 A3–A8, §2.2 P6, §2.10 O1–O4) — the
+  * 12 Grafana panel queries re-based onto the driver `events` table
+  * (`grafana/provisioning/dashboards/json/cdc-pipeline.json`).
+  *
+  * Time predicates are re-based from `now()` to a fixed literal anchored at
+  * the data's max timestamp (2024-01-30 23:26:16) so DuckDB comparisons are
+  * exact — documented deviation (SURVEY §7.4 processing-time note).
+  *
+  * Scale: each query is filter → single hash-agg (or TakeOrderedAndProject
+  * for the top-N ones); filters sit on the scan so they push into parquet.
+  * Top-N never does a global sort: Spark plans `TakeOrderedAndProject`
+  * (per-partition heap + driver merge), the distributed equivalent of
+  * ClickHouse's ORDER BY + LIMIT over the sparse index (SURVEY §3.3).
+  */
+object DashboardQueries {
+
+  /** A3: per-minute latency rollup — the AggregatingMergeTree materialized
+    * view (`clickhouse/init.sql:81-94`); avg/max/min/count over the latency
+    * analogue (props.k), grouped by minute. Spark's partial+final hash agg
+    * carries the same mergeable intermediate state the `-State` combinators
+    * persist. */
+  def minuteRollup(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .withColumn("k", G.propsK(col("props")))
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(
+        G.davg(col("k")).as("avg_latency"),
+        max(col("k")).as("max_latency"),
+        min(col("k")).as("min_latency"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("minute"))
+
+  val minuteRollupSql: String =
+    """SELECT date_trunc('minute', ts) AS minute,
+      |  CAST(SUM(CAST(k AS DECIMAL(38,6))) AS DOUBLE) / COUNT(k) AS avg_latency,
+      |  MAX(k) AS max_latency, MIN(k) AS min_latency, COUNT(*) AS cnt
+      |FROM (SELECT ts, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A4: stat panels — scalar count/avg/sum/max/round over a filtered scan
+    * (`cdc-pipeline.json:20,39,59,78`). */
+  def statPanels(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(
+        count(lit(1)).as("trade_cnt"),
+        round(G.davg(col("value")), 1).as("avg_price_rounded"),
+        G.dsum(col("value")).as("total_value"),
+        max(col("value")).as("max_value"))
+
+  val statPanelsSql: String =
+    """SELECT count(*) AS trade_cnt,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 1) AS avg_price_rounded,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+      |  MAX(value) AS max_value
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** A5: distinct key count (`uniq(market)`, `cdc-pipeline.json:98`).
+    * Exact here for oracle parity; `approxDistinctUsers` below is the
+    * HLL-sketch variant actually recommended at 100 TB. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  val distinctUsersSql: String =
+    "SELECT count(DISTINCT user_id) AS n_users FROM events"
+
+  /** A5 (scale path): HLL++ approximate distinct — one pass, O(1) state per
+    * group vs a full shuffle of distinct keys. No SQL oracle (sketch
+    * algorithms differ across engines); driver does rows-only check. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+
+  /** A6: liveness probe — `if(max(ts) >= cutoff, 1, 0)`
+    * (`cdc-pipeline.json:117`), cutoff re-based to a data-anchored literal. */
+  def liveness(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .agg(max(col("ts")).as("max_ts"))
+      .select(
+        when(col("max_ts") >= lit("2024-01-30 00:00:00").cast("timestamp_ntz"), 1)
+          .otherwise(0).as("alive"))
+
+  val livenessSql: String =
+    """SELECT CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-30 00:00:00'
+      |            THEN 1 ELSE 0 END AS alive
+      |FROM events""".stripMargin
+
+  /** A7: grouped time-series (per-minute avg/min/max for one key —
+    * the BTC price chart, `cdc-pipeline.json:175`). */
+  def priceTimeseries(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .filter(col("user_id") === 1)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(
+        G.davg(col("value")).as("avg_price"),
+        min(col("value")).as("min_price"),
+        max(col("value")).as("max_price"))
+      .orderBy(col("minute"))
+
+  val priceTimeseriesSql: String =
+    """SELECT date_trunc('minute', ts) AS minute,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
+      |  MIN(value) AS min_price, MAX(value) AS max_price
+      |FROM events WHERE user_id = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A8 + O4: per-key BID/ASK totals ordered by computed key
+    * (`cdc-pipeline.json:194`: ORDER BY bid+ask DESC). */
+  def bidAskByUser(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("bid_count"),
+        count(when(col("event_type") =!= "purchase", 1)).as("ask_count"))
+      .orderBy((col("bid_count") + col("ask_count")).desc, col("user_id"))
+
+  val bidAskByUserSql: String =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid_count,
+      |  count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask_count
+      |FROM events GROUP BY user_id
+      |ORDER BY bid_count + ask_count DESC, user_id""".stripMargin
+
+  /** P6: dashboard predicate — recent-window count over one key
+    * (`cdc-pipeline.json:39`), cutoff re-based to data max − 1 hour. */
+  def recentHourCount(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-30 22:26:16").cast("timestamp_ntz"))
+      .agg(count(lit(1)).as("recent_trades"))
+
+  val recentHourCountSql: String =
+    """SELECT count(*) AS recent_trades FROM events
+      |WHERE event_type = 'purchase'
+      |  AND ts >= TIMESTAMP '2024-01-30 22:26:16'""".stripMargin
+
+  /** O1: recent-alerts panel — ORDER BY ts DESC LIMIT 50
+    * (`cdc-pipeline.json:208`); event_id tiebreak for determinism.
+    * Spark plans TakeOrderedAndProject — no global sort. */
+  def recentTop50(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+
+  val recentTop50Sql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM events
+      |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin
+
+  /** O2: recent-trades panel — filtered ORDER BY ts DESC LIMIT 30
+    * (`cdc-pipeline.json:232`). */
+  def recentPurchases30(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(30)
+
+  val recentPurchases30Sql: String =
+    """SELECT event_id, ts, user_id, value FROM events
+      |WHERE event_type = 'purchase'
+      |ORDER BY ts DESC, event_id DESC LIMIT 30""".stripMargin
+
+  /** O3: ascending time-series output (`cdc-pipeline.json:135`): per-minute
+    * event counts ordered by minute. */
+  def minuteCounts(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("minute"))
+
+  val minuteCountsSql: String =
+    """SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytics over the TPC-H-ish star schema — additive beyond the
+  * reference surface (SURVEY §2.11: the reference has no joins; a complete
+  * engine needs them, and the 100 TB design notes live here).
+  *
+  * Join strategy at scale:
+  *  - dimension tables (region/nation/part/supplier/customer) are broadcast —
+  *    no shuffle of the fact table; `broadcast()` hints make it explicit
+  *    rather than relying on the 10 MB autoBroadcast threshold.
+  *  - fact-to-fact (lineitem ⋈ orders) shuffles on the join key once; AQE
+  *    (enabled in Bench/Verify sessions) handles skew splitting at runtime.
+  *  - aggregations go partial→final, so the shuffle carries pre-aggregated
+  *    rows, not raw lineitems.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical scan→hash-agg. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        G.dsum(col("l_quantity")).as("sum_qty"),
+        G.dsum(col("l_extendedprice")).as("sum_base_price"),
+        G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (G.dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+        (G.dsum(col("l_extendedprice")) / count(col("l_extendedprice")))
+          .as("avg_price"),
+        (G.dsum(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Broadcast join: revenue per part brand. `part` is a dimension — the
+    * broadcast hint keeps the lineitem scan shuffle-free. */
+  def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+    val part = G.table(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val revenueByBrandSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Shuffle join + top-N: top 10 customers by order revenue. The orders
+    * aggregation happens BEFORE the customer join, so only ~|customers| rows
+    * reach the join — at 100 TB the pre-aggregation is the difference between
+    * shuffling the fact table and shuffling a rollup. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = G.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(G.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    perCust
+      .join(broadcast(G.table(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, revenue, n_orders
+      |FROM (SELECT o_custkey,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |        count(*) AS n_orders
+      |      FROM orders GROUP BY o_custkey) o
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** Multiway star join (TPC-H Q5 shape): revenue by nation for one region.
+    * All dimensions broadcast; lineitem⋈orders is the only shuffle. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+    val ord = G.table(spark, dir, "orders")
+    val cust = G.table(spark, dir, "customer")
+    val nat = G.table(spark, dir, "nation")
+    val reg = G.table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Anti join: customers with no large order (> 400k), counted per nation.
+    * `left_anti` = NOT EXISTS without a subquery re-scan; the filter lands on
+    * the orders scan before the join. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = G.table(spark, dir, "customer")
+    val bigOrders = G.table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 400000)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Window functions (additive; SURVEY §2.11 notes the reference lacks
+    * them): per-supplier running revenue + rank, deterministic ordering. */
+  def supplierRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    G.table(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_revenue",
+        sum(col("l_extendedprice").cast("decimal(38,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .filter(col("rn") <= 20)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val supplierRunningTotalsSql: String =
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+      |    row_number() OVER w AS rn,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER
+      |      (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      |  FROM lineitem WHERE l_suppkey <= 3
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) t WHERE rn <= 20 ORDER BY l_suppkey, rn""".stripMargin
+}

@@ -28,6 +28,14 @@ object G {
         timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
   }
 
+  /** Load `events` keeping the raw nanosecond epoch as `ts_ns: Long`
+    * (plus all other columns) — for operators that do epoch-millis
+    * arithmetic, like the reference (`CdcEventParser.java:66-90`). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+  }
+
   /** Order-independent, oracle-exact sum of a double column.
     *
     * Summing doubles is order-dependent; Spark's partial/final aggregation
