@@ -50,7 +50,30 @@ object SparkEntry {
     "q_r3_top_customers" -> ((s, d) => Relational.topCustomers(s, d)),
     "q_r4_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
     "q_r5_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
-    "q_r6_running_totals" -> ((s, d) => Relational.supplierRunningTotals(s, d))
+    "q_r6_running_totals" -> ((s, d) => Relational.supplierRunningTotals(s, d)),
+    // D1-D4: stateful anomaly detection (batch deterministic fold)
+    "q_d1_large_trades" -> ((s, d) => AnomalyDetection.largeTrades(s, d)),
+    "q_d2_price_spikes" -> ((s, d) => AnomalyDetection.priceSpikes(s, d)),
+    "q_d3d4_alert_counts" -> ((s, d) => AnomalyDetection.alertCounts(s, d)),
+    // S3/K5 + dedup family
+    "q_s3_dedup_redelivery" -> ((s, d) => Dedup.dedupRedelivery(s, d)),
+    "q_x1_dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
+    "q_x2_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_x3_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_x4_jaccard_3gram" -> ((s, d) => Dedup.jaccard3gramPairs(s, d)),
+    // Similarity search
+    "q_y1_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q_y2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "q_y3_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    // Text analysis
+    "q_t1_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_t2_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q_t3_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q_t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // Multimodal binary-column plumbing (decode stubbed)
+    "q_m1_media_metadata" -> ((s, d) => Multimodal.mediaMetadata(s, d)),
+    "q_m2_extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
+    "q_m3_sample_frames" -> ((s, d) => Multimodal.sampleFrames(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,6 +97,20 @@ object SparkEntry {
     "q_r3_top_customers" -> Relational.topCustomersSql,
     "q_r4_revenue_by_nation" -> Relational.revenueByNationSql,
     "q_r5_customers_no_orders" -> Relational.customersWithoutOrdersSql,
-    "q_r6_running_totals" -> Relational.supplierRunningTotalsSql
+    "q_r6_running_totals" -> Relational.supplierRunningTotalsSql,
+    "q_d1_large_trades" -> AnomalyDetection.largeTradesSql,
+    "q_d2_price_spikes" -> AnomalyDetection.priceSpikesSql,
+    "q_s3_dedup_redelivery" -> Dedup.dedupRedeliverySql,
+    "q_x1_dedup_exact" -> Dedup.dedupExactSql,
+    "q_x4_jaccard_3gram" -> Dedup.jaccard3gramPairsSql,
+    "q_y1_knn_bruteforce" -> Similarity.knnBruteForceSql,
+    "q_y2_knn_ivf" -> Similarity.knnIvfSql,
+    "q_y3_embed_neardup" -> Similarity.embeddingNearDupsSql,
+    "q_t1_lang_id" -> TextAnalysis.langIdSql,
+    "q_t2_quality" -> TextAnalysis.qualityScoreSql,
+    "q_t3_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q_t4_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
+    "q_m3_sample_frames" -> Multimodal.sampleFramesSql
   )
 }

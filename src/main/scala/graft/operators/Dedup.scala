@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (BASELINE north-star; SURVEY §7.2 step 6) —
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. The reference's own dedup is
+  * `INSERT IGNORE` on a unique key (`producer/producer.py:104-109`,
+  * `mysql/init.sql:42,45-47`) = drop-duplicates-by-id; the rest is the
+  * LLM-training-data extension.
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy on a content hash: one shuffle of
+  *    (hash, id), never the payload; at 100 TB shuffle only the 16-byte
+  *    digest + id, aggregate min-id, then (if payloads are needed) semi-join
+  *    back — implemented that way here.
+  *  - MinHash/SimHash candidate generation is LSH band-bucketing: the only
+  *    join is bucket-equality (shuffle on bucket key), never an O(n²) cross
+  *    join. Band buckets are skew-prone (a hot bucket = popular boilerplate
+  *    text); the distinct() before the verify stage caps pair explosion, and
+  *    at cluster scale the bucket join is AQE-skew-split.
+  *  - signature computation is pure per-row projection via higher-order
+  *    functions (transform/aggregate) — codegen'd, no UDF, no shuffle.
+  */
+object Dedup {
+
+  /** S3/K5: id-dedup of a redelivered stream. We reconstruct the WebSocket
+    * redelivery (every 10th event delivered twice) and drop by id — the
+    * `INSERT IGNORE` semantics. Identical rows ⇒ dropDuplicates is
+    * deterministic. */
+  def dedupRedelivery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+    ev.union(ev.filter(col("event_id") % 10 === 0))
+      .dropDuplicates("event_id")
+      .orderBy(col("event_id"))
+  }
+
+  val dedupRedeliverySql: String =
+    """SELECT event_id, user_id, value FROM events ORDER BY event_id""".stripMargin
+
+  /** Exact content dedup: hash-groupBy on md5(text), keep min doc_id.
+    * Input is documents ∪ re-keyed copies of every 5th doc (the driver table
+    * has no exact dups), so the operator demonstrably collapses groups. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    docs.union(dups)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("kept"), count(lit(1)).as("n_copies"))
+      .orderBy(col("kept"))
+  }
+
+  val dedupExactSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT md5(text) AS h, min(doc_id) AS kept, count(*) AS n_copies
+      |FROM all_docs GROUP BY 1 ORDER BY kept""".stripMargin
+
+  // ------------------------------------------------------------- signatures
+
+  private val P = 1000000007L // prime; keeps a*h+b within long under ANSI mode
+
+  /** Word tokens, lowercased. */
+  private def tokensCol = expr("split(lower(text), '\\\\s+')")
+
+  /** Distinct word-3-shingles (empty for docs under 3 tokens). */
+  private def shinglesExpr: String =
+    """CASE WHEN size(tokens) >= 3 THEN
+      |  array_distinct(transform(sequence(0, size(tokens)-3),
+      |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+      |ELSE array() END""".stripMargin
+
+  /** 64-permutation MinHash signature over the shingle set:
+    * h reduced into Z_P first (so a*h+b never overflows a long under ANSI
+    * mode), then sig_i = min over shingles of (h*(2i+1) + i*knuth) mod P.
+    * Pure projection (nested transform/array_min), codegen'd. */
+  private def minhashExpr: String =
+    s"""transform(sequence(0, 63), i ->
+       |  array_min(transform(shingles,
+       |    s -> pmod(pmod(xxhash64(s), ${P}L) * (2*CAST(i AS BIGINT) + 1)
+       |              + CAST(i AS BIGINT) * 2654435761, ${P}L))))""".stripMargin
+
+  /** Docs with tokens + shingles + minhash signature (internal). */
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("tokens", tokensCol)
+      .withColumn("shingles", expr(shinglesExpr))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("minhash", expr(minhashExpr))
+
+  /** MinHash + LSH near-dup pairs. Input is documents ∪ perturbed copies
+    * (every 7th doc, first token dropped, re-keyed +2000000) so true
+    * near-dups exist. 16 bands × 4 rows; candidate pairs from bucket
+    * equality; verified with exact shingle Jaccard ≥ 0.5.
+    * No SQL oracle (banding isn't SQL-expressible) — rows-only check;
+    * DedupSpec asserts every planted pair is recovered. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
+    val docs = base.union(perturbed)
+      .withColumn("tokens", tokensCol)
+      .withColumn("shingles", expr(shinglesExpr))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("minhash", expr(minhashExpr))
+    val banded = docs.select(col("doc_id"), col("shingles"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> xxhash64(concat_ws(',', slice(minhash, b*4+1, 4))))"))
+          .as(Seq("band", "bucket")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document: sum ±1 per bit over token hashes, sign →
+    * bit. Pure projection; rows-only (engine hash functions differ).
+    * Near-dup use: group by simhash band chunks like MinHash. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("tokens", tokensCol)
+      .withColumn("bitsums", expr(
+        """aggregate(tokens, array_repeat(0L, 64),
+          |  (acc, t) -> zip_with(acc, transform(sequence(0, 63),
+          |    i -> IF(((xxhash64(t) >> i) & 1) = 1, 1L, -1L)),
+          |    (x, y) -> x + y))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, i) -> IF(bitsums[i] > 0, acc | shiftleft(1L, i), acc))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Character-3-gram Jaccard near-dup over a bounded window (doc_id < 100
+    * both sides — the exact-verification kernel that LSH candidates feed at
+    * scale). SQL-expressible end to end → full oracle. */
+  def jaccard3gramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grams = G.table(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(1, length(text)-2),
+               |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val jaccard3gramPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(0, strlen(text)-2),
+      |           i -> substr(text, CAST(i+1 AS INT), 3))) AS grams
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+      |FROM g a, g b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE north-star): images/audio/video as
+  * opaque `binary` columns with typed metadata, decoded/feature-extracted in
+  * batched partition passes.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * `fakeDecode` below derives deterministic "metadata" purely from the byte
+  * payload (clearly marked). Everything around it is the real Spark-side
+  * plumbing that matters at 100 TB:
+  *  - schema: `media: binary` + `media_meta: struct<format,width,height,n_bytes>`
+  *  - per-row derivation is a codegen'd projection (no UDF where builtins do)
+  *  - the feature-extraction pass uses `mapPartitions` over an iterator —
+  *    the Scala analogue of `mapInPandas`: batch-at-a-time, constant memory,
+  *    model/codec handles initialized once per partition, never per row
+  *  - binary payloads stay columnar in parquet; metadata predicates
+  *    (width/format filters) push down without touching the blob column
+  *    thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  /** Attach a binary media column to documents (utf-8 bytes of the text
+    * stand in for the image payload) plus typed metadata.
+    * STUB: width/height are deterministic fakes derived from byte length —
+    * a real deployment replaces `fakeDecode*` with a codec call. */
+  def withMedia(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "documents")
+      .withColumn("media", encode(col("text"), "utf-8"))
+      .withColumn("media_meta", struct(
+        // STUB fake-decode: deterministic functions of payload size/source
+        when(col("source").substr(4, 1).cast("int") % 2 === 0, "png")
+          .otherwise("jpeg").as("format"),
+        (octet_length(col("media")) % 640 + 1).as("width"),
+        (octet_length(col("media")) % 480 + 1).as("height"),
+        octet_length(col("media")).as("n_bytes")))
+
+  /** Metadata projection + predicate over the typed struct — the query
+    * pattern (filter on metadata, never decode the blob). Oracle-checked:
+    * the fake decode is pure arithmetic on byte length. */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    withMedia(spark, dir)
+      .filter(col("media_meta.n_bytes") >= 50)
+      .select(col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.n_bytes").as("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  val mediaMetadataSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN CAST(substr(source, 4, 1) AS INT) % 2 = 0
+      |       THEN 'png' ELSE 'jpeg' END AS format,
+      |  strlen(text) % 640 + 1 AS width,
+      |  strlen(text) % 480 + 1 AS height,
+      |  strlen(text) AS n_bytes
+      |FROM documents
+      |WHERE strlen(text) >= 50
+      |ORDER BY doc_id""".stripMargin
+
+  /** Batched feature extraction over the binary column — the `mapInPandas`
+    * analogue. Iterator-to-iterator (constant memory per partition); the
+    * per-partition `init` block is where a real impl loads a codec/model
+    * once. STUB: the "feature vector" is a deterministic 8-dim byte
+    * histogram projection; a real deployment decodes pixels here (`???`
+    * deliberately avoided so the pipeline stays runnable end-to-end). */
+  def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = withMedia(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      // per-partition init (real impl: open codec / load model weights here)
+      val nBuckets = 8
+      it.map { case (id, bytes) =>
+        val hist = new Array[Double](nBuckets)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) % nBuckets) += 1.0
+          i += 1
+        }
+        val n = math.max(bytes.length, 1).toDouble
+        (id, hist.map(_ / n).toSeq)
+      }
+    }.toDF("doc_id", "features")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-sampling shape: one row per sampled "frame" (every 256-byte
+    * block stands in for a video frame) — the explode-with-position
+    * pattern used for video→frame tables; metadata-only, blob untouched. */
+  def sampleFrames(spark: SparkSession, dir: String): DataFrame =
+    withMedia(spark, dir)
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"))
+      .withColumn("frame_idx",
+        explode(expr("sequence(0, CAST(n_bytes AS INT) DIV 256)")))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 256).as("frame_offset"),
+        least(lit(256), col("n_bytes") - col("frame_idx") * 256).as("frame_len"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val sampleFramesSql: String =
+    """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |  CAST(f AS INT) * 256 AS frame_offset,
+      |  least(256, strlen(text) - CAST(f AS INT) * 256) AS frame_len
+      |FROM documents, unnest(range(0, strlen(text) // 256 + 1)) t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+}

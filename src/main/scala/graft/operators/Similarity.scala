@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column (BASELINE north-star).
+  *
+  * Vector math is done with higher-order functions (`zip_with` +
+  * `aggregate`): a strict left-to-right fold in double precision, which is
+  * bit-identical to DuckDB's `list_dot_product` over `DOUBLE[]` — verified
+  * empirically — so cosine scores hash-match the oracle with no rounding
+  * slack on the filter predicates.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - brute-force top-k = broadcast the (small) query set, one pass over the
+  *    corpus, per-partition top-k via the rank window — no corpus shuffle
+  *    except the final tiny top-k exchange. This is the exact baseline.
+  *  - the IVF-style variant prunes by a coarse cell id (here the `label`
+  *    column as the pre-computed cluster assignment): the corpus is
+  *    partitioned/bucketed by cell, a query probes only its cell(s) —
+  *    turning a full scan into a 1/|cells| scan. Same plan shape as a
+  *    partition-pruned filter, so Catalyst skips non-matching files when the
+  *    corpus is written partitioned by cell (see graft.Tables).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 10) over the whole
+    * corpus: broadcast queries, single corpus pass, rank window. */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(spark, dir)
+    val queries = embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnBruteForceSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, sim FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-style pruned top-3: probe only the query's coarse cell (label).
+    * Scan cost drops by ~|cells|; recall is exact within the cell. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(spark, dir)
+    val queries = embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(queries), col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnIvfSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM e JOIN q ON e.label = q.qlabel
+      |  WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, sim FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs over a bounded window
+    * (vec_id < 300 — the verify kernel LSH/IVF candidates feed at scale;
+    * embeddings are random so 0.35 yields a thin non-empty tail). */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embeddingNearDupsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id < 300)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      |FROM e a, e b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (BASELINE
+  * north-star): language-ID, quality scoring, token counting, document
+  * fingerprinting. All pure per-row projections over `documents` —
+  * no shuffle, codegen'd builtins only, so they stream at scan speed at any
+  * scale; the only aggregation is whatever the caller adds downstream.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "documents")
+
+  /** Language-ID n-gram/stopword heuristic: count marker-token hits per
+    * language, argmax with fixed precedence (en>es>de>fr), CJK regex for zh,
+    * 'unknown' when no marker hits. Deterministic; mirrored exactly in SQL. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
+      .withColumn("c_en", expr(
+        "size(filter(toks, w -> w = 'the' OR w = 'and' OR w = 'of'))"))
+      .withColumn("c_es", expr(
+        "size(filter(toks, w -> w = 'el' OR w = 'la' OR w = 'los'))"))
+      .withColumn("c_de", expr(
+        "size(filter(toks, w -> w = 'der' OR w = 'und' OR w = 'die'))"))
+      .withColumn("c_fr", expr(
+        "size(filter(toks, w -> w = 'le' OR w = 'et' OR w = 'les'))"))
+      .withColumn("has_cjk", expr("text RLIKE '[\\\\u4e00-\\\\u9fff]'"))
+      .withColumn("predicted_lang", expr(
+        """CASE WHEN has_cjk THEN 'zh'
+          |     WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+          |     WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+          |     WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+          |     WHEN c_fr > 0 THEN 'fr'
+          |     ELSE 'unknown' END""".stripMargin))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("predicted_lang"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"))
+      .orderBy(col("doc_id"))
+
+  val langIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(toks, w -> w = 'the' OR w = 'and' OR w = 'of')) AS c_en,
+      |    len(list_filter(toks, w -> w = 'el' OR w = 'la' OR w = 'los')) AS c_es,
+      |    len(list_filter(toks, w -> w = 'der' OR w = 'und' OR w = 'die')) AS c_de,
+      |    len(list_filter(toks, w -> w = 'le' OR w = 'et' OR w = 'les')) AS c_fr,
+      |    regexp_matches(text, '[一-鿿]') AS has_cjk
+      |  FROM t)
+      |SELECT doc_id, lang AS labeled_lang,
+      |  CASE WHEN has_cjk THEN 'zh'
+      |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+      |       WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+      |       WHEN c_fr > 0 THEN 'fr'
+      |       ELSE 'unknown' END AS predicted_lang,
+      |  c_en, c_es, c_de, c_fr
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length / punctuation / stopword / mean-token-length
+    * signals combined into a [0,1] score. All element-wise double arithmetic
+    * — bit-identical across engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", expr("size(split(text, '\\\\s+'))"))
+      .withColumn("n_punct", expr("length(regexp_replace(text, '[^.,;:!?]', ''))"))
+      .withColumn("n_stop", expr(
+        "size(filter(split(lower(text), '\\\\s+'), w -> w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to'))"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / greatest(length(col("text")), lit(1)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("mean_token_len",
+        length(col("text")).cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4
+          + (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3
+          + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
+        col("punct_ratio"), col("stop_ratio"), col("mean_token_len"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens, n_punct, n_stop,
+      |  CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+      |  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+      |  CAST(length(text) AS DOUBLE) / greatest(n_tokens, 1) AS mean_token_len,
+      |  least(CAST(n_tokens AS DOUBLE) / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
+      |    + (CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / greatest(length(text), 1) * 10.0, CAST(1.0 AS DOUBLE))) * 0.3
+      |    + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS quality_score
+      |FROM (
+      |  SELECT doc_id, text,
+      |    len(string_split_regex(text, '\s+')) AS n_tokens,
+      |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        w -> w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to')) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws_tokens", expr("size(split(text, '\\\\s+'))"))
+      .withColumn("bpe_tokens",
+        expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
+      .withColumn("chars_per_token",
+        length(col("text")).cast("double") / greatest(col("ws_tokens"), lit(1)))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        col("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+      |  CAST(length(text) AS DOUBLE) /
+      |    greatest(len(string_split_regex(text, '\s+')), 1) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: char-level polynomial rolling hash mod 1e9+7 —
+    * the content-defined-chunking primitive; exact-dedup key that is stable
+    * under re-encoding, unlike md5 of raw bytes only in that it is
+    * reproducible in plain SQL on any engine. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("fp", expr(
+        """aggregate(transform(sequence(1, length(text)),
+          |    i -> ascii(substring(text, i, 1))),
+          |  CAST(0 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      .select(col("doc_id"), col("fp"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, strlen(text)),
+      |        i -> CAST(unicode(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
