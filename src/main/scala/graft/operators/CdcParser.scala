@@ -41,9 +41,10 @@ object CdcParser {
       .filter(col("_img").isNotNull) // no row image → 0 rows
       .withColumn("_src_ts", pick("source.ts_ms"))
       .withColumn("_cdc_ts", pick("ts_ms"))
-    // decimal-string parse: cast yields null on garbage → default 0.0 (P2)
+    // decimal-string parse: try_cast yields null on garbage → default 0.0
+    // (P2; plain cast would THROW under Spark 4's default ANSI mode)
     def dec(field: String): Column =
-      coalesce(col(s"_img.$field").cast(DoubleType), lit(0.0))
+      coalesce(expr(s"try_cast(_img.$field AS DOUBLE)"), lit(0.0))
     withImage.select(
       col("_op").as("op"),
       coalesce(col("_img.trade_id"), lit(0L)).as("trade_id"),

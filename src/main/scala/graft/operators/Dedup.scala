@@ -133,8 +133,11 @@ object Dedup {
     * bit. Pure projection; rows-only (engine hash functions differ).
     * Near-dup use: group by simhash band chunks like MinHash. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    G.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    simhashOn(G.table(spark, dir, "documents"))
+
+  /** SimHash over any frame with (doc_id, text). */
+  def simhashOn(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"))
       .withColumn("tokens", tokensCol)
       .withColumn("bitsums", expr(
         """aggregate(tokens, array_repeat(0L, 64),

@@ -29,8 +29,14 @@ object TradeAggregates {
     * flagship operator (`function/TradeAggregator.java:44-91`): count,
     * conditional BID/ASK counts, sums, min/max, avg, VWAP with zero-guard
     * (`:72-75`), window bounds from the window context (`:97-107`). */
-  def windowAgg5m(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).withColumn("k", G.propsK(col("props")))
+  def windowAgg5m(spark: SparkSession, dir: String): DataFrame =
+    windowAggOn(events(spark, dir).withColumn("k", G.propsK(col("props"))))
+      .orderBy(col("window_start"), col("user_id"))
+
+  /** The aggregation itself over any frame with (ts, user_id, event_type,
+    * value, k) — reused by the batch query, the streaming job
+    * (graft.streaming.StreamingJobs) and the golden-fixture tests. */
+  def windowAggOn(ev: DataFrame): DataFrame = {
     ev.groupBy(
         window(col("ts"), "5 minutes").getField("start").as("window_start"),
         col("user_id"))
@@ -48,7 +54,6 @@ object TradeAggregates {
         when(sum(col("k")) > 0,
           G.dsum(col("value") * col("k")) / sum(col("k")))
           .otherwise(0.0).as("vwap"))
-      .orderBy(col("window_start"), col("user_id"))
   }
 
   val windowAgg5mSql: String =

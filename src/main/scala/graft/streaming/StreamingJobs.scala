@@ -1,0 +1,174 @@
+package graft.streaming
+
+import graft.model
+import graft.model.{AnomalyAlert, DetectorState}
+import graft.operators.{AnomalyDetection, CdcParser, TradeAggregates}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming layer (SURVEY §2.5 T1–T3, §2.6 W1–W4, §2.7 K1–K4):
+  * the reference Flink job (`flink/.../CdcPipelineJob.java:35-101`)
+  * re-expressed as one micro-batched pipeline.
+  *
+  * Shape: CDC-envelope JSON stream → parse (P1) → foreachBatch fan-out to
+  * three sinks (raw / windowed agg / alerts) — the read-once multi-sink DAG
+  * (`docs/04-flink-streaming.md:23-41`): the micro-batch is persisted once
+  * and written three times, exactly Flink's one-source-three-sinks topology.
+  *
+  * Deviations from the reference, by design (SURVEY §7.4):
+  *  - event time + watermark instead of processing-time windows (W1/W2):
+  *    replays become deterministic; the reference has no late-data story.
+  *  - RocksDB state store + checkpointLocation ↔ the reference's RocksDB
+  *    backend + 60 s EXACTLY_ONCE checkpoints (`docker-compose.yml:221-231`).
+  *
+  * Scale: state per key is O(1) for the window agg (one row per open
+  * window per key) and O(1) for the detector (one DetectorState per key);
+  * watermark eviction bounds total state. The shuffle per micro-batch is the
+  * keyed exchange only.
+  */
+object StreamingJobs {
+
+  /** S1-equivalent: stream of envelope JSON lines from a directory
+    * (the offline replay analogue of the Kafka topic; swap for
+    * `format("kafka")` + `startingOffsets=earliest` on a cluster). */
+  def readCdcStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema("value STRING")
+      .option("maxFilesPerTrigger", 8) // bounded micro-batches
+      .text(inputDir)
+      .withColumnRenamed("value", "json")
+    CdcParser.parseEnvelope(raw, col("json"))
+  }
+
+  /** W1/A1 streaming: 5-minute tumbling event-time window aggregate with
+    * watermark; reuses the exact batch aggregation expressions. */
+  def windowAggStream(parsed: DataFrame): DataFrame =
+    TradeAggregates.windowAggOn(
+      parsed.select(
+        timestamp_millis(col("source_ts")).as("ts"),
+        col("market").as("user_id"),
+        col("ask_bid").as("event_type"),
+        col("trade_price").as("value"),
+        col("trade_volume").as("k"))
+        .withWatermark("ts", "10 minutes"))
+
+  /** A3 streaming: per-minute latency rollup — the AggregatingMergeTree MV
+    * (`clickhouse/init.sql:81-94`); state store holds the partial aggregate
+    * exactly like the `-State` combinators. */
+  def minuteRollupStream(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("op").isin("c", "u", "d")) // MV predicate (init.sql:93)
+      .select(timestamp_millis(col("source_ts")).as("ts"),
+        col("cdc_latency_ms"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute").getField("start").as("minute"))
+      .agg(
+        avg(col("cdc_latency_ms")).as("avg_latency"),
+        max(col("cdc_latency_ms")).as("max_latency"),
+        min(col("cdc_latency_ms")).as("min_latency"),
+        count(lit(1)).as("cnt"))
+
+  /** D1–D4 streaming: flatMapGroupsWithState, sharing
+    * `AnomalyDetection.step` with the batch fold. Events within each
+    * micro-batch group are sorted by (ts, id) before folding — the
+    * documented per-micro-batch ordering guarantee (SURVEY §7.4). */
+  def detectAnomaliesStream(parsed: DataFrame): Dataset[AnomalyAlert] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    evFromTrades(parsed).groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        detectGroup)
+  }
+
+  /** Map parsed trade rows to detector input. The key is a per-market
+    * numeric id whose low bits encode the threshold tier, mirroring the
+    * reference's market-string tiering (`AnomalyDetector.java:182-186`:
+    * contains "BTC" → top tier, "ETH" → mid, else default):
+    * id % 3 == tier, distinct markets → distinct ids. */
+  private[graft] def evFromTrades(parsed: DataFrame): Dataset[AnomalyDetection.Ev] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val tier = when(col("market").contains("BTC"), 0L)
+      .when(col("market").contains("ETH"), 1L)
+      .otherwise(2L)
+    parsed
+      .filter(col("op") === "c") // P4: inserts only (CdcPipelineJob.java:80)
+      .select(
+        (pmod(xxhash64(col("market")), lit(100000L)) * 3 + tier).as("user_id"),
+        col("trade_id").as("event_id"),
+        col("source_ts").as("ts_ms"),
+        col("trade_price").as("price"),
+        col("trade_volume").cast("long").as("volume"),
+        (col("trade_price") * col("trade_volume")).as("amount"))
+      .as[AnomalyDetection.Ev]
+  }
+
+  /** Per-group transition: fold this micro-batch's events (sorted) through
+    * the shared step function, carrying DetectorState across batches. */
+  private[streaming] def detectGroup(key: Long,
+      events: Iterator[AnomalyDetection.Ev],
+      state: GroupState[DetectorState]): Iterator[AnomalyAlert] = {
+    var st = state.getOption.getOrElse(DetectorState.empty)
+    val out = events.toSeq.sortBy(e => (e.ts_ms, e.event_id)).flatMap { e =>
+      val (alerts, st2) = AnomalyDetection.step(st, e)
+      st = st2
+      alerts
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** T1: read-once fan-out — one foreachBatch persists the micro-batch and
+    * writes raw rows (K1), window aggregates (K2) and alerts (K3).
+    * Aggregations inside foreachBatch are per-batch (complete recompute of
+    * the batch's windows) — cross-batch window state belongs to the
+    * dedicated `windowAggStream` query; this sink mirrors the reference's
+    * three JDBC sinks batching 200 rows / 3 s (`ClickHouseSinks.java:19-21`)
+    * via the trigger interval. */
+  def fanOut(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery = {
+    val parsed = readCdcStream(spark, inputDir)
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          // K1: raw rows, stamped like ST4
+          batch.withColumn("inserted_at", current_timestamp())
+            .write.mode("append").parquet(s"$outDir/raw")
+          // K2: this batch's window aggregates
+          windowAggBatch(batch)
+            .write.mode("append").parquet(s"$outDir/agg")
+          // K3: this batch's stateless alerts (D1; stateful rules live in
+          // the dedicated stream with its own state store)
+          batch.filter(col("op") === "c")
+            .filter(col("trade_price") * col("trade_volume") >= 3000.0)
+            .write.mode("append").parquet(s"$outDir/alerts")
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
+  private def windowAggBatch(batch: DataFrame): DataFrame =
+    TradeAggregates.windowAggOn(
+      batch.select(
+        timestamp_millis(col("source_ts")).as("ts"),
+        col("market").as("user_id"),
+        col("ask_bid").as("event_type"),
+        col("trade_price").as("value"),
+        col("trade_volume").as("k")))
+
+  /** W4: session config for fault-tolerant state — RocksDB state store
+    * (reference: RocksDB backend, EXACTLY_ONCE, 60 s checkpoints). */
+  def configureStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity/text operator semantics on sf0.001. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("minhash LSH recovers every planted near-dup pair") {
+    val planted = G.table(spark, sf(), "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .filter(size(split(col("text"), "\\s+")) >= 4)
+      .count()
+    val recovered = Dedup.minhashLshPairs(spark, sf())
+      .filter(col("doc_b") === col("doc_a") + 2000000)
+      .count()
+    assert(recovered == planted)
+    assert(planted > 0)
+  }
+
+  test("exact dedup collapses planted duplicates to n_copies=2") {
+    val r = Dedup.dedupExact(spark, sf())
+    assert(r.filter(col("n_copies") === 2).count() ==
+      G.table(spark, sf(), "documents").filter(col("doc_id") % 5 === 0).count())
+    assert(r.filter(col("n_copies") > 2).count() == 0)
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    import spark.implicits._
+    val base = G.table(spark, sf(), "documents")
+      .filter(col("doc_id") === 42).select(col("text")).as[String].head()
+    val perturbed = base.split(" ").drop(1).mkString(" ")
+    val df = Seq((1L, base), (2L, perturbed), (3L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    // reuse the operator's expressions by writing docs to a temp view path:
+    val sigs = Dedup.simhashOn(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+    assert(hamming(sigs(1L), sigs(2L)) <= 8)
+  }
+
+  test("knn: brute-force rank-1 has max similarity; IVF stays in cell") {
+    val bf = Similarity.knnBruteForce(spark, sf()).collect()
+    val byQuery = bf.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val labels = G.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    Similarity.knnIvf(spark, sf()).collect().foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) == labels(r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("IVF results are a subset of brute-force candidates' scores") {
+    // within the same cell, IVF top-1 similarity can never exceed the
+    // brute-force top-1 for the same query
+    val bf1 = Similarity.knnBruteForce(spark, sf())
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    Similarity.knnIvf(spark, sf()).filter(col("rank") === 1).collect()
+      .foreach { r =>
+        assert(r.getAs[Double]("sim") <= bf1(r.getAs[Long]("query_id")) + 1e-12)
+      }
+  }
+
+  test("text quality scores are bounded and fingerprints discriminate") {
+    val q = TextAnalysis.qualityScore(spark, sf()).collect()
+    assert(q.forall { r =>
+      val s = r.getAs[Double]("quality_score"); s >= 0.0 && s <= 1.0 })
+    val fp = TextAnalysis.fingerprint(spark, sf())
+      .select(countDistinct(col("fp"))).head().getLong(0)
+    assert(fp > 450) // 500 docs, collisions rare
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{AnomalyDetection, TradeAggregates}
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming semantics: streaming results must equal batch results on the
+  * same data (SURVEY §5 plan item 5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parsedStream(jsons: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val mem = MemoryStream[String](spark)
+    mem.addData(jsons)
+    graft.operators.CdcParser.parseEnvelope(
+      mem.toDF().withColumnRenamed("value", "json"), col("json"))
+  }
+
+  test("streaming window agg == batch window agg (complete mode)") {
+    val trades = Synthetic.trades(300)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    val parsed = parsedStream(jsons)
+    val q = StreamingJobs.windowAggStream(parsed)
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streaming = spark.table("agg_out")
+      .orderBy(col("window_start"), col("user_id")).collect().toSeq
+    val batch = TradeAggregates.windowAggOn(
+      graft.operators.CdcParser.parseEnvelope(jsons.toDF("json"), col("json"))
+        .select(timestamp_millis(col("source_ts")).as("ts"),
+          col("market").as("user_id"), col("ask_bid").as("event_type"),
+          col("trade_price").as("value"), col("trade_volume").as("k")))
+      .orderBy(col("window_start"), col("user_id")).collect().toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming == batch)
+  }
+
+  test("stateful detector stream == batch fold on same single batch") {
+    val trades = Synthetic.trades(200)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    val parsed = parsedStream(jsons)
+    val q = StreamingJobs.detectAnomaliesStream(parsed)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streaming = spark.table("alerts_out")
+      .select("alert_type", "market", "trade_id")
+      .collect().map(_.toSeq).toSet
+    // batch reference: same mapping as detectAnomaliesStream, local fold
+    val evs = StreamingJobs.evFromTrades(
+      graft.operators.CdcParser.parseEnvelope(jsons.toDF("json"), col("json")))
+      .collect()
+    val local = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+      var st = model.DetectorState.empty
+      es.sortBy(e => (e.ts_ms, e.event_id)).toSeq.flatMap { e =>
+        val (a, s2) = AnomalyDetection.step(st, e); st = s2; a }
+    }.map(a => Seq[Any](a.alert_type, a.market, a.trade_id)).toSet
+    assert(streaming.nonEmpty)
+    assert(streaming == local)
+  }
+
+  test("foreachBatch fan-out writes raw/agg/alerts sinks (T1)") {
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val jsons = Synthetic.trades(100).map(t => Synthetic.envelopeJson(t))
+    Files.write(java.nio.file.Paths.get(in, "part-0.json"),
+      jsons.mkString("\n").getBytes)
+    val q = StreamingJobs.fanOut(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/raw").count() == 100)
+    assert(spark.read.parquet(s"$out/agg").count() > 0)
+    assert(spark.read.parquet(s"$out/alerts").count() > 0)
+  }
+
+  test("partitioned table writer: layout + pruning (ST1/ST2/ST4)") {
+    val dir = Files.createTempDirectory("graft_tbl").toString
+    val df = G.events(spark, sf())
+    Tables.writePartitioned(df, dir, "ts", Seq("user_id", "ts"))
+    val back = Tables.read(spark, dir)
+    assert(back.count() == df.count())
+    assert(back.columns.contains("month") && back.columns.contains("inserted_at"))
+    // partition pruning: a month filter must read a subset of files
+    val pruned = back.filter(col("month") === "202401")
+    assert(pruned.count() == df.count()) // all data is Jan 2024
+    assert(Tables.retentionFilter(back, "ts", "2024-01-15 00:00:00").count()
+      < back.count())
+  }
+}
