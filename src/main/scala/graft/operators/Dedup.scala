@@ -62,36 +62,59 @@ object Dedup {
 
   // ------------------------------------------------------------- signatures
 
-  private val P = 1000000007L // prime; keeps a*h+b within long under ANSI mode
+  private val P = 1000000007L // prime field for the minhash permutations
 
-  /** Word tokens, lowercased. */
-  private def tokensCol = expr("split(lower(text), '\\\\s+')")
+  /** FNV-1a 64-bit — the signature hash. Spark's higher-order functions
+    * (transform/aggregate/zip_with) are CodegenFallback, i.e. interpreted
+    * per element; computing 64-permutation signatures through them measured
+    * 300+ s at sf0.1. Signatures are therefore computed in a tight JVM loop
+    * via mapPartitions: zero shuffle, no per-element allocation — the
+    * justified case (d) of the custom-op preference order. */
+  private[operators] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
 
-  /** Distinct word-3-shingles (empty for docs under 3 tokens). */
-  private def shinglesExpr: String =
-    """CASE WHEN size(tokens) >= 3 THEN
-      |  array_distinct(transform(sequence(0, size(tokens)-3),
-      |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
-      |ELSE array() END""".stripMargin
+  /** Per-doc MinHash signature over distinct word-3-shingles.
+    * sig_i = min over shingles of ((fnv64 mod P) * (2i+1) + i·knuth) mod P. */
+  private def minhashSig(shingles: Iterator[String]): Array[Long] = {
+    val sig = Array.fill(64)(Long.MaxValue)
+    shingles.foreach { s =>
+      val base = java.lang.Math.floorMod(fnv64(s), P)
+      var i = 0
+      while (i < 64) {
+        val h = (base * (2L * i + 1) + i * 2654435761L) % P
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
 
-  /** 64-permutation MinHash signature over the shingle set:
-    * h reduced into Z_P first (so a*h+b never overflows a long under ANSI
-    * mode), then sig_i = min over shingles of (h*(2i+1) + i*knuth) mod P.
-    * Pure projection (nested transform/array_min), codegen'd. */
-  private def minhashExpr: String =
-    s"""transform(sequence(0, 63), i ->
-       |  array_min(transform(shingles,
-       |    s -> pmod(pmod(xxhash64(s), ${P}L) * (2*CAST(i AS BIGINT) + 1)
-       |              + CAST(i AS BIGINT) * 2654435761, ${P}L))))""".stripMargin
+  /** (doc_id, distinct shingles, minhash sig) for any (doc_id, text) frame;
+    * docs under 3 tokens are dropped (no shingles). */
+  private def signaturesOn(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+")
+          if (toks.length < 3) None
+          else {
+            val sh = Array.tabulate(toks.length - 2)(i =>
+              s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+            Some((id, sh.toSeq, minhashSig(sh.iterator).toSeq))
+          }
+        }
+      }.toDF("doc_id", "shingles", "minhash")
+  }
 
-  /** Docs with tokens + shingles + minhash signature (internal). */
+  /** Docs with shingles + minhash signature (internal). */
   def signatures(spark: SparkSession, dir: String): DataFrame =
-    G.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("tokens", tokensCol)
-      .withColumn("shingles", expr(shinglesExpr))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("minhash", expr(minhashExpr))
+    signaturesOn(G.table(spark, dir, "documents"))
 
   /** MinHash + LSH near-dup pairs. Input is documents ∪ perturbed copies
     * (every 7th doc, first token dropped, re-keyed +2000000) so true
@@ -104,23 +127,26 @@ object Dedup {
     val perturbed = base.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 2000000).as("doc_id"),
         expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
-    val docs = base.union(perturbed)
-      .withColumn("tokens", tokensCol)
-      .withColumn("shingles", expr(shinglesExpr))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("minhash", expr(minhashExpr))
-    val banded = docs.select(col("doc_id"), col("shingles"),
+    val docs = signaturesOn(base.union(perturbed)).cache()
+    // band → bucket ids only; shingle arrays are NOT carried through the
+    // bucket join + distinct (they'd be shuffled 16× otherwise) — candidate
+    // pairs are deduped first, then signatures joined back for verification
+    val banded = docs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> xxhash64(concat_ws(',', slice(minhash, b*4+1, 4))))"))
           .as(Seq("band", "bucket")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    val shingleSets = docs.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -135,20 +161,31 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(G.table(spark, dir, "documents"))
 
-  /** SimHash over any frame with (doc_id, text). */
-  def simhashOn(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("text"))
-      .withColumn("tokens", tokensCol)
-      .withColumn("bitsums", expr(
-        """aggregate(tokens, array_repeat(0L, 64),
-          |  (acc, t) -> zip_with(acc, transform(sequence(0, 63),
-          |    i -> IF(((xxhash64(t) >> i) & 1) = 1, 1L, -1L)),
-          |    (x, y) -> x + y))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, i) -> IF(bitsums[i] > 0, acc | shiftleft(1L, i), acc))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+  /** SimHash over any frame with (doc_id, text) — tight-loop mapPartitions
+    * for the same reason as the minhash signatures (see fnv64 note). */
+  def simhashOn(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          text.toLowerCase.split("\\s+").foreach { t =>
+            val h = fnv64(t)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
+  }
 
   /** Character-3-gram Jaccard near-dup over a bounded window (doc_id < 100
     * both sides — the exact-verification kernel that LSH candidates feed at

@@ -129,15 +129,28 @@ object TextAnalysis {
     * the content-defined-chunking primitive; exact-dedup key that is stable
     * under re-encoding, unlike md5 of raw bytes only in that it is
     * reproducible in plain SQL on any engine. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    // tight-loop mapPartitions: higher-order aggregate() is interpreted
+    // per character (see Dedup.fnv64 note); the arithmetic below is
+    // bit-identical to the SQL oracle's list_reduce
     docs(spark, dir)
-      .withColumn("fp", expr(
-        """aggregate(transform(sequence(1, length(text)),
-          |    i -> ascii(substring(text, i, 1))),
-          |  CAST(0 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
-      .select(col("doc_id"), col("fp"), col("n_chars"))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, text, nChars) =>
+          var acc = 0L
+          var i = 0
+          while (i < text.length) {
+            acc = (acc * 31 + text.codePointAt(i)) % 1000000007L
+            i += Character.charCount(text.codePointAt(i))
+          }
+          (id, acc, nChars)
+        }
+      }.toDF("doc_id", "fp", "n_chars")
       .orderBy(col("doc_id"))
+  }
 
   val fingerprintSql: String =
     """SELECT doc_id,
