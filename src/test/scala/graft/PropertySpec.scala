@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Dedup, TradeAggregates}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (SURVEY §5 item 4): window aggregate ≡ brute
+  * force, dedup idempotence, simhash behavior — over generated inputs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 10): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val genEvent = for {
+    ts <- Gen.choose(0L, 6L * 3600 * 1000) // 6 hours of millis
+    uid <- Gen.choose(0L, 4L)
+    typ <- Gen.oneOf("purchase", "view", "click")
+    cents <- Gen.choose(1L, 20000L)
+    k <- Gen.choose(0L, 100L)
+  } yield (ts, uid, typ, cents / 100.0, k)
+
+  test("window aggregate equals in-memory brute force on random events") {
+    val prop = Prop.forAll(Gen.listOfN(200, genEvent)) { evs =>
+      evs.isEmpty || {
+        val df = evs.toDF("ts_ms", "user_id", "event_type", "value", "k")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+        val got = TradeAggregates.windowAggOn(df)
+          .select("user_id", "trade_count", "bid_count", "total_volume",
+            "min_price", "max_price", "total_amount")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+          .sorted
+        val expected = evs
+          // floorDiv: Spark windows floor toward -inf (shrunk inputs can
+          // produce negative timestamps outside the generator's range)
+          .groupBy(e => (Math.floorDiv(e._1, 300000L), e._2))
+          .map { case ((_, uid), es) =>
+            val amount = es.map(e => BigDecimal(e._4 * e._5)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+            (uid, es.size.toLong,
+              es.count(_._3 == "purchase").toLong,
+              es.map(_._5).sum,
+              es.map(_._4).min, es.map(_._4).max, amount)
+          }.toSeq.sorted
+        got.toSeq == expected
+      }
+    }
+    check(prop)
+  }
+
+  test("dedup is idempotent and keeps the minimum id per content hash") {
+    val genDoc = for {
+      id <- Gen.choose(0L, 1000L)
+      text <- Gen.oneOf("alpha beta gamma", "delta epsilon", "zeta eta theta",
+        "iota kappa", "lambda mu nu")
+    } yield (id, text)
+    val prop = Prop.forAll(Gen.listOfN(60, genDoc)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val once = df.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("kept"))
+        val kept = once.select("kept").as[Long].collect().toSet
+        val expected = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+        // idempotence: deduping the deduped set changes nothing
+        val again = df.filter(col("doc_id").isin(kept.toSeq: _*))
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("kept"))
+          .select("kept").as[Long].collect().toSet
+        kept == expected && again == kept
+      }
+    }
+    check(prop, n = 8)
+  }
+
+  test("simhash: identical text → distance 0; distance is symmetric") {
+    val genText = Gen.listOfN(12,
+      Gen.oneOf("spark", "flink", "query", "table", "scan", "merge", "row"))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(genText, genText) { (a, b) =>
+      val sigs = Dedup.simhashOn(
+        Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def d(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+      d(sigs(1L), sigs(2L)) == 0 && d(sigs(1L), sigs(3L)) == d(sigs(3L), sigs(1L))
+    }
+    check(prop, n = 8)
+  }
+}
