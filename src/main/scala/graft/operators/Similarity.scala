@@ -26,29 +26,41 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product — the codegen'd native expression
+    * (graft.functions.VectorDot); identical fold order to the
+    * `zip_with`+`aggregate` formulation and DuckDB's list_dot_product,
+    * but runs as a primitive loop inside whole-stage codegen instead of
+    * an interpreted per-element closure. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vector_dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorExpressions.vector_cosine(a, b)
 
-  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with per-vector norm precomputed once — cosine over pairs then
+    * costs one dot product, not three (norms recomputed per pair would be
+    * O(n²) sqrt work; the precomputed value is the identical double, so
+    * oracle parity is unaffected). */
+  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
     G.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10) over the whole
     * corpus: broadcast queries, single corpus pass, rank window. */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embeddings(spark, dir)
     val queries = embeddings(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
@@ -76,12 +88,12 @@ object Similarity {
     val corpus = embeddings(spark, dir)
     val queries = embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-        col("v").as("qv"))
+        col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     corpus.join(broadcast(queries), col("label") === col("qlabel"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
@@ -109,11 +121,13 @@ object Similarity {
     * embeddings are random so 0.35 yields a thin non-empty tail). */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).filter(col("vec_id") < 300)
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.35)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
