@@ -70,6 +70,8 @@ object SparkEntry {
     "q_t2_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_t3_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // spark.sql serving surface (SURVEY §3.3 entry point 3)
+    "q_sql_scalar_panels" -> ((s, d) => SqlSurface.scalarPanels(s, d)),
     // Multimodal binary-column plumbing (decode stubbed)
     "q_m1_media_metadata" -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "q_m2_extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -110,6 +112,7 @@ object SparkEntry {
     "q_t2_quality" -> TextAnalysis.qualityScoreSql,
     "q_t3_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_t4_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m3_sample_frames" -> Multimodal.sampleFramesSql
   )

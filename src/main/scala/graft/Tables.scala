@@ -39,6 +39,20 @@ object Tables {
       .partitionBy("month")
       .parquet(path)
 
+  /** Bucketed layout for co-located fact-to-fact joins: both sides written
+    * `bucketBy(n, key)` join WITHOUT any Exchange — at 100 TB this removes
+    * the one remaining shuffle of the star schema (lineitem ⋈ orders).
+    * Bucket count is fixed at write time; pick ≈ cluster cores at target
+    * scale. Verified shuffle-free in LayoutSpec. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** ST3: retention keep-predicate (TTL 90 days in the reference). */
   def retentionFilter(df: DataFrame, tsCol: String, cutoff: String): DataFrame =
     df.filter(col(tsCol) >= lit(cutoff).cast("timestamp_ntz"))

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SQL query surface (SURVEY §3.3, entry point 3): the reference's 12
+  * Grafana panels fire raw SQL at ClickHouse
+  * (`grafana/provisioning/dashboards/json/cdc-pipeline.json`); here the same
+  * analytics run as `spark.sql` over registered views — the engine's third
+  * query surface next to the DataFrame API and the streaming dataflow.
+  *
+  * Time predicates are anchored to the data's max timestamp instead of
+  * `now()` (deterministic replay, SURVEY §7.4); panel SQL is otherwise a
+  * direct translation. Catalyst plans these identically to the DataFrame
+  * versions in DashboardQueries (same pushdown/pruning/TakeOrdered shapes).
+  */
+object SqlSurface {
+
+  /** Register the driver tables as temp views (events normalized through
+    * G.events so `ts` is a usable timestamp). */
+  def createViews(spark: SparkSession, dir: String): Unit = {
+    G.events(spark, dir)
+      .withColumn("k", G.propsK(col("props")))
+      .createOrReplaceTempView("events_v")
+    Seq("lineitem", "orders", "customer", "documents").foreach { t =>
+      G.table(spark, dir, t).createOrReplaceTempView(s"${t}_v")
+    }
+  }
+
+  /** The 12 panels (cdc-pipeline.json), re-based onto events_v. */
+  val panels: Map[String, String] = Map(
+    "total_trades" -> "SELECT count(*) AS total FROM events_v",
+    "avg_price" ->
+      "SELECT round(avg(value), 1) AS avg_price FROM events_v WHERE event_type = 'purchase'",
+    "total_volume" -> "SELECT sum(k) AS total_volume FROM events_v",
+    "max_price" -> "SELECT max(value) AS max_price FROM events_v",
+    "uniq_markets" -> "SELECT count(DISTINCT user_id) AS n FROM events_v",
+    "liveness" ->
+      """SELECT CASE WHEN max(ts) >= TIMESTAMP '2024-01-30 00:00:00'
+        |THEN 1 ELSE 0 END AS alive FROM events_v""".stripMargin,
+    "latency_per_minute" ->
+      """SELECT date_trunc('minute', ts) AS minute, avg(k) AS avg_latency,
+        |max(k) AS max_latency FROM events_v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "price_chart" ->
+      """SELECT date_trunc('minute', ts) AS minute, avg(value) AS avg_price,
+        |min(value) AS min_price, max(value) AS max_price
+        |FROM events_v WHERE user_id = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bid_ask_by_market" ->
+      """SELECT user_id,
+        |count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid,
+        |count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask
+        |FROM events_v GROUP BY user_id ORDER BY bid + ask DESC, user_id""".stripMargin,
+    "recent_alerts" ->
+      """SELECT event_id, ts, user_id, value FROM events_v
+        |WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin,
+    "recent_trades" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events_v
+        |ORDER BY ts DESC, event_id DESC LIMIT 30""".stripMargin,
+    "changed_rows" ->
+      """SELECT event_type, count(*) AS n FROM events_v
+        |WHERE event_type IN ('purchase', 'view', 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  def runPanel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    createViews(spark, dir)
+    spark.sql(panels(name))
+  }
+
+  /** t2 entry: every scalar panel unioned into one (panel, value) frame —
+    * exercises the whole spark.sql surface in one oracle-checked query. */
+  def scalarPanels(spark: SparkSession, dir: String): DataFrame = {
+    createViews(spark, dir)
+    spark.sql(
+      """SELECT 'total_trades' AS panel, CAST(count(*) AS DOUBLE) AS value FROM events_v
+        |UNION ALL
+        |SELECT 'avg_price', round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 1)
+        |  FROM events_v WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'total_volume', CAST(sum(k) AS DOUBLE) FROM events_v
+        |UNION ALL
+        |SELECT 'max_price', max(value) FROM events_v
+        |UNION ALL
+        |SELECT 'uniq_markets', CAST(count(DISTINCT user_id) AS DOUBLE) FROM events_v
+        |ORDER BY panel""".stripMargin)
+  }
+
+  val scalarPanelsSql: String =
+    """WITH e AS (SELECT *, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |           FROM events)
+      |SELECT panel, value FROM (
+      |  SELECT 'total_trades' AS panel, CAST(count(*) AS DOUBLE) AS value FROM e
+      |  UNION ALL
+      |  SELECT 'avg_price', round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 1)
+      |    FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT 'total_volume', CAST(sum(k) AS DOUBLE) FROM e
+      |  UNION ALL
+      |  SELECT 'max_price', max(value) FROM e
+      |  UNION ALL
+      |  SELECT 'uniq_markets', CAST(count(DISTINCT user_id) AS DOUBLE) FROM e)
+      |ORDER BY panel""".stripMargin
+}

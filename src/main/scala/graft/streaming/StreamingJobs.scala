@@ -41,6 +41,29 @@ object StreamingJobs {
     CdcParser.parseEnvelope(raw, col("json"))
   }
 
+  /** S1: the Kafka CDC source proper (`CdcPipelineJob.java:52-58`) —
+    * earliest offsets so the Debezium snapshot replays
+    * (`docs/04-flink-streaming.md:166`), value-only string deserialization.
+    * Requires the spark-sql-kafka connector jar + a broker, neither present
+    * in this container — the file-stream source above is the offline
+    * equivalent over the same envelope format; this method is the documented
+    * production wiring. */
+  def readCdcKafka(spark: SparkSession, bootstrapServers: String,
+      topic: String): DataFrame =
+    CdcParser.parseEnvelope(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(col("value").cast("string").as("json")),
+      col("json"))
+
+  /** K4: debug console sink (`aggregated.print("AGG")`,
+    * `CdcPipelineJob.java:74,85`). */
+  def consoleSink(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("console").option("truncate", "false")
+
   /** W1/A1 streaming: 5-minute tumbling event-time window aggregate with
     * watermark; reuses the exact batch aggregation expressions. */
   def windowAggStream(parsed: DataFrame): DataFrame =

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Bucketed-layout co-located join: both sides bucketed on the join key →
+  * the join plans with NO shuffle Exchange (SCALE.md join section). */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed fact-to-fact join is shuffle-free") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val li = G.table(spark, sf(), "lineitem")
+    val ord = G.table(spark, sf(), "orders")
+    Tables.writeBucketed(li.select(col("l_orderkey"), col("l_extendedprice")),
+      "li_b", s"$base/li", "l_orderkey", 8)
+    Tables.writeBucketed(ord.select(col("o_orderkey"), col("o_totalprice")),
+      "ord_b", s"$base/ord", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("spark.sql panel surface runs every panel") {
+    operators.SqlSurface.createViews(spark, sf())
+    operators.SqlSurface.panels.foreach { case (name, sql) =>
+      val n = spark.sql(sql).count()
+      assert(n > 0, s"panel $name returned no rows")
+    }
+  }
+}
