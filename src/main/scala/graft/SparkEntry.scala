@@ -51,6 +51,13 @@ object SparkEntry {
     "q_r4_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
     "q_r5_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_r6_running_totals" -> ((s, d) => Relational.supplierRunningTotals(s, d)),
+    "q_r7_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "q_r8_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
+    "q_r9_setops" -> ((s, d) => Relational.setOps(s, d)),
+    // A9/W5 additive: session windows + approx quantiles
+    "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
+    "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
+    "q_t5_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     // D1-D4: stateful anomaly detection (batch deterministic fold)
     "q_d1_large_trades" -> ((s, d) => AnomalyDetection.largeTrades(s, d)),
     "q_d2_price_spikes" -> ((s, d) => AnomalyDetection.priceSpikes(s, d)),
@@ -100,6 +107,11 @@ object SparkEntry {
     "q_r4_revenue_by_nation" -> Relational.revenueByNationSql,
     "q_r5_customers_no_orders" -> Relational.customersWithoutOrdersSql,
     "q_r6_running_totals" -> Relational.supplierRunningTotalsSql,
+    "q_r7_asof_join" -> Relational.asofJoinSql,
+    "q_r8_rollup" -> Relational.rollupSummarySql,
+    "q_r9_setops" -> Relational.setOpsSql,
+    "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
+    "q_t5_top_terms" -> TextAnalysis.topTermsSql,
     "q_d1_large_trades" -> AnomalyDetection.largeTradesSql,
     "q_d2_price_spikes" -> AnomalyDetection.priceSpikesSql,
     "q_s3_dedup_redelivery" -> Dedup.dedupRedeliverySql,

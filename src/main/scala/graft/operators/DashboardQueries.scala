@@ -79,6 +79,21 @@ object DashboardQueries {
     G.events(spark, dir)
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
 
+  /** Approximate quantiles over the value column — the sketch-based path
+    * for latency-percentile panels at 100 TB (exact percentiles need a full
+    * sort; the t-digest/GK sketch is one pass, mergeable state). Rows-only:
+    * sketch algorithms differ across engines. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .agg(
+        expr("percentile_approx(value, array(0.5D, 0.95D, 0.99D), 10000)")
+          .as("p50_p95_p99"),
+        count(lit(1)).as("n"))
+      .select(col("n"),
+        col("p50_p95_p99")(0).as("p50"),
+        col("p50_p95_p99")(1).as("p95"),
+        col("p50_p95_p99")(2).as("p99"))
+
   /** A6: liveness probe — `if(max(ts) >= cutoff, 1, 0)`
     * (`cdc-pipeline.json:117`), cutoff re-based to a data-anchored literal. */
   def liveness(spark: SparkSession, dir: String): DataFrame =

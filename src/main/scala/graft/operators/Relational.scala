@@ -152,6 +152,89 @@ object Relational {
       |                    AND o.o_totalprice > 400000)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** As-of join — the canonical time-series operator Spark lacks natively
+    * (spark_guide custom-op example). For each purchase event: the most
+    * recent strictly-prior signup of the same user.
+    *
+    * Implementation is the scalable sort-merge union trick, not a range
+    * join: tag both sides, union, one shuffle on the key, window
+    * `last(_, ignoreNulls) over (rows unbounded preceding .. -1)` carries
+    * the latest right-side row forward. O(n log n) per key vs the O(n·m)
+    * of a range-condition join; at 100 TB this is one Exchange + one
+    * spill-backed sort — the same shape as the detector fold.
+    * Ordering (ts, is_right, id) makes equal-timestamp rows non-matching
+    * (strict inequality) and deterministic. Oracle: DuckDB's native
+    * ASOF JOIN over a deduped right side. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = G.eventsRaw(spark, dir)
+      .withColumn("ms", expr("ts_ns DIV 1000000"))
+    // right side: one signup per (user, ms) — max event_id breaks ties
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("ms"), col("signup_id"), lit(1).as("is_right"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"),
+        lit(null).cast("long").as("signup_id"), lit(0).as("is_right"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("is_right"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    signups.union(purchases)
+      .withColumn("prior_signup", last(col("signup_id"), ignoreNulls = true).over(w))
+      .withColumn("prior_ms", last(when(col("is_right") === 1, col("ms")),
+        ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0 && col("prior_signup").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("prior_signup"), (col("ms") - col("prior_ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |s AS (SELECT user_id, ms, max(event_id) AS signup_id
+      |      FROM e WHERE event_type = 'signup' GROUP BY user_id, ms),
+      |p AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, s.signup_id AS prior_signup,
+      |  p.ms - s.ms AS gap_ms
+      |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ms > s.ms
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Grouping-set aggregation (ROLLUP) — additive (SURVEY §2.11). Null
+    * grouping keys are coalesced for cross-engine deterministic ordering. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), G.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+
+  val rollupSummarySql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin
+
+  /** Set operations (EXCEPT distinct) — additive: well-funded customers
+    * with no large order. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val rich = G.table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val bigOrderCusts = G.table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.except(bigOrderCusts).orderBy(col("c_custkey"))
+  }
+
+  val setOpsSql: String =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY c_custkey""".stripMargin
+
   /** Window functions (additive; SURVEY §2.11 notes the reference lacks
     * them): per-supplier running revenue + rank, deterministic ordering. */
   def supplierRunningTotals(spark: SparkSession, dir: String): DataFrame = {

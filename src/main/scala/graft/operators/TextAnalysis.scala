@@ -125,6 +125,48 @@ object TextAnalysis {
       |    greatest(len(string_split_regex(text, '\s+')), 1) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF-style term scoring: tf × (N/df) with an exact rational idf
+    * (log() is not bit-reproducible across engines; the ratio is, and the
+    * ranking exercise is identical). Top-3 terms per doc, deterministic
+    * tiebreak. Scale shape: explode → two hash-aggs → broadcast of the
+    * (term, df) side → rank window with WindowGroupLimit. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val tf = d.select(col("doc_id"),
+        explode(expr("split(lower(text), '\\\\s+')")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val topTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rnk, term, score FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+      |               tf.term) AS rnk
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   /** Document fingerprint: char-level polynomial rolling hash mod 1e9+7 —
     * the content-defined-chunking primitive; exact-dedup key that is stable
     * under re-encoding, unlike md5 of raw bytes only in that it is

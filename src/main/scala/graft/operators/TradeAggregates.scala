@@ -56,6 +56,40 @@ object TradeAggregates {
           .otherwise(0.0).as("vwap"))
   }
 
+  /** Session windows (30-minute gap) per user — Spark `session_window`;
+    * additive streaming-semantics surface (the reference has none,
+    * SURVEY §2.6 W5). Oracle: gaps-and-islands SQL — a new session starts
+    * when the gap from the previous event exceeds the timeout; session end
+    * is last event + gap (Spark's definition). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        G.dsum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |islands AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM marked)
+      |SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM islands GROUP BY user_id, island
+      |ORDER BY user_id, session_start""".stripMargin
+
   val windowAgg5mSql: String =
     """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, user_id,
       |  count(*) AS trade_count,
