@@ -31,8 +31,11 @@ object StreamDemo {
     val existing = Files.list(Paths.get(in)).count()
     val trades = Synthetic.trades(300)
     if (existing == 0) {
+      // 200 inserts + 25 WebSocket redeliveries (every 8th trade twice)
       Files.write(Paths.get(in, "batch1.json"),
-        trades.take(200).map(t => Synthetic.envelopeJson(t))
+        (trades.take(200).map(t => Synthetic.envelopeJson(t)) ++
+          trades.take(200).filter(_.trade_id % 8 == 0)
+            .map(t => Synthetic.envelopeJson(t)))
           .mkString("\n").getBytes)
     } else {
       Files.write(Paths.get(in, "batch2.json"),
@@ -44,6 +47,16 @@ object StreamDemo {
     val q = StreamingJobs.fanOut(spark, in, out, ckpt,
       trigger = Trigger.AvailableNow())
     q.awaitTermination(120000)
+
+    // S3 streaming dedup: redeliveries dropped by sequential_id
+    val dedupQ = StreamingJobs.dedupStream(
+      StreamingJobs.readCdcStream(spark, in))
+      .writeStream
+      .option("checkpointLocation", s"$ckpt-dedup")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$out/dedup")
+      .start()
+    dedupQ.awaitTermination(120000)
 
     // parquet sink (exactly-once, checkpoint-recoverable — a memory sink
     // cannot resume); state carries across runs via RocksDB state store
@@ -61,8 +74,9 @@ object StreamDemo {
     val agg = spark.read.parquet(s"$out/agg").count()
     val alerts = spark.read.parquet(s"$out/alerts").count()
     val detector = spark.read.parquet(s"$out/detector").count()
+    val dedup = spark.read.parquet(s"$out/dedup").count()
     println(s"STREAMDEMO dir=$work raw=$raw agg=$agg d1_alerts=$alerts " +
-      s"detector_alerts=$detector")
+      s"detector_alerts=$detector dedup=$dedup")
     spark.read.parquet(s"$out/detector").show(5, truncate = false)
     spark.stop()
   }

@@ -92,6 +92,18 @@ object StreamingJobs {
         min(col("cdc_latency_ms")).as("min_latency"),
         count(lit(1)).as("cnt"))
 
+  /** S3 streaming: WebSocket-redelivery dedup — the producer's
+    * `INSERT IGNORE` on the unique sequential_id
+    * (`producer.py:104-109`, `mysql/init.sql:42,45-47`) as a streaming
+    * operator: watermarked `dropDuplicates`, so the dedup state is evicted
+    * once the watermark passes (bounded state at any scale; an unwatermarked
+    * streaming dedup would grow forever). */
+  def dedupStream(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("ts", timestamp_millis(col("source_ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("sequential_id")
+
   /** D1–D4 streaming: flatMapGroupsWithState, sharing
     * `AnomalyDetection.step` with the batch fold. Events within each
     * micro-batch group are sorted by (ts, id) before folding — the

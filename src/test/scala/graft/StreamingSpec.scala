@@ -63,6 +63,22 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == local)
   }
 
+  test("streaming dedup drops redelivered events (S3 INSERT IGNORE)") {
+    val trades = Synthetic.trades(100)
+    // every 4th trade delivered twice (WebSocket redelivery)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t)) ++
+      trades.filter(_.trade_id % 4 == 0).map(t => Synthetic.envelopeJson(t))
+    val parsed = parsedStream(jsons)
+    val q = StreamingJobs.dedupStream(parsed)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val ids = spark.table("dedup_out")
+      .select("sequential_id").as[Long].collect()
+    assert(ids.length == 100)
+    assert(ids.toSet.size == 100)
+  }
+
   test("foreachBatch fan-out writes raw/agg/alerts sinks (T1)") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
