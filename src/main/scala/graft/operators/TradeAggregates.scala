@@ -59,8 +59,10 @@ object TradeAggregates {
   /** Session windows (30-minute gap) per user — Spark `session_window`;
     * additive streaming-semantics surface (the reference has none,
     * SURVEY §2.6 W5). Oracle: gaps-and-islands SQL — a new session starts
-    * when the gap from the previous event exceeds the timeout; session end
-    * is last event + gap (Spark's definition). */
+    * when the gap from the previous event EXCEEDS the timeout (strict > :
+    * Spark merges an event landing at exactly last+gap into the session —
+    * verified empirically in AsofSessionSpec); session end is last event
+    * + gap. */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     G.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
