@@ -3,7 +3,6 @@ package graft.operators
 import graft.G
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (BASELINE north-star): images/audio/video as
   * opaque `binary` columns with typed metadata, decoded/feature-extracted in

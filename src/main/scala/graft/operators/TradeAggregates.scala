@@ -3,7 +3,6 @@ package graft.operators
 import graft.G
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Window / rollup / dashboard aggregations (SURVEY §2.3 A1–A8).
   *

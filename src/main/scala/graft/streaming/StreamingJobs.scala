@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.model
+
 import graft.model.{AnomalyAlert, DetectorState}
 import graft.operators.{AnomalyDetection, CdcParser, TradeAggregates}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
