@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{AnomalyDetection, TradeAggregates}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress: generate N synthetic events DISTRIBUTED (spark.range — no
+  * driver materialization, no parquet), push them through the hot operator
+  * paths, report rows/s. This is the "would it survive 100×sf0.1" smoke:
+  * key cardinality and data volume both scale with N while per-key state
+  * stays O(1).
+  *
+  * Usage: runMain graft.Stress [nEvents] [nKeys]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val nKeys = args.drop(1).headOption.map(_.toLong).getOrElse(50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic synthetic events: many keys, 30-day span
+    val ev = spark.range(n)
+      .select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(1700000000000L) +
+          pmod(col("id") * 2654435761L, lit(2592000000L))).as("ts"),
+        pmod(xxhash64(col("id")), lit(nKeys)).as("user_id"),
+        element_at(array(lit("purchase"), lit("view"), lit("click"),
+          lit("signup"), lit("error")),
+          (pmod(xxhash64(col("id") + 7), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id") + 13), lit(20000)).cast("double") / 100.0)
+          .as("value"),
+        pmod(xxhash64(col("id") + 17), lit(101)).as("k"))
+
+    def time[T](label: String)(f: => T): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS $label%-22s ${dt}%8.2f s  ${n / dt / 1e6}%8.2f M rows/s")
+      label -> dt
+    }
+
+    val results = Seq(
+      // oracle-flavored agg (DECIMAL-exact sums) vs production agg (double
+      // sums): same plan shape, the decimal path pays per-row Decimal
+      // allocation — quantified here, discussed in SCALE.md
+      time("window_agg_decimal") {
+        TradeAggregates.windowAggOn(ev)
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("window_agg_double") {
+        G.exactSums = false
+        try TradeAggregates.windowAggOn(ev)
+          .write.mode("overwrite").format("noop").save()
+        finally G.exactSums = true
+      },
+      time("detector_fold") {
+        import org.apache.spark.sql.Dataset
+        val input = ev.select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) DIV 1000").as("ts_ms"),
+          col("value").as("price"), col("k").as("volume"),
+          (col("value") * col("k")).as("amount"))
+          .as[AnomalyDetection.Ev]
+        val alerts: Dataset[model.AnomalyAlert] = input
+          .repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts_ms"), col("event_id"))
+          .mapPartitions { it =>
+            var curKey = Long.MinValue
+            var st = model.DetectorState.empty
+            it.flatMap { e =>
+              if (e.user_id != curKey) { curKey = e.user_id; st = model.DetectorState.empty }
+              val (out, st2) = AnomalyDetection.step(st, e)
+              st = st2
+              out
+            }
+          }
+        alerts.write.mode("overwrite").format("noop").save()
+      },
+      time("dedup_by_id") {
+        ev.dropDuplicates("event_id")
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("topn_per_key") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .write.mode("overwrite").format("noop").save()
+      })
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","n":$n,"keys":$nKeys,"queries":$qs}""")
+    spark.stop()
+  }
+}
