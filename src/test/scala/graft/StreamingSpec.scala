@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == local)
   }
 
+  test("streaming minute rollup == batch rollup (A3 MV analogue)") {
+    val trades = Synthetic.trades(240)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t, latencyMs = t.trade_id % 50))
+    val parsed = parsedStream(jsons)
+    val q = StreamingJobs.minuteRollupStream(parsed)
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streaming = spark.table("rollup_out")
+      .orderBy(col("minute")).collect().toSeq
+    val batchParsed = graft.operators.CdcParser
+      .parseEnvelope(jsons.toDF("json"), col("json"))
+      .filter(col("op").isin("c", "u", "d"))
+      .select(timestamp_millis(col("source_ts")).as("ts"), col("cdc_latency_ms"))
+      .groupBy(window(col("ts"), "1 minute").getField("start").as("minute"))
+      .agg(avg(col("cdc_latency_ms")).as("avg_latency"),
+        max(col("cdc_latency_ms")).as("max_latency"),
+        min(col("cdc_latency_ms")).as("min_latency"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("minute")).collect().toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming == batchParsed)
+  }
+
   test("streaming dedup drops redelivered events (S3 INSERT IGNORE)") {
     val trades = Synthetic.trades(100)
     // every 4th trade delivered twice (WebSocket redelivery)
