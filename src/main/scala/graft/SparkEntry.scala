@@ -72,11 +72,13 @@ object SparkEntry {
     "q_y1_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_y2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_y3_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    "q_y4_lsh_neardup" -> ((s, d) => Similarity.lshNearDups(s, d)),
     // Text analysis
     "q_t1_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_t2_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_t3_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_t6_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     // spark.sql serving surface (SURVEY §3.3 entry point 3)
     "q_sql_scalar_panels" -> ((s, d) => SqlSurface.scalarPanels(s, d)),
     // Multimodal binary-column plumbing (decode stubbed)
@@ -124,6 +126,7 @@ object SparkEntry {
     "q_t2_quality" -> TextAnalysis.qualityScoreSql,
     "q_t3_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_t4_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_t6_normalize" -> TextAnalysis.normalizeSql,
     "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m3_sample_frames" -> Multimodal.sampleFramesSql

@@ -86,6 +86,19 @@ object Stress {
           }
         alerts.write.mode("overwrite").format("noop").save()
       },
+      time("cdc_parse") {
+        val js = ev.select(concat(
+          lit("""{"payload": {"before": null, "after": {"trade_id": """),
+          col("event_id"),
+          lit(""", "market": "M"""), col("user_id"),
+          lit("""", "trade_price": """"), col("value").cast("string"),
+          lit("""", "ask_bid": "BID", "sequential_id": """), col("event_id"),
+          lit("""}, "source": {"ts_ms": """), expr("unix_micros(ts) DIV 1000"),
+          lit("""}, "op": "c", "ts_ms": """), expr("unix_micros(ts) DIV 1000 + 5"),
+          lit("}}")).as("json"))
+        graft.operators.CdcParser.parseEnvelope(js, col("json"))
+          .write.mode("overwrite").format("noop").save()
+      },
       time("dedup_by_id") {
         ev.dropDuplicates("event_id")
           .write.mode("overwrite").format("noop").save()

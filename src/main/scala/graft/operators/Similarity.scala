@@ -116,6 +116,59 @@ object Similarity {
       |SELECT query_id, rank, vec_id, sim FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Sign-LSH (random-hyperplane) bucketed ANN — the second scale path next
+    * to IVF: L tables of b sign-bits each; a pair collides in a table with
+    * probability (1 − θ/π)^b, so candidates shrink from O(n²) to the bucket
+    * joins while high-cosine pairs survive with high probability.
+    * Hyperplane components are deterministic ±1 from fnv64(table, bit, dim)
+    * — reproducible across runs without storing planes. Signatures are a
+    * tight mapPartitions loop (see Dedup.fnv64 note); the only joins are
+    * bucket-equality. Rows-only (banding isn't SQL-expressible); the spec
+    * asserts outputs ⊆ brute-force pairs at the same threshold. */
+  def lshNearDups(spark: SparkSession, dir: String, tables: Int = 16,
+      bits: Int = 6, threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val sigs = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val buckets = Array.tabulate(tables) { t =>
+            var sig = 0L
+            var b = 0
+            while (b < bits) {
+              var dot = 0.0
+              var d = 0
+              while (d < v.length) {
+                val h = Dedup.fnv64(s"$t:$b:$d")
+                dot += (if ((h & 1L) == 0L) v(d) else -v(d))
+                d += 1
+              }
+              if (dot >= 0) sig |= 1L << b
+              b += 1
+            }
+            t.toLong * 1000 + sig // table-qualified bucket id
+          }
+          (id, buckets.toSeq)
+        }
+      }.toDF("vec_id", "buckets")
+    val banded = sigs.select(col("vec_id"), explode(col("buckets")).as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded window
     * (vec_id < 300 — the verify kernel LSH/IVF candidates feed at scale;
     * embeddings are random so 0.35 yields a thin non-empty tail). */

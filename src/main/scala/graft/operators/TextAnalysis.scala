@@ -125,6 +125,31 @@ object TextAnalysis {
       |    greatest(len(string_split_regex(text, '\s+')), 1) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Text normalization: lowercase, strip non-alphanumerics, drop
+    * stopwords, collapse whitespace — the standard pre-tokenization clean
+    * for a training-data pipeline. Pure codegen'd projection. */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", expr(
+        """filter(split(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ')), ' +'),
+          |  w -> w <> '' AND w <> 'the' AND w <> 'a' AND w <> 'and'
+          |       AND w <> 'of' AND w <> 'to')""".stripMargin))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', toks)").as("normalized"),
+        size(col("toks")).as("n_kept_tokens"))
+      .orderBy(col("doc_id"))
+
+  val normalizeSql: String =
+    """SELECT doc_id, array_to_string(toks, ' ') AS normalized,
+      |  len(toks) AS n_kept_tokens
+      |FROM (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')), ' +'),
+      |      w -> w <> '' AND w <> 'the' AND w <> 'a' AND w <> 'and'
+      |           AND w <> 'of' AND w <> 'to') AS toks
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** TF-IDF-style term scoring: tf × (N/df) with an exact rational idf
     * (log() is not bit-reproducible across engines; the ratio is, and the
     * ranking exercise is identical). Top-3 terms per doc, deterministic

@@ -67,6 +67,16 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("sign-LSH near-dups are a subset of brute force; nontrivial candidate reduction") {
+    val brute = Similarity.embeddingNearDups(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDups(spark, sf())
+      .filter(col("id_a") < 300 && col("id_b") < 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // verification stage guarantees precision
+    assert(lsh.nonEmpty)        // and some near-dups do survive the banding
+  }
+
   test("text quality scores are bounded and fingerprints discriminate") {
     val q = TextAnalysis.qualityScore(spark, sf()).collect()
     assert(q.forall { r =>
