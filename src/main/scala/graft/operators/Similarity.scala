@@ -129,18 +129,25 @@ object Similarity {
       bits: Int = 6, threshold: Double = 0.35): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, dir)
+    val dims = 64 // embedding dimensionality (driver schema)
     val sigs = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
+        // hyperplane sign matrix computed ONCE per partition (the
+        // deterministic planes are tiny: tables×bits×dims booleans)
+        val planes = Array.tabulate(tables, bits, dims) { (t, b, d) =>
+          (Dedup.fnv64(s"$t:$b:$d") & 1L) == 0L
+        }
         it.map { case (id, v) =>
           val buckets = Array.tabulate(tables) { t =>
             var sig = 0L
             var b = 0
             while (b < bits) {
+              val signs = planes(t)(b)
               var dot = 0.0
               var d = 0
-              while (d < v.length) {
-                val h = Dedup.fnv64(s"$t:$b:$d")
-                dot += (if ((h & 1L) == 0L) v(d) else -v(d))
+              val n = math.min(v.length, dims)
+              while (d < n) {
+                dot += (if (signs(d)) v(d) else -v(d))
                 d += 1
               }
               if (dot >= 0) sig |= 1L << b
