@@ -32,6 +32,23 @@ object model {
       cdc_ts: Long,      // epoch ms (Debezium ts_ms)
       cdc_latency_ms: Long)
 
+  /** Parser-internal row: TradeEvent columns + the keep flag evaluated in
+    * the same projection as the parse (see CdcParser for why). */
+  final case class ParsedEvent(
+      op: String,
+      trade_id: Long,
+      market: String,
+      trade_price: Double,
+      trade_volume: Double,
+      trade_amount: Double,
+      ask_bid: String,
+      upbit_timestamp: Long,
+      sequential_id: Long,
+      source_ts: Long,
+      cdc_ts: Long,
+      cdc_latency_ms: Long,
+      _keep: Boolean)
+
   /** Per-market 5-minute window aggregate (reference TradeAggResult). */
   final case class TradeAgg(
       market: String,

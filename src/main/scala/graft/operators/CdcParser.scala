@@ -27,38 +27,51 @@ import org.apache.spark.sql.types._
 object CdcParser {
 
   /** Core operator: parse a column of Debezium-envelope JSON into the
-    * flattened trade-event frame (model.TradeEvent columns). */
+    * flattened trade-event frame (model.TradeEvent columns).
+    *
+    * PERFORMANCE-CRITICAL SHAPE: the drop conditions (tombstone / malformed
+    * / missing image) must NOT be expressed as `filter` over aliases of the
+    * parsed struct — predicate pushdown substitutes the alias, inlining a
+    * fresh `from_json` into every pushed conjunct (measured ~7 parses per
+    * row, 2× the whole-query time). Instead every output column AND a
+    * `_keep` flag are computed in one projection over the single `_env`
+    * alias (CollapseProject never inlines non-cheap expressions used more
+    * than once), and the drop happens behind a TYPED filter — an object
+    * boundary the optimizer cannot push predicates through. Net effect:
+    * exactly one from_json evaluation per row. */
   def parseEnvelope(df: DataFrame, jsonCol: Column): DataFrame = {
-    val env = df.withColumn("_env", from_json(jsonCol, model.envelopeSchema))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val env = df.select(from_json(jsonCol, model.envelopeSchema).as("_env"))
     // payload wrapper if present, else the root-level fields
     def pick(field: String): Column =
       coalesce(col(s"_env.payload.$field"), col(s"_env.$field"))
-    val withImage = env
-      .withColumn("_op", pick("op"))
-      .filter(col("_op").isNotNull) // tombstone / malformed → 0 rows
-      .withColumn("_img",
-        when(col("_op") === "d", pick("before")).otherwise(pick("after")))
-      .filter(col("_img").isNotNull) // no row image → 0 rows
-      .withColumn("_src_ts", pick("source.ts_ms"))
-      .withColumn("_cdc_ts", pick("ts_ms"))
+    val op = pick("op")
+    val img = when(op === "d", pick("before")).otherwise(pick("after"))
+    val srcTs = coalesce(pick("source.ts_ms"), lit(0L))
+    val cdcTs = coalesce(pick("ts_ms"), lit(0L))
     // decimal-string parse: try_cast yields null on garbage → default 0.0
     // (P2; plain cast would THROW under Spark 4's default ANSI mode)
-    def dec(field: String): Column =
-      coalesce(expr(s"try_cast(_img.$field AS DOUBLE)"), lit(0.0))
-    withImage.select(
-      col("_op").as("op"),
-      coalesce(col("_img.trade_id"), lit(0L)).as("trade_id"),
-      coalesce(col("_img.market"), lit("UNKNOWN")).as("market"),
-      dec("trade_price").as("trade_price"),
-      dec("trade_volume").as("trade_volume"),
-      dec("trade_amount").as("trade_amount"),
-      coalesce(col("_img.ask_bid"), lit("UNKNOWN")).as("ask_bid"),
-      coalesce(col("_img.upbit_timestamp"), lit(0L)).as("upbit_timestamp"),
-      coalesce(col("_img.sequential_id"), lit(0L)).as("sequential_id"),
-      coalesce(col("_src_ts"), lit(0L)).as("source_ts"),
-      coalesce(col("_cdc_ts"), lit(0L)).as("cdc_ts"),
-      (coalesce(col("_cdc_ts"), lit(0L)) - coalesce(col("_src_ts"), lit(0L)))
-        .as("cdc_latency_ms"))
+    val flat = env.select(
+      coalesce(op, lit("")).as("op"),
+      coalesce(img.getField("trade_id"), lit(0L)).as("trade_id"),
+      coalesce(img.getField("market"), lit("UNKNOWN")).as("market"),
+      coalesce(img.getField("trade_price").try_cast(DoubleType), lit(0.0))
+        .as("trade_price"),
+      coalesce(img.getField("trade_volume").try_cast(DoubleType), lit(0.0))
+        .as("trade_volume"),
+      coalesce(img.getField("trade_amount").try_cast(DoubleType), lit(0.0))
+        .as("trade_amount"),
+      coalesce(img.getField("ask_bid"), lit("UNKNOWN")).as("ask_bid"),
+      coalesce(img.getField("upbit_timestamp"), lit(0L)).as("upbit_timestamp"),
+      coalesce(img.getField("sequential_id"), lit(0L)).as("sequential_id"),
+      srcTs.as("source_ts"),
+      cdcTs.as("cdc_ts"),
+      (cdcTs - srcTs).as("cdc_latency_ms"),
+      (op.isNotNull && img.isNotNull).as("_keep"))
+    flat.as[model.ParsedEvent]
+      .filter(_._keep) // typed boundary: no pushdown, parse stays single
+      .drop("_keep")
   }
 
   // ---------------------------------------------------------------- t2 query
