@@ -54,6 +54,7 @@ object SparkEntry {
     "q_r7_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_r8_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "q_r9_setops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_r10_pivot" -> ((s, d) => Relational.pivotRevenue(s, d)),
     // A9/W5 additive: session windows + approx quantiles
     "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
     "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_r7_asof_join" -> Relational.asofJoinSql,
     "q_r8_rollup" -> Relational.rollupSummarySql,
     "q_r9_setops" -> Relational.setOpsSql,
+    "q_r10_pivot" -> Relational.pivotRevenueSql,
     "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
     "q_t5_top_terms" -> TextAnalysis.topTermsSql,
     "q_d1_large_trades" -> AnomalyDetection.largeTradesSql,

@@ -218,6 +218,27 @@ object Relational {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin
 
+  /** Pivot — additive: per-returnflag revenue pivoted by linestatus.
+    * Spark `pivot()` plans as conditional aggregation (one hash-agg, no
+    * extra shuffle vs the groupBy), which is also exactly the SQL oracle. */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(G.dsum(col("l_extendedprice")))
+      .na.fill(0.0)
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o")
+      .orderBy(col("l_returnflag"))
+
+  val pivotRevenueSql: String =
+    """SELECT l_returnflag,
+      |  coalesce(CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS rev_f,
+      |  coalesce(CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS rev_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Set operations (EXCEPT distinct) — additive: well-funded customers
     * with no large order. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
