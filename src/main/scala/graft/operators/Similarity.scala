@@ -158,7 +158,10 @@ object Similarity {
           (id, buckets.toSeq)
         }
       }.toDF("vec_id", "buckets")
+    // the bucket frame feeds BOTH sides of the self-join — cache it so
+    // signatures are computed once (at scale: persist signatures as a table)
     val banded = sigs.select(col("vec_id"), explode(col("buckets")).as("bucket"))
+      .cache()
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.bucket") === col("b.bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
