@@ -103,6 +103,17 @@ object Stress {
         ev.dropDuplicates("event_id")
           .write.mode("overwrite").format("noop").save()
       },
+      time("minhash_signatures") {
+        // 1M synthetic docs (16 words from a 64-word vocab, deterministic):
+        // full 64-perm MinHash signature computation, the dedup hot path
+        val nDocs = math.min(n, 1000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+        graft.operators.Dedup.signaturesOn(docs)
+          .write.mode("overwrite").format("noop").save()
+      },
       time("topn_per_key") {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))

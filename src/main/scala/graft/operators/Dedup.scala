@@ -95,7 +95,7 @@ object Dedup {
 
   /** (doc_id, distinct shingles, minhash sig) for any (doc_id, text) frame;
     * docs under 3 tokens are dropped (no shingles). */
-  private def signaturesOn(df: DataFrame): DataFrame = {
+  private[graft] def signaturesOn(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("text")).as[(Long, String)]

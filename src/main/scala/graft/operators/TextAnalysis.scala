@@ -18,28 +18,41 @@ object TextAnalysis {
   /** Language-ID n-gram/stopword heuristic: count marker-token hits per
     * language, argmax with fixed precedence (en>es>de>fr), CJK regex for zh,
     * 'unknown' when no marker hits. Deterministic; mirrored exactly in SQL. */
-  def langId(spark: SparkSession, dir: String): DataFrame =
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    // tight-loop marker counting (higher-order filter() is interpreted per
+    // token — see Dedup.fnv64 note); integer counts + argmax are
+    // logic-identical to the SQL oracle below
+    val en = Set("the", "and", "of"); val es = Set("el", "la", "los")
+    val de = Set("der", "und", "die"); val fr = Set("le", "et", "les")
     docs(spark, dir)
-      .withColumn("toks", expr("split(lower(text), '\\\\s+')"))
-      .withColumn("c_en", expr(
-        "size(filter(toks, w -> w = 'the' OR w = 'and' OR w = 'of'))"))
-      .withColumn("c_es", expr(
-        "size(filter(toks, w -> w = 'el' OR w = 'la' OR w = 'los'))"))
-      .withColumn("c_de", expr(
-        "size(filter(toks, w -> w = 'der' OR w = 'und' OR w = 'die'))"))
-      .withColumn("c_fr", expr(
-        "size(filter(toks, w -> w = 'le' OR w = 'et' OR w = 'les'))"))
-      .withColumn("has_cjk", expr("text RLIKE '[\\\\u4e00-\\\\u9fff]'"))
-      .withColumn("predicted_lang", expr(
-        """CASE WHEN has_cjk THEN 'zh'
-          |     WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
-          |     WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
-          |     WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
-          |     WHEN c_fr > 0 THEN 'fr'
-          |     ELSE 'unknown' END""".stripMargin))
-      .select(col("doc_id"), col("lang").as("labeled_lang"),
-        col("predicted_lang"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, text) =>
+          var cEn = 0; var cEs = 0; var cDe = 0; var cFr = 0
+          text.toLowerCase.split("\\s+").foreach { w =>
+            if (en(w)) cEn += 1
+            if (es(w)) cEs += 1
+            if (de(w)) cDe += 1
+            if (fr(w)) cFr += 1
+          }
+          val hasCjk = text.exists(c => c >= '一' && c <= '鿿')
+          val pred =
+            if (hasCjk) "zh"
+            else if (cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn > 0) "en"
+            else if (cEs >= cDe && cEs >= cFr && cEs > 0) "es"
+            else if (cDe >= cFr && cDe > 0) "de"
+            else if (cFr > 0) "fr"
+            else "unknown"
+          (id, lang, pred, cEn, cEs, cDe, cFr)
+        }
+      }
+      .toDF("doc_id", "labeled_lang", "predicted_lang",
+        "c_en", "c_es", "c_de", "c_fr")
       .orderBy(col("doc_id"))
+  }
 
   val langIdSql: String =
     """WITH t AS (
