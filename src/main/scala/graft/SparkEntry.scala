@@ -55,6 +55,7 @@ object SparkEntry {
     "q_r8_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "q_r9_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_r10_pivot" -> ((s, d) => Relational.pivotRevenue(s, d)),
+    "q_r11_unpivot" -> ((s, d) => Relational.unpivotSummary(s, d)),
     // A9/W5 additive: session windows + approx quantiles
     "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
     "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_r8_rollup" -> Relational.rollupSummarySql,
     "q_r9_setops" -> Relational.setOpsSql,
     "q_r10_pivot" -> Relational.pivotRevenueSql,
+    "q_r11_unpivot" -> Relational.unpivotSummarySql,
     "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
     "q_t5_top_terms" -> TextAnalysis.topTermsSql,
     "q_d1_large_trades" -> AnomalyDetection.largeTradesSql,

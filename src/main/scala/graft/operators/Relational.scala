@@ -239,6 +239,31 @@ object Relational {
       |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS rev_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Unpivot (wide → long) — the inverse surface of pivot; plans as a
+    * single Expand over the aggregate, no extra shuffle. */
+  def unpivotSummary(spark: SparkSession, dir: String): DataFrame = {
+    val wide = G.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(G.dsum(col("l_quantity")).as("sum_qty"),
+        G.dsum(col("l_extendedprice")).as("sum_price"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val unpivotSummarySql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** Set operations (EXCEPT distinct) — additive: well-funded customers
     * with no large order. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -78,6 +78,53 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 8)
   }
 
+  test("as-of union-window core equals brute-force nested loop") {
+    import org.apache.spark.sql.expressions.Window
+    val genEv = for {
+      uid <- Gen.choose(0L, 3L)
+      ms <- Gen.choose(0L, 50L) // tight range → plenty of ts collisions
+      isSignup <- Gen.oneOf(true, false)
+    } yield (uid, ms, isSignup)
+    val prop = Prop.forAll(Gen.listOfN(80, genEv)) { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, m, s), i) =>
+        (u, i.toLong, m, s) } // unique event ids
+      val signupRows = evs.filter(_._4)
+      val purchaseRows = evs.filterNot(_._4)
+      purchaseRows.isEmpty || signupRows.isEmpty || {
+        // brute force: latest strictly-prior signup; ties on ms → max id
+        val expected = purchaseRows.flatMap { case (u, id, ms, _) =>
+          val prior = signupRows.filter(s => s._1 == u && s._3 < ms)
+          if (prior.isEmpty) None
+          else {
+            val best = prior.maxBy(s => (s._3, s._2))
+            Some(id -> best._2)
+          }
+        }.toMap
+        // distributed union-window core (mirrors Relational.asofJoin)
+        val df = evs.toDF("user_id", "event_id", "ms", "is_signup")
+        val signups = df.filter(col("is_signup"))
+          .groupBy(col("user_id"), col("ms"))
+          .agg(max(col("event_id")).as("signup_id"))
+          .select(col("user_id"), col("ms"), col("signup_id"),
+            lit(1).as("is_right"), lit(null).cast("long").as("event_id"))
+        val purchases = df.filter(!col("is_signup"))
+          .select(col("user_id"), col("ms"),
+            lit(null).cast("long").as("signup_id"), lit(0).as("is_right"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("is_right"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val got = signups.union(purchases)
+          .withColumn("prior", last(col("signup_id"), ignoreNulls = true).over(w))
+          .filter(col("is_right") === 0 && col("prior").isNotNull)
+          .select(col("event_id"), col("prior"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+    check(prop, n = 8)
+  }
+
   test("simhash: identical text → distance 0; distance is symmetric") {
     val genText = Gen.listOfN(12,
       Gen.oneOf("spark", "flink", "query", "table", "scan", "merge", "row"))
