@@ -59,6 +59,7 @@ object SparkEntry {
     // A9/W5 additive: session windows + approx quantiles
     "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
     "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
+    "q_a10_exact_percentiles" -> ((s, d) => DashboardQueries.exactPercentiles(s, d)),
     "q_t5_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     // D1-D4: stateful anomaly detection (batch deterministic fold)
     "q_d1_large_trades" -> ((s, d) => AnomalyDetection.largeTrades(s, d)),
@@ -117,9 +118,11 @@ object SparkEntry {
     "q_r10_pivot" -> Relational.pivotRevenueSql,
     "q_r11_unpivot" -> Relational.unpivotSummarySql,
     "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
+    "q_a10_exact_percentiles" -> DashboardQueries.exactPercentilesSql,
     "q_t5_top_terms" -> TextAnalysis.topTermsSql,
     "q_d1_large_trades" -> AnomalyDetection.largeTradesSql,
     "q_d2_price_spikes" -> AnomalyDetection.priceSpikesSql,
+    "q_d3d4_alert_counts" -> AnomalyDetection.alertCountsSql,
     "q_s3_dedup_redelivery" -> Dedup.dedupRedeliverySql,
     "q_x1_dedup_exact" -> Dedup.dedupExactSql,
     "q_x4_jaccard_3gram" -> Dedup.jaccard3gramPairsSql,
@@ -133,6 +136,7 @@ object SparkEntry {
     "q_t6_normalize" -> TextAnalysis.normalizeSql,
     "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
+    "q_m2_extract_features" -> Multimodal.extractFeaturesSql,
     "q_m3_sample_frames" -> Multimodal.sampleFramesSql
   )
 }

@@ -175,12 +175,75 @@ object AnomalyDetection {
       |           THEN 0.02 ELSE 0.03 END
       |ORDER BY trade_id""".stripMargin
 
-  /** Alert counts per type — rows-only sanity surface for D3/D4 (EMA and
-    * rolling-reset recursion are not SQL-expressible; unit goldens in
-    * AnomalySpec cover their semantics). */
+  /** Alert counts per type — the D3/D4 cross-engine check. The oracle
+    * replays the full 5-slot state machine (EMA decay, pre-update surge
+    * check, rolling-reset rapid window) in DuckDB via a step-indexed
+    * `WITH RECURSIVE` fold: iteration i advances every user's state by its
+    * i-th event (per-user order = ts, event_id — the same secondary sort
+    * the Spark fold uses). All double arithmetic mirrors the JVM ops
+    * bit-exactly, including `(1 - CAST(0.95 AS DOUBLE))` =
+    * 0.050000000000000044. NOTE: NOT list_reduce — DuckDB 1.0.0's lambda
+    * fold gives wrong results for struct accumulators with CASE fields
+    * (verified empirically: same data, same lambda, different results by
+    * context); the recursive CTE is engine-stable. */
   def alertCounts(spark: SparkSession, dir: String): DataFrame =
     detect(spark, dir)
       .groupBy(col("alert_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("alert_type"))
+
+  val alertCountsSql: String =
+    s"""WITH RECURSIVE ev AS (
+      |  SELECT user_id, value AS price,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS volume,
+      |    value * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS amount,
+      |    epoch_ms(ts) AS ts_ms,
+      |    CASE user_id % 3 WHEN 0 THEN CAST(15000.0 AS DOUBLE)
+      |                     WHEN 1 THEN CAST(9000.0 AS DOUBLE)
+      |                     ELSE CAST(3000.0 AS DOUBLE) END AS thr,
+      |    CASE WHEN user_id % 3 = 0 THEN CAST(0.02 AS DOUBLE)
+      |         ELSE CAST(0.03 AS DOUBLE) END AS sthr,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts), event_id) AS seq
+      |  FROM events),
+      |step AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS i,
+      |    CAST(0 AS DOUBLE) AS lp, CAST(0 AS DOUBLE) AS avg,
+      |    CAST(0 AS BIGINT) AS vc, CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wc,
+      |    CAST(0 AS BIGINT) AS d1, CAST(0 AS BIGINT) AS d2,
+      |    CAST(0 AS BIGINT) AS d3, CAST(0 AS BIGINT) AS d4
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT s.user_id, s.i + 1,
+      |    e.price,
+      |    CASE WHEN s.vc = 0 THEN CAST(e.volume AS DOUBLE)
+      |         ELSE s.avg * CAST(${EmaDecay} AS DOUBLE)
+      |              + e.volume * (1 - CAST(${EmaDecay} AS DOUBLE)) END,
+      |    s.vc + 1,
+      |    CASE WHEN s.ws = 0 OR e.ts_ms - s.ws > ${RapidWindowMs} THEN e.ts_ms ELSE s.ws END,
+      |    CASE WHEN s.ws = 0 OR e.ts_ms - s.ws > ${RapidWindowMs} THEN 1 ELSE s.wc + 1 END,
+      |    s.d1 + CASE WHEN e.amount >= e.thr THEN 1 ELSE 0 END,
+      |    s.d2 + CASE WHEN s.lp > 0 AND abs(e.price - s.lp) / s.lp >= e.sthr
+      |                THEN 1 ELSE 0 END,
+      |    s.d3 + CASE WHEN s.vc >= ${SurgeMinSamples} AND s.avg > 0
+      |                     AND e.volume >= s.avg * CAST(${SurgeMultiplier} AS DOUBLE)
+      |                THEN 1 ELSE 0 END,
+      |    s.d4 + CASE WHEN s.ws <> 0 AND e.ts_ms - s.ws <= ${RapidWindowMs}
+      |                     AND s.wc = ${RapidN - 1}
+      |                THEN 1 ELSE 0 END
+      |  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.seq = s.i + 1),
+      |final AS (
+      |  SELECT user_id, d1, d2, d3, d4,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY i DESC) AS rn
+      |  FROM step),
+      |counts AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS d1, CAST(sum(d2) AS BIGINT) AS d2,
+      |         CAST(sum(d3) AS BIGINT) AS d3, CAST(sum(d4) AS BIGINT) AS d4
+      |  FROM final WHERE rn = 1)
+      |SELECT alert_type, n FROM (
+      |  SELECT 'LARGE_TRADE' AS alert_type, d1 AS n FROM counts
+      |  UNION ALL SELECT 'PRICE_SPIKE', d2 FROM counts
+      |  UNION ALL SELECT 'RAPID_TRADES', d4 FROM counts
+      |  UNION ALL SELECT 'VOLUME_SURGE', d3 FROM counts) t
+      |WHERE n > 0 ORDER BY alert_type""".stripMargin
 }

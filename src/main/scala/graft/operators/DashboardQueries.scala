@@ -94,6 +94,30 @@ object DashboardQueries {
         col("p50_p95_p99")(1).as("p95"),
         col("p50_p95_p99")(2).as("p99"))
 
+  /** A10 oracle-checkable twin: EXACT discrete percentiles next to the
+    * sketch variant above. `percentile_disc(p)` picks the value at sorted
+    * position ceil(p*n) — verified identical to DuckDB `quantile_disc`
+    * across n/p combinations — so the result is a value picked from the
+    * data, no interpolation arithmetic to drift between engines. At 100 TB
+    * the approx sketch is the production path (one pass, mergeable state);
+    * this exact twin is the audit/acceptance query. */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    G.events(spark, dir).createOrReplaceTempView("events_for_pct")
+    spark.sql(
+      """SELECT count(*) AS n,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        |FROM events_for_pct""".stripMargin)
+  }
+
+  val exactPercentilesSql: String =
+    """SELECT count(*) AS n,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.95) AS p95,
+      |  quantile_disc(value, 0.99) AS p99
+      |FROM events""".stripMargin
+
   /** A6: liveness probe — `if(max(ts) >= cutoff, 1, 0)`
     * (`cdc-pipeline.json:117`), cutoff re-based to a data-anchored literal. */
   def liveness(spark: SparkSession, dir: String): DataFrame =

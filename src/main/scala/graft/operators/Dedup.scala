@@ -60,6 +60,25 @@ object Dedup {
       |SELECT md5(text) AS h, min(doc_id) AS kept, count(*) AS n_copies
       |FROM all_docs GROUP BY 1 ORDER BY kept""".stripMargin
 
+  /** Skew guard for LSH band buckets: drop buckets holding more than
+    * `maxBucketSize` rows before the bucket-equality self-join. A hot bucket
+    * (popular boilerplate text, a degenerate hyperplane cell) contributes
+    * O(size²) candidate pairs — one 10M-row bucket at 100 TB is 10¹⁴ pairs
+    * in a single straggler task, which no AQE skew-split saves because the
+    * blowup is in the JOIN OUTPUT, not the input partition. Dropping the
+    * bucket is the standard LSH mitigation (near-dups that collide there
+    * still collide in the other bands/tables with high probability).
+    * Results are unchanged for uniform data: no bucket reaches the cap, the
+    * semi-join keeps every row, and the extra aggregate is a cheap
+    * partial+final count on the already-shuffled bucket key. */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucketSize: Long): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+    banded.join(sizes, keys).drop("__bucket_n")
+  }
+
   // ------------------------------------------------------------- signatures
 
   private val P = 1000000007L // prime field for the minhash permutations
@@ -131,10 +150,12 @@ object Dedup {
     // band → bucket ids only; shingle arrays are NOT carried through the
     // bucket join + distinct (they'd be shuffled 16× otherwise) — candidate
     // pairs are deduped first, then signatures joined back for verification
-    val banded = docs.select(col("doc_id"),
+    val banded = capBuckets(
+      docs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> xxhash64(concat_ws(',', slice(minhash, b*4+1, 4))))"))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000)
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -210,7 +231,7 @@ object Dedup {
 
   val jaccard3gramPairsSql: String =
     """WITH g AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(0, strlen(text)-2),
+      |  SELECT doc_id, list_distinct(list_transform(range(0, length(text)-2),
       |           i -> substr(text, CAST(i+1 AS INT), 3))) AS grams
       |  FROM documents WHERE doc_id < 100)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -67,27 +67,58 @@ object Multimodal {
     * per-partition `init` block is where a real impl loads a codec/model
     * once. STUB: the "feature vector" is a deterministic 8-dim byte
     * histogram projection; a real deployment decodes pixels here (`???`
-    * deliberately avoided so the pipeline stays runnable end-to-end). */
+    * deliberately avoided so the pipeline stays runnable end-to-end).
+    * Output is SCALAR columns f0..f7 (not array<double>): the driver's
+    * pandas compare sorts rows and numpy arrays are unhashable there —
+    * and scalars make the result oracle-checkable bit-exact (each f_i is
+    * count_i/n, identical integer-over-integer double division in DuckDB). */
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = withMedia(spark, dir)
+    withMedia(spark, dir)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-    media.mapPartitions { it =>
-      // per-partition init (real impl: open codec / load model weights here)
-      val nBuckets = 8
-      it.map { case (id, bytes) =>
-        val hist = new Array[Double](nBuckets)
-        var i = 0
-        while (i < bytes.length) {
-          hist((bytes(i) & 0xff) % nBuckets) += 1.0
-          i += 1
+      .mapPartitions { it =>
+        // per-partition init (real impl: open codec / load model weights here)
+        it.map { case (id, bytes) =>
+          val h = featureHistogram(bytes)
+          (id, bytes.length.toLong,
+            h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
         }
-        val n = math.max(bytes.length, 1).toDouble
-        (id, hist.map(_ / n).toSeq)
-      }
-    }.toDF("doc_id", "features")
+      }.toDF("doc_id", "n_bytes", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
       .orderBy(col("doc_id"))
+  }
+
+  /** The 8-bucket normalized byte histogram (internal; array-returning
+    * variant kept for vector consumers — the q_m2 query emits scalars). */
+  private[graft] def featureHistogram(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) % 8) += 1.0
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toDouble
+    var b = 0
+    while (b < 8) { hist(b) /= n; b += 1 }
+    hist
+  }
+
+  /** Oracle: true byte-level histogram — DuckDB reaches the utf-8 bytes via
+    * `hex(encode(text))` two-hex-digit extraction, so this stays exact even
+    * for non-ASCII payloads (unlike codepoint approximations). */
+  val extractFeaturesSql: String = {
+    val fs = (0 until 8).map(b =>
+      s"  CAST(len(list_filter(bks, x -> x = $b)) AS DOUBLE) / greatest(n_bytes, 1) AS f$b")
+      .mkString(",\n")
+    s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |             octet_length(encode(text)) AS n_bytes FROM documents),
+       |b AS (SELECT doc_id, n_bytes,
+       |        list_transform(range(0, n_bytes),
+       |          i -> ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT % 8) AS bks
+       |      FROM h)
+       |SELECT doc_id, n_bytes,
+       |$fs
+       |FROM b ORDER BY doc_id""".stripMargin
   }
 
   /** Frame-sampling shape: one row per sampled "frame" (every 256-byte

@@ -153,14 +153,20 @@ object Similarity {
               if (dot >= 0) sig |= 1L << b
               b += 1
             }
-            t.toLong * 1000 + sig // table-qualified bucket id
+            (t.toLong << 32) | sig // table-qualified bucket id (collision-free
+                                   // for any bits <= 32, not just the default 6)
           }
           (id, buckets.toSeq)
         }
       }.toDF("vec_id", "buckets")
     // the bucket frame feeds BOTH sides of the self-join — cache it so
-    // signatures are computed once (at scale: persist signatures as a table)
-    val banded = sigs.select(col("vec_id"), explode(col("buckets")).as("bucket"))
+    // signatures are computed once (at scale: persist signatures as a table);
+    // Bench/Verify clearCache() between queries so these blocks don't
+    // accumulate across a 50-query session. capBuckets drops degenerate hot
+    // buckets (see Dedup.capBuckets) before the O(size²) self-join.
+    val banded = Dedup.capBuckets(
+      sigs.select(col("vec_id"), explode(col("buckets")).as("bucket")),
+      Seq("bucket"), maxBucketSize = 100000)
       .cache()
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.bucket") === col("b.bucket"))

@@ -236,7 +236,7 @@ object TextAnalysis {
     """SELECT doc_id,
       |  list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(0, strlen(text)),
+      |      list_transform(range(0, length(text)),
       |        i -> CAST(unicode(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
       |  n_chars

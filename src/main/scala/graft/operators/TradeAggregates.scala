@@ -97,7 +97,7 @@ object TradeAggregates {
       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid_count,
       |  count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask_count,
       |  CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
-      |  SUM(k) AS total_volume,
+      |  CAST(SUM(k) AS BIGINT) AS total_volume,
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
       |  MIN(value) AS min_price,
       |  MAX(value) AS max_price,

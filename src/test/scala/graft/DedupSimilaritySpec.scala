@@ -77,6 +77,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)        // and some near-dups do survive the banding
   }
 
+  test("capBuckets drops a poisoned hot bucket, keeps uniform buckets intact") {
+    import spark.implicits._
+    // 50 rows colliding in one "hot" bucket (boilerplate text at scale)
+    // plus uniform buckets of size <= 3
+    val hot = (1L to 50L).map(id => (id, 999L))
+    val uniform = (100L to 120L).map(id => (id, id % 7))
+    val banded = (hot ++ uniform).toDF("doc_id", "bucket")
+    val capped = Dedup.capBuckets(banded, Seq("bucket"), maxBucketSize = 10)
+    assert(capped.filter(col("bucket") === 999L).count() == 0)     // hot dropped
+    assert(capped.count() == uniform.size)                         // rest intact
+    // uniform data below the cap passes through unchanged (row-identical)
+    val noCap = Dedup.capBuckets(banded, Seq("bucket"), maxBucketSize = 1000)
+    assert(noCap.count() == banded.count())
+  }
+
   test("text quality scores are bounded and fingerprints discriminate") {
     val q = TextAnalysis.qualityScore(spark, sf()).collect()
     assert(q.forall { r =>

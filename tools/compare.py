@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [only_query ...]
 
 Registers each <sfDir>/<table>.parquet as a DuckDB view, runs every query in
 <verifyOutDir>/oracle_sql.json, and compares against the Spark parquet dump in
-<verifyOutDir>/<name>/ — schema (column names), row count, and a hash over the
-column-name-sorted, row-sorted values.
+<verifyOutDir>/<name>/ — schema (column names), row count, and the
+column-name-sorted, row-sorted cell values.
+
+Round-2 change: goes through pandas (`.df()`) exactly like the driver does,
+NOT `fetchall()`. The difference is not cosmetic: DuckDB returns HUGEINT for
+bare integer SUM, which pandas renders as float64 (`498223.0`) while Spark's
+parquet column stays int64 (`498223`) — fetchall kept Python ints and masked
+exactly that mismatch in round 1 (q_a1). Pandas row-sorting also raises
+`unhashable type` on array columns, mirroring the driver's q_m2 failure mode.
 """
 import sys, json, glob, math
 
@@ -24,14 +31,13 @@ def canon(v):
     return repr(v)
 
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return [tuple(canon(v) for v in row) for row in df.itertuples(index=False)]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -39,10 +45,10 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
-            o = con.sql(sql)
-            o_cols = [c.lower() for c in o.columns]
-            o_rows = o.fetchall()
+            o = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -52,28 +58,40 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        s = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        s_cols = [c.lower() for c in s.columns]
-        s_rows = s.fetchall()
-        if sorted(o_cols) != sorted(s_cols):
-            print(f"FAIL {name}: cols oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+        try:
+            s = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark read error: {e}")
             n_fail += 1
             continue
-        if len(o_rows) != len(s_rows):
-            print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
+        o_cols = sorted(c.lower() for c in o.columns)
+        s_cols = sorted(c.lower() for c in s.columns)
+        if o_cols != s_cols:
+            print(f"FAIL {name}: cols oracle={o_cols} spark={s_cols}")
             n_fail += 1
             continue
-        a, b = norm(o_rows, o_cols), norm(s_rows, s_cols)
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+            n_fail += 1
+            continue
+        o.columns = [c.lower() for c in o.columns]
+        s.columns = [c.lower() for c in s.columns]
+        try:
+            a, b = norm(o), norm(s)
+        except Exception as e:
+            print(f"FAIL {name}: sort/hash error (driver would err too): {e}")
+            n_fail += 1
+            continue
         if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(s_rows)} rows)")
+        print(f"PASS {name} ({len(s)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:]))
