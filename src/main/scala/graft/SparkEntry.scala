@@ -22,7 +22,7 @@ object SparkEntry {
     // A1/A2: flagship 5-min window aggregate
     "q_a1_window_agg_5m" -> ((s, d) => TradeAggregates.windowAgg5m(s, d)),
     // P1/P2/S2: CDC envelope parse (all flatMap branches)
-    "q_p1_cdc_parse" -> ((s, d) => CdcParser.cdcParseRoundtrip(s, d)),
+    "q_p1_cdc_parse" -> ((s, d) => CdcParser.cdcParseRoundtripSorted(s, d)),
     // P3/P4/P5: op filters + changed-rows predicate
     "q_p5_changed_rows" -> ((s, d) => CdcParser.changedRowCounts(s, d)),
     // A3: minute rollup (materialized-view analogue)
@@ -82,6 +82,12 @@ object SparkEntry {
     "q_t3_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_t6_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
+    // Corpus-curation family (training-data pipeline north-star)
+    "q_c1_hash_sample" -> ((s, d) => Curation.hashSample(s, d)),
+    "q_c2_source_caps" -> ((s, d) => Curation.sourceCaps(s, d)),
+    "q_c3_chunking" -> ((s, d) => Curation.chunk(s, d)),
+    "q_c4_bigram_stats" -> ((s, d) => Curation.bigramStats(s, d)),
+    "q_c5_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     // spark.sql serving surface (SURVEY §3.3 entry point 3)
     "q_sql_scalar_panels" -> ((s, d) => SqlSurface.scalarPanels(s, d)),
     // Multimodal binary-column plumbing (decode stubbed)
@@ -134,6 +140,11 @@ object SparkEntry {
     "q_t3_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_t6_normalize" -> TextAnalysis.normalizeSql,
+    "q_c1_hash_sample" -> Curation.hashSampleSql,
+    "q_c2_source_caps" -> Curation.sourceCapsSql,
+    "q_c3_chunking" -> Curation.chunkSql,
+    "q_c4_bigram_stats" -> Curation.bigramStatsSql,
+    "q_c5_curation_pipeline" -> Curation.curationPipelineSql,
     "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m2_extract_features" -> Multimodal.extractFeaturesSql,

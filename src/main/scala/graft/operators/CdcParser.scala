@@ -136,8 +136,13 @@ object CdcParser {
       .when(col("event_id") % 2 === 1, payload)             // no wrapper
       .otherwise(concat(lit("""{"payload": """), payload, lit("}")))
     parseEnvelope(ev.select(json.as("json")), col("json"))
-      .orderBy(col("trade_id"))
   }
+
+  /** q_p1 entry: the roundtrip plus its presentation sort. The sort lives
+    * here — not in the building block — so downstream aggregations
+    * (`changedRowCounts`) never depend on `EliminateSorts` to remove it. */
+  def cdcParseRoundtripSorted(spark: SparkSession, dir: String): DataFrame =
+    cdcParseRoundtrip(spark, dir).orderBy(col("trade_id"))
 
   val cdcParseRoundtripSql: String =
     s"""SELECT $opCaseSql AS op,

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the end-to-end "assemble a training set"
+  * surface over `documents` (BASELINE north-star; additive to the reference,
+  * which stops at dashboards — `docs/05-clickhouse-grafana.md`).
+  *
+  * Everything here is deterministic and engine-reproducible by construction:
+  * sampling is content-hash-based (md5 prefix), never `rand()`, so a 100 TB
+  * corpus re-sampled on a different cluster (or a different engine) selects
+  * the same documents — the property training-data pipelines need for
+  * reproducible ablations.
+  *
+  * Scale shapes:
+  *  - `hashSample` / `chunk` are pure projections — scan-speed, shuffle-free.
+  *  - `sourceCaps` shuffles once on `source` and relies on Spark's
+  *    WindowGroupLimit to push `rnk <= k` below the sort.
+  *  - `bigramStats` is explode → partial/final hash-agg (map-side combine
+  *    absorbs the explode factor) → TakeOrderedAndProject top-k, so the
+  *    driver never sees more than k rows.
+  *  - `curationPipeline` composes filter → window-dedup (one shuffle on the
+  *    content digest) → hash-sample → per-source agg (one more shuffle, 20
+  *    groups).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "documents")
+
+  /** Deterministic ~7.8% corpus sample: keep documents whose md5(text) starts
+    * below 0x14 (20/256 two-hex-digit buckets). Content-addressed sampling is
+    * stable under repartitioning, re-runs, and engine swaps, unlike
+    * `TABLESAMPLE`/`rand()`; the filter is a codegen'd projection that
+    * reaches every scan at full speed. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", substring(md5(col("text")), 1, 2))
+      .filter(col("bucket") < "14")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val hashSampleSql: String =
+    """SELECT doc_id, lang, source, n_chars, substr(md5(text), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substr(md5(text), 1, 2) < '14'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source document cap: keep the k longest documents per source
+    * (deterministic `doc_id` tiebreak) — the standard per-domain quota that
+    * stops one crawl domain from dominating a training mix. One shuffle on
+    * `source`; `row_number <= k` triggers WindowGroupLimit, so each partition
+    * retains only k rows before the final sort. */
+  def sourceCaps(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val sourceCapsSql: String =
+    """SELECT source, rnk, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rnk
+      |  FROM documents) t
+      |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin
+
+  /** Fixed-width overlapping chunking: 120-char windows every 100 chars
+    * (20-char overlap) — the pre-tokenization split that turns documents
+    * into model-sized training rows. Narrow transform (explode of a
+    * per-row `sequence`), shuffle-free; the explode factor is bounded by
+    * `n_chars / stride`, so output size is a fixed multiple of input size
+    * at any scale. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // stride 100: starts at 0, 100, 200, ... while < n_chars
+      .withColumn("chunk_start",
+        explode(expr("sequence(0L, greatest(n_chars - 1L, 0L), 100L)")))
+      .select(col("doc_id"),
+        expr("chunk_start DIV 100").as("chunk_id"),
+        col("chunk_start"),
+        expr("substring(text, CAST(chunk_start + 1 AS INT), 120)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkSql: String =
+    """SELECT doc_id, chunk_start // 100 AS chunk_id, chunk_start,
+      |  substr(text, CAST(chunk_start + 1 AS INT), 120) AS chunk,
+      |  length(substr(text, CAST(chunk_start + 1 AS INT), 120)) AS chunk_len
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, greatest(n_chars - 1, 0), 100)) AS chunk_start
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Corpus-level bigram frequencies, top 50 — the n-gram census used for
+    * frequency pruning and benchmark-contamination screens. Explode of
+    * adjacent token pairs → two-phase hash-agg (map-side combine collapses
+    * the explode before the single shuffle) → `TakeOrderedAndProject`, so
+    * only 50 rows ever reach the driver. Total order (cnt DESC, bigram)
+    * makes the cut line deterministic. */
+  def bigramStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("bigram", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  ELSE array() END""".stripMargin)))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+
+  val bigramStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |           i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM toks WHERE len(t) >= 2)
+      |SELECT bigram, count(*) AS cnt FROM bi
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
+
+  /** The flagship composite: language filter → quality gate → exact
+    * content-dedup (keep lowest doc_id per md5 digest) → deterministic 50%
+    * hash-sample → per-source corpus stats. This is the whole curation
+    * funnel as ONE declarative plan: Catalyst pushes the lang/quality
+    * filters to the scan, the dedup window shuffles on the digest once, and
+    * the final agg sees only survivors. Token totals cast to BIGINT on both
+    * sides (DuckDB integer SUM is HUGEINT — driver-compare invariant). */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("n_tokens", expr("size(split(text, '\\\\s+'))"))
+      .withColumn("n_punct", expr("length(regexp_replace(text, '[^.,;:!?]', ''))"))
+      .withColumn("n_stop", expr(
+        "size(filter(split(lower(text), '\\\\s+'), w -> w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to'))"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4
+          + (lit(1.0) - least(col("n_punct").cast("double")
+              / greatest(length(col("text")), lit(1)) * 10.0, lit(1.0))) * 0.3
+          + least(col("n_stop").cast("double")
+              / greatest(col("n_tokens"), lit(1)) * 5.0, lit(1.0)) * 0.3)
+      .filter(col("lang") === "en" && col("quality_score") >= 0.5
+        && col("n_tokens") >= 10)
+      .withColumn("digest", md5(col("text")))
+    val deduped = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .filter(substring(col("digest"), 3, 2) < "80") // deterministic 50%
+    deduped
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        G.dsum(col("quality_score")).as("quality_sum"))
+      .orderBy(col("source"))
+  }
+
+  val curationPipelineSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split_regex(text, '\s+')) AS n_tokens,
+      |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        w -> w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to')) AS n_stop,
+      |    md5(text) AS digest
+      |  FROM documents WHERE lang = 'en'),
+      |q AS (
+      |  SELECT *,
+      |    least(CAST(n_tokens AS DOUBLE) / 50.0, CAST(1.0 AS DOUBLE)) * 0.4
+      |      + (CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / greatest(length(text), 1) * 10.0, CAST(1.0 AS DOUBLE))) * 0.3
+      |      + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5.0, CAST(1.0 AS DOUBLE)) * 0.3 AS quality_score
+      |  FROM scored),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      |    FROM q WHERE quality_score >= 0.5 AND n_tokens >= 10) t
+      |  WHERE rn = 1 AND substr(digest, 3, 2) < '80')
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CAST(quality_score AS DECIMAL(38,6))) AS DOUBLE) AS quality_sum
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operator semantics on sf0.001. */
+class CurationSpec extends SparkSpec {
+
+  test("hash sample is deterministic and ~7.8% of the corpus") {
+    val total = G.table(spark, sf(), "documents").count()
+    val a = Curation.hashSample(spark, sf())
+    val b = Curation.hashSample(spark, sf())
+    val n = a.count()
+    assert(n == b.count())
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // 20/256 expected; allow wide tolerance at small SF
+    assert(n > 0 && n < total / 4)
+    assert(a.filter(col("bucket") >= "14").count() == 0)
+  }
+
+  test("source caps keep at most k docs per source, longest first") {
+    val r = Curation.sourceCaps(spark, sf(), k = 10)
+    val per = r.groupBy(col("source")).count().collect()
+    assert(per.forall(_.getAs[Long]("count") <= 10))
+    // within a source, rnk order is non-increasing n_chars
+    r.collect().groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val byRnk = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("n_chars"))
+      assert(byRnk.zip(byRnk.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("chunking covers every document with 20-char overlap and no gaps") {
+    val docs = G.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val chunks = Curation.chunk(spark, sf()).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // starts are 0, 100, 200, ... and the last chunk reaches the doc end
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_start") == i * 100L)
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len")
+        >= docs(id))
+      // every chunk but possibly the last is full-width-or-tail ≤ 120
+      assert(sorted.forall(_.getAs[Long]("chunk_len") <= 120))
+    }
+  }
+
+  test("bigram stats: counts match a hand count on one document") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Curation.bigramStats(spark, tmp).collect()
+      .map(x => x.getAs[String]("bigram") -> x.getAs[Long]("cnt")).toMap
+    // "a b a b a": a-b ×2, b-a ×2; "a b c": a-b, b-c
+    assert(r == Map("a b" -> 3L, "b a" -> 2L, "b c" -> 1L))
+  }
+
+  test("curation pipeline survivors are en, quality-gated, deduped, sampled") {
+    val agg = Curation.curationPipeline(spark, sf()).collect()
+    assert(agg.nonEmpty)
+    // n_docs and token totals positive; quality_sum consistent with gate
+    agg.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n > 0)
+      assert(r.getAs[Long]("total_tokens") >= n * 10)
+      assert(r.getAs[Double]("quality_sum") >= n * 0.5 - 1e-9)
+    }
+  }
+}
