@@ -111,10 +111,21 @@ object model {
     StructField("sequential_id", LongType),
     StructField("created_at", StringType)))
 
+  /** Debezium `source` block. The reference parser reads only `ts_ms`
+    * (`CdcEventParser.java:66-90`); the remaining fields (connector/MySQL
+    * provenance: snapshot flag, binlog file/pos, gtid, server_id —
+    * `docs/03-cdc-pipeline.md:156-191`) are kept for envelope fidelity so a
+    * consumer can filter snapshot rows or order by binlog position without
+    * re-parsing the JSON. `from_json` leaves absent fields null. */
   val sourceSchema: StructType = StructType(Seq(
     StructField("ts_ms", LongType),
     StructField("db", StringType),
-    StructField("table", StringType)))
+    StructField("table", StringType),
+    StructField("snapshot", StringType),
+    StructField("file", StringType),
+    StructField("pos", LongType),
+    StructField("gtid", StringType),
+    StructField("server_id", LongType)))
 
   val payloadSchema: StructType = StructType(Seq(
     StructField("before", rowImageSchema),

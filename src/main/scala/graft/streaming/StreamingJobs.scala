@@ -95,14 +95,20 @@ object StreamingJobs {
   /** S3 streaming: WebSocket-redelivery dedup — the producer's
     * `INSERT IGNORE` on the unique sequential_id
     * (`producer.py:104-109`, `mysql/init.sql:42,45-47`) as a streaming
-    * operator: watermarked `dropDuplicates`, so the dedup state is evicted
-    * once the watermark passes (bounded state at any scale; an unwatermarked
-    * streaming dedup would grow forever). */
+    * operator.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`:
+    * plain dedup only evicts state when the event-time column is part of
+    * the dedup key — keyed on `sequential_id` alone its state grows
+    * forever. The WithinWatermark variant TTLs each key once the watermark
+    * passes its event time, which is exactly the redelivery model
+    * (duplicates arrive within seconds, not days): bounded state at any
+    * scale, same INSERT-IGNORE semantics inside the horizon. */
   def dedupStream(parsed: DataFrame): DataFrame =
     parsed
       .withColumn("ts", timestamp_millis(col("source_ts")))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("sequential_id")
+      .dropDuplicatesWithinWatermark("sequential_id")
 
   /** D1–D4 streaming: flatMapGroupsWithState, sharing
     * `AnomalyDetection.step` with the batch fold. Events within each
