@@ -27,6 +27,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // default 4, not 32: measured at sf0.1, 57 queries run 53.5 s on
+    // local[4] vs 72.8 s on local[32] — per-stage task scheduling dominates
+    // at this data size, so more threads only add overhead. Override with
+    // SPARK_GRAFT_CPUS at larger SFs where scans/shuffles are CPU-bound.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -56,6 +56,8 @@ object SparkEntry {
     "q_r9_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_r10_pivot" -> ((s, d) => Relational.pivotRevenue(s, d)),
     "q_r11_unpivot" -> ((s, d) => Relational.unpivotSummary(s, d)),
+    "q_r12_range_join" -> ((s, d) => Relational.rangeJoinBinned(s, d)),
+    "q_r13_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
     // A9/W5 additive: session windows + approx quantiles
     "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
     "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
@@ -123,6 +125,8 @@ object SparkEntry {
     "q_r9_setops" -> Relational.setOpsSql,
     "q_r10_pivot" -> Relational.pivotRevenueSql,
     "q_r11_unpivot" -> Relational.unpivotSummarySql,
+    "q_r12_range_join" -> Relational.rangeJoinBinnedSql,
+    "q_r13_cube" -> Relational.cubeSummarySql,
     "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
     "q_a10_exact_percentiles" -> DashboardQueries.exactPercentilesSql,
     "q_t5_top_terms" -> TextAnalysis.topTermsSql,

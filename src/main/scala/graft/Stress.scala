@@ -121,6 +121,34 @@ object Stress {
         ev.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .write.mode("overwrite").format("noop").save()
+      },
+      // curation family (round 2): 1M synthetic docs through the funnel's
+      // hot stages — hash-sample filter, chunk explode, bigram census
+      time("curation_stages") {
+        val nDocs = math.min(n, 1000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val sampled = docs
+          .filter(substring(md5(col("text")), 1, 2) < "14")
+        val chunks = docs
+          .withColumn("s",
+            explode(expr("sequence(0L, greatest(n_chars - 1L, 0L), 100L)")))
+          .select(expr("substring(text, CAST(s + 1 AS INT), 120)").as("chunk"))
+        val bigrams = docs
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .withColumn("bigram", explode(expr(
+            """CASE WHEN size(toks) >= 2
+              |  THEN transform(sequence(1, size(toks) - 1),
+              |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+              |  ELSE array() END""".stripMargin)))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram")).limit(50)
+        sampled.write.mode("overwrite").format("noop").save()
+        chunks.write.mode("overwrite").format("noop").save()
+        bigrams.write.mode("overwrite").format("noop").save()
       })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

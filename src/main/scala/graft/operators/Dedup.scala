@@ -68,15 +68,20 @@ object Dedup {
     * blowup is in the JOIN OUTPUT, not the input partition. Dropping the
     * bucket is the standard LSH mitigation (near-dups that collide there
     * still collide in the other bands/tables with high probability).
-    * Results are unchanged for uniform data: no bucket reaches the cap, the
-    * semi-join keeps every row, and the extra aggregate is a cheap
-    * partial+final count on the already-shuffled bucket key. */
+    * Results are unchanged for uniform data: no bucket reaches the cap and
+    * the filter keeps every row.
+    *
+    * Implemented as a window count, not groupBy-count + join-back: one
+    * shuffle on the bucket key, the banded frame is computed once, and the
+    * output stays hash-partitioned by `keys` — which is exactly the
+    * distribution the LSH self-join needs next, so Catalyst plans no
+    * further exchange for it. */
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
       maxBucketSize: Long): DataFrame = {
-    val sizes = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("__bucket_n", count(lit(1)).over(w))
       .filter(col("__bucket_n") <= maxBucketSize)
-    banded.join(sizes, keys).drop("__bucket_n")
+      .drop("__bucket_n")
   }
 
   // ------------------------------------------------------------- signatures

@@ -309,4 +309,67 @@ object Relational {
       |  FROM lineitem WHERE l_suppkey <= 3
       |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
       |) t WHERE rn <= 20 ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Range (interval) join, binned — additive: Spark has no native range
+    * join, and the naive formulation is a cross product with a theta filter.
+    * The scale pattern: quantize both sides to coarse bins (intervals of
+    * bounded duration expand to ≤ ceil(dur/bin)+1 bins), equi-join on the
+    * bin, then apply the exact range predicate as a residual filter. The
+    * shuffle/broadcast volume is O(events + intervals·span), never
+    * O(events·intervals).
+    *
+    * Here: the 20 busiest hours (deterministic count-desc/hour-asc cut)
+    * widened to [hour−30 min, hour+90 min) windows, joined back against all
+    * events — overlapping windows, so the counts are not recoverable from
+    * any single groupBy. The interval side is tiny → broadcast; the event
+    * side is never shuffled until the final 20-group aggregate. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val HOUR = 3600000L
+    val ev = G.eventsRaw(spark, dir)
+      .select(expr("ts_ns DIV 1000000").as("ms"), col("user_id"))
+    val hot = ev.groupBy(expr(s"ms DIV $HOUR").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("hr"))
+      .limit(20)
+      .select((col("hr") * HOUR - HOUR / 2).as("window_start"),
+        (col("hr") * HOUR + 3 * HOUR / 2).as("window_end"))
+    val binsPerInterval = hot.withColumn("bin",
+      explode(expr(s"sequence(window_start DIV $HOUR, (window_end - 1) DIV $HOUR)")))
+    ev.withColumn("bin", expr(s"ms DIV $HOUR"))
+      .join(broadcast(binsPerInterval), "bin")
+      .filter(col("ms") >= col("window_start") && col("ms") < col("window_end"))
+      .groupBy(col("window_start"), col("window_end"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_start"))
+  }
+
+  val rangeJoinBinnedSql: String =
+    """WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+      |hot AS (
+      |  SELECT ms // 3600000 AS hr, count(*) AS c FROM e
+      |  GROUP BY 1 ORDER BY c DESC, hr LIMIT 20),
+      |iv AS (
+      |  SELECT hr * 3600000 - 1800000 AS window_start,
+      |         hr * 3600000 + 5400000 AS window_end FROM hot)
+      |SELECT iv.window_start, iv.window_end, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM iv JOIN e ON e.ms >= iv.window_start AND e.ms < iv.window_end
+      |GROUP BY 1, 2 ORDER BY window_start""".stripMargin
+
+  /** CUBE grouping sets — additive, completing the rollup/cube/grouping-sets
+    * family (same Expand-based plan as rollup, all 4 grouping combinations). */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), G.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+
+  val cubeSummarySql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin
 }
