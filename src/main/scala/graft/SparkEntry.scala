@@ -72,6 +72,7 @@ object SparkEntry {
     "q_x1_dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_x2_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_x3_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_x3b_simhash30" -> ((s, d) => Dedup.simhash30(s, d)),
     "q_x4_jaccard_3gram" -> ((s, d) => Dedup.jaccard3gramPairs(s, d)),
     // Similarity search
     "q_y1_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_d3d4_alert_counts" -> AnomalyDetection.alertCountsSql,
     "q_s3_dedup_redelivery" -> Dedup.dedupRedeliverySql,
     "q_x1_dedup_exact" -> Dedup.dedupExactSql,
+    "q_x3b_simhash30" -> Dedup.simhash30Sql,
     "q_x4_jaccard_3gram" -> Dedup.jaccard3gramPairsSql,
     "q_y1_knn_bruteforce" -> Similarity.knnBruteForceSql,
     "q_y2_knn_ivf" -> Similarity.knnIvfSql,

@@ -213,6 +213,61 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle-checkable 30-bit SimHash twin of [[simhashOn]]: the token hash
+    * is the polynomial rolling hash mod 1e9+7 (SQL-replayable — 64-bit FNV
+    * needs wraparound multiplication, which overflows DuckDB's checked
+    * BIGINT), 30 bits because the hash field is < 2^30. Same
+    * sign-of-bit-counts construction, same tight-loop execution shape; the
+    * production variant stays the 64-bit [[simhash]], this one exists so the
+    * SimHash family has a cross-engine bit-exact check too. */
+  def simhash30(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    G.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+")
+          val counts = new Array[Int](30)
+          toks.foreach { t =>
+            var h = 0L
+            var i = 0
+            while (i < t.length) {
+              h = (h * 31 + t.codePointAt(i)) % 1000000007L
+              i += Character.charCount(t.codePointAt(i))
+            }
+            var b = 0
+            while (b < 30) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 30) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+          (id, sig, toks.length.toLong)
+        }
+      }.toDF("doc_id", "simhash30", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  val simhash30Sql: String =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 30), b ->
+      |    CASE WHEN 2 * len(list_filter(th, h -> (h >> b) & 1 = 1)) > len(th)
+      |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+      |    AS BIGINT) AS simhash30,
+      |  CAST(len(th) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(string_split_regex(lower(text), '\s+'),
+      |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(0, length(t)),
+      |               i -> CAST(unicode(substr(t, CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |           (a, c) -> (a * 31 + c) % 1000000007)) AS th
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Character-3-gram Jaccard near-dup over a bounded window (doc_id < 100
     * both sides — the exact-verification kernel that LSH candidates feed at
     * scale). SQL-expressible end to end → full oracle. */

@@ -40,6 +40,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) <= 8)
   }
 
+  test("simhash30 sigs fit in 30 bits and correlate with 64-bit simhash") {
+    val s30 = Dedup.simhash30(spark, sf()).collect()
+    assert(s30.nonEmpty)
+    s30.foreach { r =>
+      val sig = r.getAs[Long]("simhash30")
+      assert(sig >= 0L && sig < (1L << 30))
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // identical docs (planted exact dups every 5th id share text elsewhere)
+    // must hash identically — determinism across partitions
+    val again = Dedup.simhash30(spark, sf()).collect()
+    assert(s30.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("knn: brute-force rank-1 has max similarity; IVF stays in cell") {
     val bf = Similarity.knnBruteForce(spark, sf()).collect()
     val byQuery = bf.groupBy(_.getAs[Long]("query_id"))

@@ -32,6 +32,25 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell layout: probe scans only its partition (partition pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = Files.createTempDirectory("graft_ivf").toString
+    G.table(spark, sf(), "embeddings")
+      .write.partitionBy("label").parquet(s"$base/ivf")
+    val nCells = G.table(spark, sf(), "embeddings")
+      .select("label").distinct().count()
+    // the IVF probe: restrict to the query's coarse cell
+    val probe = spark.read.parquet(s"$base/ivf").filter(col("label") === 3)
+    val scan = probe.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"cell predicate must become a partition filter:\n${probe.queryExecution}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"probe must read 1 of $nCells cells, read ${scan.selectedPartitions.partitionCount}")
+    assert(probe.count() > 0)
+  }
+
   test("spark.sql panel surface runs every panel") {
     operators.SqlSurface.createViews(spark, sf())
     operators.SqlSurface.panels.foreach { case (name, sql) =>

@@ -39,6 +39,35 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("streaming session windows == batch session windows (complete mode)") {
+    val trades = Synthetic.trades(200)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    val base = parsedStream(jsons)
+      .select(timestamp_millis(col("source_ts")).as("ts"),
+        col("market").as("user_id"), col("trade_price").as("value"))
+    val q = base
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), G.dsum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streaming = spark.table("sess_out")
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+    val batch = graft.operators.CdcParser.parseEnvelope(jsons.toDF("json"), col("json"))
+      .select(timestamp_millis(col("source_ts")).as("ts"),
+        col("market").as("user_id"), col("trade_price").as("value"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), G.dsum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming == batch)
+  }
+
   test("stateful detector stream == batch fold on same single batch") {
     val trades = Synthetic.trades(200)
     val jsons = trades.map(t => Synthetic.envelopeJson(t))
