@@ -58,6 +58,8 @@ object SparkEntry {
     "q_r11_unpivot" -> ((s, d) => Relational.unpivotSummary(s, d)),
     "q_r12_range_join" -> ((s, d) => Relational.rangeJoinBinned(s, d)),
     "q_r13_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
+    "q_r14_outer_join" -> ((s, d) => Relational.outerJoinNations(s, d)),
+    "q_r15_semi_anti" -> ((s, d) => Relational.semiAntiSuppliers(s, d)),
     // A9/W5 additive: session windows + approx quantiles
     "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
     "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
@@ -73,6 +75,7 @@ object SparkEntry {
     "q_x2_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_x3_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_x3b_simhash30" -> ((s, d) => Dedup.simhash30(s, d)),
+    "q_x3c_simhash_neardup" -> ((s, d) => Dedup.simhashNearDups(s, d)),
     "q_x4_jaccard_3gram" -> ((s, d) => Dedup.jaccard3gramPairs(s, d)),
     // Similarity search
     "q_y1_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -128,6 +131,8 @@ object SparkEntry {
     "q_r11_unpivot" -> Relational.unpivotSummarySql,
     "q_r12_range_join" -> Relational.rangeJoinBinnedSql,
     "q_r13_cube" -> Relational.cubeSummarySql,
+    "q_r14_outer_join" -> Relational.outerJoinNationsSql,
+    "q_r15_semi_anti" -> Relational.semiAntiSuppliersSql,
     "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
     "q_a10_exact_percentiles" -> DashboardQueries.exactPercentilesSql,
     "q_t5_top_terms" -> TextAnalysis.topTermsSql,
@@ -137,6 +142,7 @@ object SparkEntry {
     "q_s3_dedup_redelivery" -> Dedup.dedupRedeliverySql,
     "q_x1_dedup_exact" -> Dedup.dedupExactSql,
     "q_x3b_simhash30" -> Dedup.simhash30Sql,
+    "q_x3c_simhash_neardup" -> Dedup.simhashNearDupsSql,
     "q_x4_jaccard_3gram" -> Dedup.jaccard3gramPairsSql,
     "q_y1_knn_bruteforce" -> Similarity.knnBruteForceSql,
     "q_y2_knn_ivf" -> Similarity.knnIvfSql,

@@ -268,6 +268,50 @@ object Dedup {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup pipeline, end-to-end and oracle-checkable: 30-bit
+    * signatures ([[simhash30]]) → 3×10-bit band buckets → bucket-equality
+    * self-join → hamming verify with the codegen'd `bit_count` builtin.
+    * Pigeonhole guarantee: ≤ 2 differing bits across 3 bands leaves ≥ 1
+    * band identical, so every hamming≤2 pair collides in some bucket — the
+    * recall argument LSH banding gives MinHash, here in closed form.
+    * Scale shape identical to MinHash LSH: O(n·3) rows into the bucket
+    * join, capBuckets guards hot buckets, never O(n²). The DuckDB oracle
+    * *is* O(n²) (plain cross-product filter) — affordable at verify SF and
+    * proof the banding loses nothing. */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash30(spark, dir).select(col("doc_id"), col("simhash30"))
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), col("simhash30"),
+        posexplode(expr(
+          """array(simhash30 & 1023,
+            |      shiftright(simhash30, 10) & 1023,
+            |      shiftright(simhash30, 20) & 1023)""".stripMargin))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash30").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash30").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      // hamming filter BEFORE distinct: prunes the false-positive bucket
+      // collisions map-side, so the dedup exchange carries survivors only
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashNearDupsSql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, simhash30 FROM (${simhash30Sql.replace("ORDER BY doc_id", "")}) t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash30, b.simhash30)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash30, b.simhash30)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Character-3-gram Jaccard near-dup over a bounded window (doc_id < 100
     * both sides — the exact-verification kernel that LSH candidates feed at
     * scale). SQL-expressible end to end → full oracle. */

@@ -357,6 +357,84 @@ object Relational {
       |FROM iv JOIN e ON e.ms >= iv.window_start AND e.ms < iv.window_end
       |GROUP BY 1, 2 ORDER BY window_start""".stripMargin
 
+  /** FULL OUTER join with genuinely unmatched sides: nations' rare
+    * high-balance customers vs rare low-cost suppliers — either side can be
+    * empty for a nation, exercising null-producing outer semantics.
+    * `coalesce` keys + zero-filled counts keep ordering deterministic.
+    * Scale: both inputs are pre-aggregated (25 rows max) before the join —
+    * aggregate-then-join, never join-then-aggregate. */
+  def outerJoinNations(spark: SparkSession, dir: String): DataFrame = {
+    val cust = G.table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_cust"))
+    val supp = G.table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < -900)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_poor_supp"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_poor_supp"), lit(0L)).as("n_poor_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val outerJoinNationsSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey, count(*) AS n_rich_cust
+      |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, count(*) AS n_poor_supp
+      |  FROM supplier WHERE s_acctbal < -900 GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  coalesce(n_rich_cust, 0) AS n_rich_cust,
+      |  coalesce(n_poor_supp, 0) AS n_poor_supp
+      |FROM c FULL OUTER JOIN s USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  /** LEFT SEMI + LEFT ANTI in one query: per-nation counts of suppliers
+    * that did / did not ship any line in 1995. Semi/anti joins shuffle only
+    * the distinct key set of the right side — the existence check never
+    * materializes the match multiplicity. */
+  def semiAntiSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val shipped95 = G.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("l_suppkey"))
+    val supp = G.table(spark, dir, "supplier")
+    val active = supp.join(shipped95, col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_active"))
+    val idle = supp.join(shipped95, col("s_suppkey") === col("l_suppkey"),
+        "left_anti")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_idle"))
+    active.join(idle, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_idle"), lit(0L)).as("n_idle"))
+      .orderBy(col("nationkey"))
+  }
+
+  val semiAntiSuppliersSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT l_suppkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-01-01'),
+      |a AS (
+      |  SELECT s_nationkey AS nationkey, count(*) AS n_active FROM supplier
+      |  WHERE EXISTS (SELECT 1 FROM sh WHERE sh.l_suppkey = supplier.s_suppkey)
+      |  GROUP BY 1),
+      |i AS (
+      |  SELECT s_nationkey AS nationkey, count(*) AS n_idle FROM supplier
+      |  WHERE NOT EXISTS (SELECT 1 FROM sh WHERE sh.l_suppkey = supplier.s_suppkey)
+      |  GROUP BY 1)
+      |SELECT coalesce(a.nationkey, i.nationkey) AS nationkey,
+      |  coalesce(n_active, 0) AS n_active, coalesce(n_idle, 0) AS n_idle
+      |FROM a FULL OUTER JOIN i USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
   /** CUBE grouping sets — additive, completing the rollup/cube/grouping-sets
     * family (same Expand-based plan as rollup, all 4 grouping combinations). */
   def cubeSummary(spark: SparkSession, dir: String): DataFrame =
