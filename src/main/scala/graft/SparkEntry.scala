@@ -73,6 +73,7 @@ object SparkEntry {
     "q_s3_dedup_redelivery" -> ((s, d) => Dedup.dedupRedelivery(s, d)),
     "q_x1_dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_x2_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_x2b_minhash_checked" -> ((s, d) => Dedup.minhashLshPairsChecked(s, d)),
     "q_x3_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_x3b_simhash30" -> ((s, d) => Dedup.simhash30(s, d)),
     "q_x3c_simhash_neardup" -> ((s, d) => Dedup.simhashNearDups(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_d3d4_alert_counts" -> AnomalyDetection.alertCountsSql,
     "q_s3_dedup_redelivery" -> Dedup.dedupRedeliverySql,
     "q_x1_dedup_exact" -> Dedup.dedupExactSql,
+    "q_x2b_minhash_checked" -> Dedup.minhashLshPairsCheckedSql,
     "q_x3b_simhash30" -> Dedup.simhash30Sql,
     "q_x3c_simhash_neardup" -> Dedup.simhashNearDupsSql,
     "q_x4_jaccard_3gram" -> Dedup.jaccard3gramPairsSql,

@@ -268,6 +268,140 @@ object Dedup {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Polynomial rolling hash mod 1e9+7 over codepoints — the SQL-replayable
+    * string hash shared by the checkable twins (simhash30, minhash-checked).
+    * Unlike FNV-64, every intermediate stays < P·2^7 « 2^63, so DuckDB's
+    * checked BIGINT arithmetic replays it bit-exactly. */
+  private[operators] def polyHashMod(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31 + s.codePointAt(i)) % P
+      i += Character.charCount(s.codePointAt(i))
+    }
+    h
+  }
+
+  /** Fully oracle-checked MinHash+LSH near-dup pipeline — the checkable
+    * twin of [[minhashLshPairs]]. Every stage is deterministic mod-P
+    * arithmetic, so the WHOLE pipeline (shingle hash → 64-permutation
+    * signature → 16×4 banding → bucket-join candidates → exact-Jaccard
+    * verify) replays in DuckDB SQL and hash-compares bit-exactly:
+    *  - shingle hash: [[polyHashMod]] (not FNV — wraparound mult overflows
+    *    checked BIGINT),
+    *  - permutation i: (h·(2i+1) + i·2654435761) mod P (max ~1.3e11, safe),
+    *  - band bucket b: rolling (a·31 + sig_i) mod P over the band's 4 sigs.
+    * Same planted near-dups and same scale shape as the production variant
+    * (signatures in a tight JVM loop, bucket-equality joins only, skew cap);
+    * the production variant keeps FNV-64's better mixing. */
+  def minhashLshPairsChecked(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
+    val docs = base.union(perturbed)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+")
+          if (toks.length < 3) None
+          else {
+            val sh = Array.tabulate(toks.length - 2)(i =>
+              s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+            val sig = Array.fill(64)(Long.MaxValue)
+            sh.foreach { s =>
+              val h = polyHashMod(s)
+              var i = 0
+              while (i < 64) {
+                val p = (h * (2L * i + 1) + i * 2654435761L) % P
+                if (p < sig(i)) sig(i) = p
+                i += 1
+              }
+            }
+            val buckets = Array.tabulate(16) { b =>
+              var a = 0L
+              var j = 0
+              while (j < 4) { a = (a * 31 + sig(b * 4 + j)) % P; j += 1 }
+              a
+            }
+            Some((id, sh.toSeq, buckets.toSeq))
+          }
+        }
+      }.toDF("doc_id", "shingles", "buckets").cache()
+    val banded = capBuckets(
+      docs.select(col("doc_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000)
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shingleSets = docs.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshPairsCheckedSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |        FROM all_docs)
+      |  WHERE len(t) >= 3),
+      |hs AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(shingles, s ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(0, length(s)),
+      |          i -> CAST(unicode(substr(s, CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |        (a, c) -> (a * 31 + c) % 1000000007)) AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 64), i ->
+      |      list_min(list_transform(h, v ->
+      |        (v * (2 * i + 1) + i * 2654435761) % 1000000007))) AS s
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, shingles, band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_slice(s, band * 4 + 1, band * 4 + 4)),
+      |      (a, v) -> (a * 31 + v) % 1000000007) AS bucket
+      |  FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT p.doc_a, p.doc_b,
+      |  round(len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.shingles, y.shingles))), 4) AS jaccard
+      |FROM pairs p
+      |JOIN sh x ON x.doc_id = p.doc_a
+      |JOIN sh y ON y.doc_id = p.doc_b
+      |WHERE len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash near-dup pipeline, end-to-end and oracle-checkable: 30-bit
     * signatures ([[simhash30]]) → 3×10-bit band buckets → bucket-equality
     * self-join → hamming verify with the codegen'd `bit_count` builtin.

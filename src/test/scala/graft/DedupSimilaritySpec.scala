@@ -40,6 +40,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) <= 8)
   }
 
+  test("checked minhash twin also recovers every planted near-dup pair") {
+    val planted = G.table(spark, sf(), "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .filter(size(split(col("text"), "\\s+")) >= 4)
+      .count()
+    val recovered = Dedup.minhashLshPairsChecked(spark, sf())
+      .filter(col("doc_b") === col("doc_a") + 2000000)
+      .count()
+    assert(recovered == planted)
+    assert(planted > 0)
+  }
+
   test("simhash30 sigs fit in 30 bits and correlate with 64-bit simhash") {
     val s30 = Dedup.simhash30(spark, sf()).collect()
     assert(s30.nonEmpty)
