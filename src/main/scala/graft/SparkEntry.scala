@@ -83,6 +83,7 @@ object SparkEntry {
     "q_y2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_y3_embed_neardup" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "q_y4_lsh_neardup" -> ((s, d) => Similarity.lshNearDups(s, d)),
+    "q_y4b_signlsh_checked" -> ((s, d) => Similarity.lshNearDupsChecked(s, d)),
     // Text analysis
     "q_t1_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_t2_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "q_y1_knn_bruteforce" -> Similarity.knnBruteForceSql,
     "q_y2_knn_ivf" -> Similarity.knnIvfSql,
     "q_y3_embed_neardup" -> Similarity.embeddingNearDupsSql,
+    "q_y4b_signlsh_checked" -> Similarity.lshNearDupsCheckedSql,
     "q_t1_lang_id" -> TextAnalysis.langIdSql,
     "q_t2_quality" -> TextAnalysis.qualityScoreSql,
     "q_t3_token_counts" -> TextAnalysis.tokenCountsSql,

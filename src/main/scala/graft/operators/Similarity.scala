@@ -185,6 +185,100 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Oracle-checked sign-LSH twin of [[lshNearDups]] — same 16 tables ×
+    * 6 sign-bits × 0.35 threshold, but the hyperplane signs come from
+    * `Dedup.polyHashMod("t:b:d") & 1` instead of FNV-64, so DuckDB can
+    * regenerate the exact planes from the same short strings and replay
+    * the ENTIRE pipeline: plane generation → sign-bit signatures →
+    * table-qualified buckets → bucket-equality candidates → exact cosine
+    * verify. Float parity holds because the per-bit dot is a sequential
+    * ±v[d] sum, which `list_dot_product` against a ±1.0 plane reproduces
+    * term-for-term (the same order-parity that makes q_y1 bit-exact). */
+  def lshNearDupsChecked(spark: SparkSession, dir: String, tables: Int = 16,
+      bits: Int = 6, threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val dims = 64
+    val sigs = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(tables, bits, dims) { (t, b, d) =>
+          (Dedup.polyHashMod(s"$t:$b:$d") & 1L) == 0L
+        }
+        it.map { case (id, v) =>
+          val buckets = Array.tabulate(tables) { t =>
+            var sig = 0L
+            var b = 0
+            while (b < bits) {
+              val signs = planes(t)(b)
+              var dot = 0.0
+              var d = 0
+              val n = math.min(v.length, dims)
+              while (d < n) {
+                dot += (if (signs(d)) v(d) else -v(d))
+                d += 1
+              }
+              if (dot >= 0) sig |= 1L << b
+              b += 1
+            }
+            (t.toLong << 32) | sig
+          }
+          (id, buckets.toSeq)
+        }
+      }.toDF("vec_id", "buckets")
+    val banded = Dedup.capBuckets(
+      sigs.select(col("vec_id"), explode(col("buckets")).as("bucket")),
+      Seq("bucket"), maxBucketSize = 100000)
+      .cache()
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val lshNearDupsCheckedSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT t, b,
+      |    list_transform(range(0, 64), d ->
+      |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(0, length(t || ':' || b || ':' || d)),
+      |               i -> CAST(unicode(substr(t || ':' || b || ':' || d,
+      |                      CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |             (a, c) -> (a * 31 + c) % 1000000007) % 2 = 0
+      |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      |  FROM (SELECT unnest(range(0, 16)) AS t) tt,
+      |       (SELECT unnest(range(0, 6)) AS b) bb),
+      |bits AS (
+      |  SELECT e.vec_id, p.t,
+      |    CASE WHEN list_dot_product(e.v, p.plane) >= 0
+      |         THEN CAST(1 AS BIGINT) << p.b ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM e CROSS JOIN planes p),
+      |buckets AS (
+      |  SELECT vec_id, t * 4294967296 + CAST(SUM(bit) AS BIGINT) AS bucket
+      |  FROM bits GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT c.id_a, c.id_b,
+      |  list_dot_product(x.v, y.v) /
+      |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+      |FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+      |WHERE list_dot_product(x.v, y.v) /
+      |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs over a bounded window
     * (vec_id < 300 — the verify kernel LSH/IVF candidates feed at scale;
     * embeddings are random so 0.35 yields a thin non-empty tail). */

@@ -103,6 +103,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)        // and some near-dups do survive the banding
   }
 
+  test("checked sign-LSH twin is also a subset of brute force") {
+    val brute = Similarity.embeddingNearDups(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupsChecked(spark, sf())
+      .filter(col("id_a") < 300 && col("id_b") < 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty)
+  }
+
   test("capBuckets drops a poisoned hot bucket, keeps uniform buckets intact") {
     import spark.implicits._
     // 50 rows colliding in one "hot" bucket (boilerplate text at scale)
