@@ -131,6 +131,77 @@ object Curation {
       |SELECT bigram, count(*) AS cnt FROM bi
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
 
+  /** Benchmark decontamination screen: flag corpus documents sharing any
+    * word-5-gram with a held-out benchmark set (here: every 97th doc stands
+    * in for the eval set). The standard pretraining hygiene step. Scale
+    * shape: the benchmark's distinct n-gram set is small → broadcast; the
+    * corpus side explodes to n-grams and inner-joins the broadcast set, so
+    * the corpus is never shuffled — contamination counting happens in the
+    * map-side-combined aggregate on (doc_id). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val gram5 = (df: DataFrame) => df
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+          |         element_at(toks, i+2), element_at(toks, i+3),
+          |         element_at(toks, i+4))))""".stripMargin)).as("gram"))
+    val d = docs(spark, dir)
+    val benchGrams = gram5(d.filter(col("doc_id") % 97 === 0))
+      .select(col("gram")).distinct()
+    gram5(d.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4]))) AS gram
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 5),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, count(*) AS n_contaminated_grams
+      |FROM g JOIN bench USING (gram)
+      |WHERE g.doc_id % 97 <> 0
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shard packing: assign documents to fixed-token-budget training shards
+    * by running token count, parallel per source (global packing would be a
+    * single-partition window — per-source packing keeps the window
+    * partitioned and is what a sharded writer wants anyway). Deterministic:
+    * docs ordered by doc_id within source; shard boundary when the running
+    * count before the doc crosses a 2000-token budget multiple. */
+  def packShards(spark: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .withColumn("n_tokens", expr("size(split(text, '\\\\s+'))").cast("long"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"tokens_before DIV $budget").as("shard_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val packShardsSql: String =
+    """SELECT source, doc_id, n_tokens,
+      |  tokens_before // 2000 AS shard_id
+      |FROM (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(coalesce(SUM(len(string_split_regex(text, '\s+')))
+      |      OVER (PARTITION BY source ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM documents) t
+      |ORDER BY source, doc_id""".stripMargin
+
   /** The flagship composite: language filter → quality gate → exact
     * content-dedup (keep lowest doc_id per md5 digest) → deterministic 50%
     * hash-sample → per-source corpus stats. This is the whole curation

@@ -63,6 +63,42 @@ class CurationSpec extends SparkSpec {
     assert(r == Map("a b" -> 3L, "b a" -> 2L, "b c" -> 1L))
   }
 
+  test("decontamination flags docs sharing 5-grams with the benchmark set") {
+    val flagged = Curation.decontaminate(spark, sf()).collect()
+    // no benchmark doc flags itself; every flagged doc shares >= 1 gram
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0)
+      assert(r.getAs[Long]("n_contaminated_grams") >= 1)
+    }
+    // ground truth on a planted overlap: a corpus doc that IS a benchmark
+    // doc's text (if any exact text dup exists, it must be flagged)
+    import spark.implicits._
+    val d = G.table(spark, sf(), "documents")
+    val benchTexts = d.filter(col("doc_id") % 97 === 0)
+      .filter(size(split(col("text"), "\\s+")) >= 5)
+      .select("text").as[String].collect().toSet
+    val expectedHits = d.filter(col("doc_id") % 97 =!= 0)
+      .filter(size(split(col("text"), "\\s+")) >= 5)
+      .as[(Long, String, String, String, Long)]
+      .collect().count(t => benchTexts.contains(t._2))
+    assert(flagged.length >= expectedHits)
+  }
+
+  test("shard packing: shards respect the token budget per source") {
+    val packed = Curation.packShards(spark, sf(), budget = 2000L).collect()
+    packed.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("shard_id") == cum / 2000L)
+        cum += r.getAs[Long]("n_tokens")
+      }
+      // shard ids are non-decreasing in doc order
+      val ids = sorted.map(_.getAs[Long]("shard_id"))
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("curation pipeline survivors are en, quality-gated, deduped, sampled") {
     val agg = Curation.curationPipeline(spark, sf()).collect()
     assert(agg.nonEmpty)
