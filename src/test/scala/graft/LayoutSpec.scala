@@ -51,6 +51,16 @@ class LayoutSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("Graft facade: open registers views + vector_dot, query() resolves") {
+    Graft.open(spark, sf())
+    assert(spark.sql("SELECT count(*) FROM events_v").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
+    assert(Graft.query("q_r1_pricing_summary")(spark, sf()).count() > 0)
+    assert(Graft.queryNames.size == SparkEntry.queries.size)
+  }
+
   test("spark.sql panel surface runs every panel") {
     operators.SqlSurface.createViews(spark, sf())
     operators.SqlSurface.panels.foreach { case (name, sql) =>
