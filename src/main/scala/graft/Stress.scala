@@ -96,7 +96,7 @@ object Stress {
           lit("""}, "source": {"ts_ms": """), expr("unix_micros(ts) DIV 1000"),
           lit("""}, "op": "c", "ts_ms": """), expr("unix_micros(ts) DIV 1000 + 5"),
           lit("}}")).as("json"))
-        graft.operators.CdcParser.parseEnvelope(js, col("json"))
+        graft.operators.CdcParser.parse(js, col("json"))
           .write.mode("overwrite").format("noop").save()
       },
       time("dedup_by_id") {

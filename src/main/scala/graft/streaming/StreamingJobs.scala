@@ -38,7 +38,7 @@ object StreamingJobs {
       .option("maxFilesPerTrigger", 8) // bounded micro-batches
       .text(inputDir)
       .withColumnRenamed("value", "json")
-    CdcParser.parseEnvelope(raw, col("json"))
+    CdcParser.parse(raw, col("json"))
   }
 
   /** S1: the Kafka CDC source proper (`CdcPipelineJob.java:52-58`) —
@@ -50,7 +50,7 @@ object StreamingJobs {
     * production wiring. */
   def readCdcKafka(spark: SparkSession, bootstrapServers: String,
       topic: String): DataFrame =
-    CdcParser.parseEnvelope(
+    CdcParser.parse(
       spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("subscribe", topic)

@@ -8,9 +8,17 @@ import org.apache.spark.sql.functions.col
 class CdcParserSpec extends SparkSpec {
   import spark.implicits._
 
-  private def parse(jsons: String*) =
-    CdcParser.parseEnvelope(jsons.toDF("json"), col("json"))
-      .collect()
+  /** Every fixture runs BOTH parse paths and asserts bit-identical output
+    * (the Jackson kernel is semantically pinned to the from_json
+    * formulation). */
+  private def parse(jsons: String*) = {
+    val df = jsons.toDF("json")
+    val slow = CdcParser.parseEnvelope(df, col("json")).collect()
+    val fast = CdcParser.parseEnvelopeFast(df, col("json")).collect()
+    assert(fast.map(_.toSeq).toSeq == slow.map(_.toSeq).toSeq,
+      "fast/declarative parser divergence")
+    slow
+  }
 
   private val fullInsert =
     """{"payload": {"before": null, "after": {"trade_id": 1, "market": "KRW-BTC",
@@ -103,5 +111,37 @@ class CdcParserSpec extends SparkSpec {
     val r = parse(jsons: _*)
     assert(r.length == 60)
     assert(r.count(_.getAs[String]("op") == "d") == 10)
+  }
+
+  test("kernel tryCastDouble == Spark try_cast(STRING AS DOUBLE) on edges") {
+    val cases = Seq("3.14", " 3.14 ", "-0.5", "+.5", ".5", "5.", "1e5",
+      "1E-3", "+1e+3", "garbage", "", " ", "1d", "1f", "0x10", "NaN",
+      "Infinity", "1.2.3", "e5", ".", "-", "--1", "1e", "1e+", "123",
+      "00042", "9e999")
+    val sparkSide = cases.toDF("s")
+      .selectExpr("coalesce(try_cast(s AS DOUBLE), 0.0d) AS d")
+      .collect().map(_.getDouble(0))
+    val kernelSide = cases.map { s =>
+      val j = s"""{"payload": {"after": {"trade_id": 1, "trade_price": ${
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(s)}}, "op": "c", "ts_ms": 1}}"""
+      CdcParser.parseEnvelopeFast(Seq(j).toDF("json"), col("json"))
+        .collect().head.getAs[Double]("trade_price")
+    }
+    cases.lazyZip(sparkSide).lazyZip(kernelSide).foreach { (c, sp, k) =>
+      assert(sp == k || (sp.isNaN && k.isNaN), s"case '$c': spark=$sp kernel=$k")
+    }
+  }
+
+  test("fast path == declarative path on the full roundtrip corpus") {
+    val slowDf = {
+      CdcParser.fastParse = false
+      try CdcParser.cdcParseRoundtrip(spark, sf()).collect()
+      finally CdcParser.fastParse = true
+    }
+    val fastDf = CdcParser.cdcParseRoundtrip(spark, sf()).collect()
+    assert(fastDf.length == slowDf.length)
+    assert(fastDf.map(_.toSeq).sortBy(_.toString()).toSeq ==
+      slowDf.map(_.toSeq).sortBy(_.toString()).toSeq)
   }
 }

@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSpec {
   private def parsedStream(jsons: Seq[String]): org.apache.spark.sql.DataFrame = {
     val mem = MemoryStream[String](spark)
     mem.addData(jsons)
-    graft.operators.CdcParser.parseEnvelope(
+    graft.operators.CdcParser.parse(
       mem.toDF().withColumnRenamed("value", "json"), col("json"))
   }
 
