@@ -98,6 +98,7 @@ object SparkEntry {
     "q_c5_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     "q_c6_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "q_c7_pack_shards" -> ((s, d) => Curation.packShards(s, d)),
+    "q_c8_mix_rebalance" -> ((s, d) => Curation.mixRebalance(s, d)),
     // spark.sql serving surface (SURVEY §3.3 entry point 3)
     "q_sql_scalar_panels" -> ((s, d) => SqlSurface.scalarPanels(s, d)),
     // Multimodal binary-column plumbing (decode stubbed)
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_c5_curation_pipeline" -> Curation.curationPipelineSql,
     "q_c6_decontaminate" -> Curation.decontaminateSql,
     "q_c7_pack_shards" -> Curation.packShardsSql,
+    "q_c8_mix_rebalance" -> Curation.mixRebalanceSql,
     "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m2_extract_features" -> Multimodal.extractFeaturesSql,

@@ -202,6 +202,69 @@ object Curation {
       |  FROM documents) t
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Corpus mix rebalancing: subsample each language down to the smallest
+    * language's token total (the "equal mix" target), choosing survivors by
+    * content fingerprint — not rand() — so the rebalanced corpus is
+    * reproducible on any engine or cluster. Two passes over metadata only:
+    * per-lang token totals (tiny, broadcast back), then a scan-side
+    * `bucket < threshold` filter; the text never shuffles. Thresholds are
+    * integer (floor(rate·10000)), so the oracle comparison is exact. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    // one tight-loop pass: token count (SQL-split semantics: limit -1 keeps
+    // boundary empties exactly like DuckDB string_split_regex) + rolling
+    // fingerprint mod 1e9+7 → stable per-doc sampling bucket in [0, 10000)
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, text) =>
+          val nTokens = text.split("\\s+", -1).length.toLong
+          var h = 0L
+          var i = 0
+          while (i < text.length) {
+            h = (h * 31 + text.codePointAt(i)) % 1000000007L
+            i += Character.charCount(text.codePointAt(i))
+          }
+          (id, lang, nTokens, h % 10000L)
+        }
+      }.toDF("doc_id", "lang", "n_tokens", "bucket")
+    val tot = d.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).cast("long").as("total"))
+    val target = tot.agg(min(col("total")).as("target"))
+    val thr = tot.crossJoin(broadcast(target))
+      .withColumn("threshold",
+        floor(col("target").cast("double") / col("total") * 10000.0).cast("long"))
+      .select(col("lang"), col("threshold"))
+    d.join(broadcast(thr), "lang")
+      .filter(col("bucket") < col("threshold"))
+      .groupBy(col("lang"), col("threshold"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_tokens")).cast("long").as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val mixRebalanceSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, length(text)),
+      |        i -> CAST(unicode(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS bucket
+      |  FROM documents),
+      |tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total FROM d GROUP BY lang),
+      |tgt AS (SELECT min(total) AS target FROM tot),
+      |thr AS (
+      |  SELECT lang,
+      |    CAST(floor(CAST(target AS DOUBLE) / total * 10000.0) AS BIGINT) AS threshold
+      |  FROM tot, tgt)
+      |SELECT d.lang, thr.threshold, count(*) AS kept_docs,
+      |  CAST(SUM(d.n_tokens) AS BIGINT) AS kept_tokens
+      |FROM d JOIN thr ON d.lang = thr.lang
+      |WHERE d.bucket < thr.threshold
+      |GROUP BY d.lang, thr.threshold ORDER BY d.lang""".stripMargin
+
   /** The flagship composite: language filter → quality gate → exact
     * content-dedup (keep lowest doc_id per md5 digest) → deterministic 50%
     * hash-sample → per-source corpus stats. This is the whole curation

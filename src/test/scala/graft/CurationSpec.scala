@@ -99,6 +99,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mix rebalance: kept tokens per lang approach the smallest lang") {
+    val r = Curation.mixRebalance(spark, sf()).collect()
+    assert(r.nonEmpty)
+    val totals = G.table(spark, sf(), "documents")
+      .withColumn("n", size(split(col("text"), "\\s+")).cast("long"))
+      .groupBy("lang").agg(sum("n").as("total")).collect()
+      .map(x => x.getAs[String]("lang") -> x.getAs[Long]("total")).toMap
+    val target = totals.values.min
+    r.foreach { row =>
+      val lang = row.getAs[String]("lang")
+      val kept = row.getAs[Long]("kept_tokens")
+      // subsample: never exceeds the original, lands near target (hash
+      // sampling variance at 500 docs is generous)
+      assert(kept <= totals(lang))
+      assert(kept <= target * 2)
+      // the smallest language keeps (nearly) everything: threshold 10000
+      if (totals(lang) == target)
+        assert(row.getAs[Long]("threshold") == 10000L)
+    }
+  }
+
   test("curation pipeline survivors are en, quality-gated, deduped, sampled") {
     val agg = Curation.curationPipeline(spark, sf()).collect()
     assert(agg.nonEmpty)
