@@ -60,6 +60,7 @@ object SparkEntry {
     "q_r13_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
     "q_r14_outer_join" -> ((s, d) => Relational.outerJoinNations(s, d)),
     "q_r15_semi_anti" -> ((s, d) => Relational.semiAntiSuppliers(s, d)),
+    "q_r16_subqueries" -> ((s, d) => Relational.subqueryRichCustomers(s, d)),
     // A9/W5 additive: session windows + approx quantiles
     "q_a9_session_windows" -> ((s, d) => TradeAggregates.sessionWindows(s, d)),
     "q_a10_approx_quantiles" -> ((s, d) => DashboardQueries.approxQuantiles(s, d)),
@@ -138,6 +139,7 @@ object SparkEntry {
     "q_r13_cube" -> Relational.cubeSummarySql,
     "q_r14_outer_join" -> Relational.outerJoinNationsSql,
     "q_r15_semi_anti" -> Relational.semiAntiSuppliersSql,
+    "q_r16_subqueries" -> Relational.subqueryRichCustomersSql,
     "q_a9_session_windows" -> TradeAggregates.sessionWindowsSql,
     "q_a10_exact_percentiles" -> DashboardQueries.exactPercentilesSql,
     "q_t5_top_terms" -> TextAnalysis.topTermsSql,

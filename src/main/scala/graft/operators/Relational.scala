@@ -435,6 +435,32 @@ object Relational {
       |FROM a FULL OUTER JOIN i USING (nationkey)
       |ORDER BY nationkey""".stripMargin
 
+  /** Scalar + correlated subqueries — the remaining SQL-surface family:
+    * customers whose account balance exceeds their nation's average
+    * (correlated per-nation aggregate) and the global average (scalar
+    * subquery). Expressed via spark.sql so Catalyst's subquery decorrelation
+    * does the rewrite (correlated agg → join with a grouped subquery;
+    * scalar subquery → single-row broadcast) — the declarative form scales
+    * to the decorrelated join plan automatically. */
+  def subqueryRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    G.table(spark, dir, "customer").createOrReplaceTempView("customer_sq")
+    // decimal-exact means (not avg(double)): the subquery result feeds a >
+    // comparison, so the cross-engine float-sum order invariant applies
+    spark.sql(subqueryRichCustomersSql.replace("FROM customer", "FROM customer_sq"))
+  }
+
+  val subqueryRichCustomersSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |                          / COUNT(c2.c_acctbal)
+      |                   FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND c_acctbal > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |                          / COUNT(c3.c_acctbal)
+      |                   FROM customer c3)
+      |ORDER BY c_custkey""".stripMargin
+
   /** CUBE grouping sets — additive, completing the rollup/cube/grouping-sets
     * family (same Expand-based plan as rollup, all 4 grouping combinations). */
   def cubeSummary(spark: SparkSession, dir: String): DataFrame =
