@@ -91,6 +91,7 @@ object SparkEntry {
     "q_t3_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_t4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_t6_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
+    "q_t7_bigram_novelty" -> ((s, d) => TextAnalysis.bigramNovelty(s, d)),
     // Corpus-curation family (training-data pipeline north-star)
     "q_c1_hash_sample" -> ((s, d) => Curation.hashSample(s, d)),
     "q_c2_source_caps" -> ((s, d) => Curation.sourceCaps(s, d)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_t3_token_counts" -> TextAnalysis.tokenCountsSql,
     "q_t4_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_t6_normalize" -> TextAnalysis.normalizeSql,
+    "q_t7_bigram_novelty" -> TextAnalysis.bigramNoveltySql,
     "q_c1_hash_sample" -> Curation.hashSampleSql,
     "q_c2_source_caps" -> Curation.sourceCapsSql,
     "q_c3_chunking" -> Curation.chunkSql,

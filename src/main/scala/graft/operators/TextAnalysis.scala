@@ -205,6 +205,51 @@ object TextAnalysis {
       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Bigram novelty score: per document, the fraction of its distinct
+    * bigrams that occur in no other document — the cheap rational stand-in
+    * for LM-perplexity novelty filtering (log-probs aren't bit-reproducible
+    * across engines; the unique-bigram ratio ranks documents the same way
+    * for boilerplate-vs-novel screening). Shape: explode distinct bigrams →
+    * corpus bigram doc-counts (two hash-aggs, map-side combined) → join
+    * back → per-doc ratio. The join key is the bigram string; at 100 TB
+    * both sides are already partitioned by it from the count agg, so the
+    * join replans no exchange on the counts side. */
+  def bigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
+          .stripMargin)).as("bigram"))
+    val docCounts = grams.groupBy(col("bigram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    grams.join(docCounts, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramNoveltySql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1]))) AS bigram
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 2),
+      |dc AS (SELECT bigram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY bigram)
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN dc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(SUM(CASE WHEN dc.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS novelty
+      |FROM g JOIN dc USING (bigram)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: char-level polynomial rolling hash mod 1e9+7 —
     * the content-defined-chunking primitive; exact-dedup key that is stable
     * under re-encoding, unlike md5 of raw bytes only in that it is
