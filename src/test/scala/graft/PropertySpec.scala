@@ -125,6 +125,54 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 8)
   }
 
+  test("fuzz: fast parse == declarative parse on randomized envelopes") {
+    import graft.operators.CdcParser
+    import org.apache.spark.sql.functions.col
+    // random envelope text: optional wrapper, random field subsets, random
+    // scalar shapes (quoted/unquoted/garbage), op sometimes missing,
+    // sometimes truncated JSON
+    val genField: Gen[String] = Gen.oneOf(
+      Gen.choose(0L, 99L).map(v => s""""trade_id": $v"""),
+      Gen.alphaStr.map(s => s""""market": "${s.take(8)}""""),
+      Gen.oneOf(
+        Gen.choose(0, 99999).map(v => s""""trade_price": "$v.25""""),
+        Gen.choose(0, 99).map(v => s""""trade_price": $v.5"""),
+        Gen.const(""""trade_price": "oops""""),
+        Gen.const(""""trade_price": null""")),
+      Gen.choose(0L, 9L).map(v => s""""sequential_id": $v"""),
+      Gen.const(""""unknown_extra": {"nested": [1, 2, {"x": "y"}]}"""))
+    val genImage: Gen[String] = Gen.oneOf(
+      Gen.const("null"),
+      Gen.listOf(genField).map(fs => "{" + fs.distinct.mkString(", ") + "}"))
+    val genEnvelope: Gen[String] = for {
+      before <- genImage
+      after <- genImage
+      hasOp <- Gen.oneOf(true, true, false)
+      op <- Gen.oneOf("c", "u", "d", "r")
+      ts <- Gen.choose(0L, 1000L)
+      srcTs <- Gen.choose(0L, 1000L)
+      wrapped <- Gen.oneOf(true, false)
+      truncate <- Gen.oneOf(false, false, false, true)
+    } yield {
+      val opPart = if (hasOp) s""", "op": "$op"""" else ""
+      val body = s"""{"before": $before, "after": $after$opPart, """ +
+        s""""ts_ms": $ts, "source": {"ts_ms": $srcTs, "db": "x"}}"""
+      val j = if (wrapped) s"""{"payload": $body}""" else body
+      if (truncate) j.dropRight(j.length / 3) else j
+    }
+    val prop = Prop.forAll(Gen.listOfN(60, genEnvelope)) { jsons =>
+      jsons.isEmpty || {
+        val df = jsons.toDF("json")
+        val slow = CdcParser.parseEnvelope(df, col("json"))
+          .collect().map(_.toSeq)
+        val fast = CdcParser.parseEnvelopeFast(df, col("json"))
+          .collect().map(_.toSeq)
+        slow.sortBy(_.toString()).toSeq == fast.sortBy(_.toString()).toSeq
+      }
+    }
+    check(prop, n = 8)
+  }
+
   test("simhash: identical text → distance 0; distance is symmetric") {
     val genText = Gen.listOfN(12,
       Gen.oneOf("spark", "flink", "query", "table", "scan", "merge", "row"))
