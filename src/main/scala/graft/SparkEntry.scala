@@ -52,6 +52,7 @@ object SparkEntry {
     "q_r5_customers_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_r6_running_totals" -> ((s, d) => Relational.supplierRunningTotals(s, d)),
     "q_r7_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "q_r7b_asof_native" -> ((s, d) => Relational.asofJoinNative(s, d)),
     "q_r8_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "q_r9_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_r10_pivot" -> ((s, d) => Relational.pivotRevenue(s, d)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_r5_customers_no_orders" -> Relational.customersWithoutOrdersSql,
     "q_r6_running_totals" -> Relational.supplierRunningTotalsSql,
     "q_r7_asof_join" -> Relational.asofJoinSql,
+    "q_r7b_asof_native" -> Relational.asofJoinSql,
     "q_r8_rollup" -> Relational.rollupSummarySql,
     "q_r9_setops" -> Relational.setOpsSql,
     "q_r10_pivot" -> Relational.pivotRevenueSql,

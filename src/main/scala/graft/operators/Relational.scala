@@ -202,6 +202,32 @@ object Relational {
       |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ms > s.ms
       |ORDER BY p.event_id""".stripMargin
 
+  /** As-of join via the NATIVE custom operator (graft.plans.AsOfJoin:
+    * LogicalPlan → Strategy → merge-join SparkPlan) — same semantics and
+    * same DuckDB ASOF oracle as [[asofJoin]] (the compositional
+    * union-window encoding, kept as the equivalence baseline). The native
+    * plan shuffles each side once on the key and streams a single forward
+    * merge per partition with one buffered right row — no union
+    * materialization, no null-padded window carry. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.eventsRaw(spark, dir)
+      .withColumn("ms", expr("ts_ns DIV 1000000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id").as("s_user"), col("ms").as("s_ms"),
+        col("signup_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    graft.plans.AsOfJoin.asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user",
+        leftTime = "ms", rightTime = "s_ms")
+      .select(col("event_id"), col("user_id"),
+        col("signup_id").as("prior_signup"),
+        (col("ms") - col("s_ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** Grouping-set aggregation (ROLLUP) — additive (SURVEY §2.11). Null
     * grouping keys are coalesced for cross-engine deterministic ordering. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
