@@ -122,6 +122,52 @@ object StreamingJobs {
         detectGroup)
   }
 
+  /** D1–D4 streaming on Spark 4's `transformWithState` — the successor API
+    * to flatMapGroupsWithState (typed per-state-variable handles, state
+    * TTL, timers, RocksDB-native layout). Same shared `step` fold and the
+    * same per-micro-batch (ts, id) ordering guarantee; StreamingSpec
+    * asserts output equality with the fMGWS variant. At scale TWS is the
+    * forward path: per-variable state enables independent eviction and
+    * schema evolution of detector state.
+    *
+    * Requires the RocksDB state store ([[configureStateStore]]) — TWS uses
+    * column families, which HDFSBackedStateStoreProvider lacks. */
+  def detectAnomaliesTws(parsed: DataFrame): Dataset[AnomalyAlert] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    evFromTrades(parsed).groupByKey(_.user_id)
+      .transformWithState(new DetectorProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The detector as a `StatefulProcessor`: one ValueState[DetectorState]
+    * per market key, carried across micro-batches. */
+  private[streaming] class DetectorProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AnomalyDetection.Ev, AnomalyAlert] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[DetectorState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DetectorState]("detector",
+        org.apache.spark.sql.Encoders.product[DetectorState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[AnomalyDetection.Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[AnomalyAlert] = {
+      var st = if (state.exists()) state.get() else DetectorState.empty
+      val out = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).flatMap { e =>
+        val (alerts, st2) = AnomalyDetection.step(st, e)
+        st = st2
+        alerts
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
   /** Map parsed trade rows to detector input. The key is a per-market
     * numeric id whose low bits encode the threshold tier, mirroring the
     * reference's market-string tiering (`AnomalyDetector.java:182-186`:

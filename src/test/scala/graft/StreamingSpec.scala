@@ -92,6 +92,29 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == local)
   }
 
+  test("transformWithState detector == flatMapGroupsWithState detector") {
+    val trades = Synthetic.trades(200)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    // TWS needs column families -> RocksDB provider (production config W4)
+    StreamingJobs.configureStateStore(spark)
+    val q = StreamingJobs.detectAnomaliesTws(parsedStream(jsons))
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val tws = spark.table("tws_out")
+      .select("alert_type", "market", "trade_id")
+      .collect().map(_.toSeq).toSet
+    val q2 = StreamingJobs.detectAnomaliesStream(parsedStream(jsons))
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val fmgws = spark.table("fmgws_out")
+      .select("alert_type", "market", "trade_id")
+      .collect().map(_.toSeq).toSet
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
+
   test("streaming minute rollup == batch rollup (A3 MV analogue)") {
     val trades = Synthetic.trades(240)
     val jsons = trades.map(t => Synthetic.envelopeJson(t, latencyMs = t.trade_id % 50))
