@@ -43,6 +43,7 @@ object Graft {
   def open(spark: SparkSession, dir: String): Unit = {
     operators.SqlSurface.createViews(spark, dir)
     functions.VectorExpressions.ensureRegistered(spark)
+    functions.HashExpressions.ensureRegistered(spark)
     streaming.StreamingJobs.configureStateStore(spark)
   }
 

@@ -255,25 +255,15 @@ object TextAnalysis {
     * under re-encoding, unlike md5 of raw bytes only in that it is
     * reproducible in plain SQL on any engine. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
-    // tight-loop mapPartitions: higher-order aggregate() is interpreted
-    // per character (see Dedup.fnv64 note); the arithmetic below is
-    // bit-identical to the SQL oracle's list_reduce
+    graft.functions.HashExpressions.ensureRegistered(spark)
+    // round 2: the rolling hash is now a native codegen Expression
+    // (graft.functions.PolyHash) — same arithmetic as the previous
+    // mapPartitions loop (VectorExprSpec asserts parity) but the query
+    // stays a pure whole-stage-codegen projection with no object boundary
     docs(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .mapPartitions { it =>
-        it.map { case (id, text, nChars) =>
-          var acc = 0L
-          var i = 0
-          while (i < text.length) {
-            acc = (acc * 31 + text.codePointAt(i)) % 1000000007L
-            i += Character.charCount(text.codePointAt(i))
-          }
-          (id, acc, nChars)
-        }
-      }.toDF("doc_id", "fp", "n_chars")
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.poly_hash(col("text")).as("fp"),
+        col("n_chars"))
       .orderBy(col("doc_id"))
   }
 

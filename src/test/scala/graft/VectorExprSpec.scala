@@ -30,6 +30,34 @@ class VectorExprSpec extends SparkSpec {
     assert(viaSql == viaExpr)
   }
 
+  test("poly_hash: codegen == interpreted == tight-loop kernel, incl. SQL") {
+    import graft.functions.HashExpressions
+    HashExpressions.ensureRegistered(spark)
+    val texts = Seq("", "a", "hello world", "ünïcødé ⚡ text",
+      "the quick brown fox", "𝔘nicode surrogates 𝄞")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+      HashExpressions.poly_hash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the Scala loop shared with Dedup/TextAnalysis kernels
+    def ref(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        h = (h * 31 + s.codePointAt(i)) % 1000000007L
+        i += Character.charCount(s.codePointAt(i))
+      }
+      h
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(viaExpr(i.toLong) == ref(t), s"mismatch on '$t'")
+    }
+    df.createOrReplaceTempView("ph_texts")
+    val viaSql = spark.sql("SELECT id, poly_hash(text) AS h FROM ph_texts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaExpr)
+  }
+
   test("cosine of a vector with itself is 1.0") {
     VectorExpressions.ensureRegistered(spark)
     val df = Seq((1L, Seq(0.5, -1.5, 2.0))).toDF("id", "v")
