@@ -210,25 +210,14 @@ object Curation {
     * `bucket < threshold` filter; the text never shuffles. Thresholds are
     * integer (floor(rate·10000)), so the oracle comparison is exact. */
   def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
-    // one tight-loop pass: token count (SQL-split semantics: limit -1 keeps
-    // boundary empties exactly like DuckDB string_split_regex) + rolling
-    // fingerprint mod 1e9+7 → stable per-doc sampling bucket in [0, 10000)
+    graft.functions.HashExpressions.ensureRegistered(spark)
+    // fully declarative since round 2's PolyHash expression: token count and
+    // sampling bucket are codegen'd projections — no object boundary
     val d = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, lang, text) =>
-          val nTokens = text.split("\\s+", -1).length.toLong
-          var h = 0L
-          var i = 0
-          while (i < text.length) {
-            h = (h * 31 + text.codePointAt(i)) % 1000000007L
-            i += Character.charCount(text.codePointAt(i))
-          }
-          (id, lang, nTokens, h % 10000L)
-        }
-      }.toDF("doc_id", "lang", "n_tokens", "bucket")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)").as("n_tokens"),
+        (graft.functions.HashExpressions.poly_hash(col("text")) % 10000L)
+          .as("bucket"))
     val tot = d.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).cast("long").as("total"))
     val target = tot.agg(min(col("total")).as("target"))
