@@ -107,7 +107,8 @@ object SparkEntry {
     // Multimodal binary-column plumbing (decode stubbed)
     "q_m1_media_metadata" -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "q_m2_extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
-    "q_m3_sample_frames" -> ((s, d) => Multimodal.sampleFrames(s, d))
+    "q_m3_sample_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "q_m4_resize" -> ((s, d) => Multimodal.resize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m2_extract_features" -> Multimodal.extractFeaturesSql,
-    "q_m3_sample_frames" -> Multimodal.sampleFramesSql
+    "q_m3_sample_frames" -> Multimodal.sampleFramesSql,
+    "q_m4_resize" -> Multimodal.resizeSql
   )
 }

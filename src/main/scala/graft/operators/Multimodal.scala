@@ -121,6 +121,50 @@ object Multimodal {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Batched "resize" over the binary column — the remaining multimodal
+    * stage from the north-star list (decode / features / RESIZE / frames).
+    * STUB resample: keep every 2nd byte (a real impl does pixel-space
+    * resampling after decode); the REAL part is the plumbing — an
+    * iterator-to-iterator partition pass producing a new binary column plus
+    * transformed metadata, blob in and blob out staying columnar. The
+    * output carries `hex(resized)` so the oracle can rebuild the exact
+    * bytes from DuckDB's `hex(encode(text))` and compare bit-for-bit. */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .select(col("doc_id"), col("media"),
+        col("media_meta.width").as("w"), col("media_meta.height").as("h"))
+      .as[(Long, Array[Byte], Long, Long)]
+      .mapPartitions { it =>
+        // per-partition init (real impl: codec handle once, not per row)
+        it.map { case (id, bytes, w, h) =>
+          val resized = new Array[Byte]((bytes.length + 1) / 2)
+          var i = 0
+          while (i < resized.length) { resized(i) = bytes(2 * i); i += 1 }
+          (id, bytes.length.toLong, resized.length.toLong,
+            (w + 1) / 2, (h + 1) / 2, resized)
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "new_bytes", "new_width", "new_height",
+        "resized")
+      .select(col("doc_id"), col("orig_bytes"), col("new_bytes"),
+        col("new_width"), col("new_height"),
+        hex(col("resized")).as("resized_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val resizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+      |  CAST((n + 1) // 2 AS BIGINT) AS new_bytes,
+      |  CAST(((n % 640 + 1) + 1) // 2 AS BIGINT) AS new_width,
+      |  CAST(((n % 480 + 1) + 1) // 2 AS BIGINT) AS new_height,
+      |  array_to_string(list_transform(range(0, (n + 1) // 2),
+      |    i -> substr(hx, CAST(4 * i + 1 AS INT), 2)), '') AS resized_hex
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Frame-sampling shape: one row per sampled "frame" (every 256-byte
     * block stands in for a video frame) — the explode-with-position
     * pattern used for video→frame tables; metadata-only, blob untouched. */
