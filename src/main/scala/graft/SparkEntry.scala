@@ -32,6 +32,7 @@ object SparkEntry {
     // A5: distinct (exact for oracle; approx variant rows-only)
     "q_a5_distinct_users" -> ((s, d) => DashboardQueries.distinctUsers(s, d)),
     "q_a5_approx_distinct" -> ((s, d) => DashboardQueries.approxDistinctUsers(s, d)),
+    "q_a5_sketch_union" -> ((s, d) => DashboardQueries.sketchUnionUsers(s, d)),
     // A6: liveness conditional on aggregate
     "q_a6_liveness" -> ((s, d) => DashboardQueries.liveness(s, d)),
     // A7: grouped time-series

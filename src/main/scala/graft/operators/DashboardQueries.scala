@@ -79,6 +79,24 @@ object DashboardQueries {
     G.events(spark, dir)
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
 
+  /** A5 (shard-and-merge path): MERGEABLE HLL sketches — the pattern a
+    * 100 TB pipeline actually runs: build one Datasketches-HLL binary per
+    * shard (here: per day), store them, and answer "distinct over any
+    * date range" by UNIONING sketches without rescanning raw data.
+    * `hll_sketch_agg` per group → `hll_union_agg` across groups; the per-day
+    * estimates and the merged total come from one sketch pass. Rows-only
+    * (sketch binaries are engine-specific); DashboardSpec bounds the
+    * estimate against the exact count. */
+  def sketchUnionUsers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = G.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sketch"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("distinct_users_merged"))
+  }
+
   /** Approximate quantiles over the value column — the sketch-based path
     * for latency-percentile panels at 100 TB (exact percentiles need a full
     * sort; the t-digest/GK sketch is one pass, mergeable state). Rows-only:

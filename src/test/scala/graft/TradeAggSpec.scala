@@ -55,4 +55,15 @@ class TradeAggSpec extends SparkSpec {
     assert(r(1).getAs[java.sql.Timestamp]("window_start").toString
       .startsWith("2024-01-01 00:05:00"))
   }
+
+  test("merged HLL sketch estimate is within 5% of the exact distinct") {
+    val r = graft.operators.DashboardQueries.sketchUnionUsers(spark, sf())
+      .collect().head
+    val est = r.getAs[Long]("distinct_users_merged").toDouble
+    val exact = G.events(spark, sf())
+      .select("user_id").distinct().count().toDouble
+    assert(r.getAs[Long]("n_days") >= 1)
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"estimate $est vs exact $exact")
+  }
 }
