@@ -122,6 +122,18 @@ object Stress {
           .filter(col("rn") <= 3)
           .write.mode("overwrite").format("noop").save()
       },
+      // sign-LSH ANN ingest (round 2): bucket signatures for 500k synthetic
+      // 64-d vectors — 16 tables × 6 bits × 64 dims of plane dots per
+      // vector, the mapPartitions hot loop behind q_y4/q_y4b
+      time("signlsh_signatures") {
+        val nVecs = math.min(n, 500000L)
+        val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63),
+                 |  d -> CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+            .stripMargin).as("embedding"))
+        graft.operators.Similarity.signatureStage(vecs)
+          .write.mode("overwrite").format("noop").save()
+      },
       // curation family (round 2): 1M synthetic docs through the funnel's
       // hot stages — hash-sample filter, chunk explode, bigram census
       time("curation_stages") {

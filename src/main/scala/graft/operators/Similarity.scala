@@ -125,15 +125,18 @@ object Similarity {
     * tight mapPartitions loop (see Dedup.fnv64 note); the only joins are
     * bucket-equality. Rows-only (banding isn't SQL-expressible); the spec
     * asserts outputs ⊆ brute-force pairs at the same threshold. */
-  def lshNearDups(spark: SparkSession, dir: String, tables: Int = 16,
-      bits: Int = 6, threshold: Double = 0.35): DataFrame = {
-    import spark.implicits._
-    val e = embeddings(spark, dir)
+  /** The sign-LSH ingest stage: (vec_id, v: array<double>) → per-table
+    * bucket ids. Hyperplane sign matrix computed ONCE per partition (the
+    * deterministic planes are tiny: tables×bits×dims booleans); shared by
+    * [[lshNearDups]] and the Stress throughput harness. */
+  private[graft] def signatureStage(df: DataFrame, tables: Int = 16,
+      bits: Int = 6): DataFrame = {
+    val spark2 = df.sparkSession
+    import spark2.implicits._
     val dims = 64 // embedding dimensionality (driver schema)
-    val sigs = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    val vCol = if (df.columns.contains("v")) "v" else "embedding"
+    df.select(col("vec_id"), col(vCol)).as[(Long, Array[Double])]
       .mapPartitions { it =>
-        // hyperplane sign matrix computed ONCE per partition (the
-        // deterministic planes are tiny: tables×bits×dims booleans)
         val planes = Array.tabulate(tables, bits, dims) { (t, b, d) =>
           (Dedup.fnv64(s"$t:$b:$d") & 1L) == 0L
         }
@@ -159,6 +162,12 @@ object Similarity {
           (id, buckets.toSeq)
         }
       }.toDF("vec_id", "buckets")
+  }
+
+  def lshNearDups(spark: SparkSession, dir: String, tables: Int = 16,
+      bits: Int = 6, threshold: Double = 0.35): DataFrame = {
+    val e = embeddings(spark, dir)
+    val sigs = signatureStage(e.select(col("vec_id"), col("v")), tables, bits)
     // the bucket frame feeds BOTH sides of the self-join — cache it so
     // signatures are computed once (at scale: persist signatures as a table);
     // Bench/Verify clearCache() between queries so these blocks don't
@@ -199,7 +208,7 @@ object Similarity {
     import spark.implicits._
     val e = embeddings(spark, dir)
     val dims = 64
-    val sigs = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    val sigs = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val planes = Array.tabulate(tables, bits, dims) { (t, b, d) =>
           (Dedup.polyHashMod(s"$t:$b:$d") & 1L) == 0L
