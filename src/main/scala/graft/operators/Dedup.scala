@@ -130,7 +130,7 @@ object Dedup {
           else {
             val sh = Array.tabulate(toks.length - 2)(i =>
               s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
-            Some((id, sh.toSeq, minhashSig(sh.iterator).toSeq))
+            Some((id, sh, minhashSig(sh.iterator)))
           }
         }
       }.toDF("doc_id", "shingles", "minhash")
@@ -326,7 +326,7 @@ object Dedup {
               while (j < 4) { a = (a * 31 + sig(b * 4 + j)) % P; j += 1 }
               a
             }
-            Some((id, sh.toSeq, buckets.toSeq))
+            Some((id, sh, buckets))
           }
         }
       }.toDF("doc_id", "shingles", "buckets").cache()

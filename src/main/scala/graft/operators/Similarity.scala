@@ -159,7 +159,7 @@ object Similarity {
             (t.toLong << 32) | sig // table-qualified bucket id (collision-free
                                    // for any bits <= 32, not just the default 6)
           }
-          (id, buckets.toSeq)
+          (id, buckets)
         }
       }.toDF("vec_id", "buckets")
   }
@@ -231,7 +231,7 @@ object Similarity {
             }
             (t.toLong << 32) | sig
           }
-          (id, buckets.toSeq)
+          (id, buckets)
         }
       }.toDF("vec_id", "buckets")
     val banded = Dedup.capBuckets(
