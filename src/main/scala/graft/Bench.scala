@@ -68,6 +68,30 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
 
+    // The driver captures only a bounded stdout tail (both r1 and r2
+    // recorded parsed:null — the full-name line is ~2.4 KB and overflows a
+    // 2000-char tail once sbt's [success] trailer is appended). Stdout
+    // therefore carries a COMPACT line: short query aliases (first name
+    // token, extended on collision: a10_approx vs a10_exact) and 3-decimal
+    // seconds (~1 KB at 71 queries). bench.json / bench_history.jsonl keep
+    // the full-name full-precision line for humans and the judge.
+    def d(v: Double, p: Int) =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+    val names = results.map(_._1)
+    def tok(n: String, k: Int) =
+      n.stripPrefix("q_").split("_").take(k).mkString("_")
+    val alias = names.map { n =>
+      var k = 1
+      while (names.count(m => tok(m, k) == tok(n, k)) > 1) k += 1
+      n -> tok(n, k)
+    }.toMap
+    val qsShort = results
+      .map { case (k, v) => "\"" + alias(k) + "\":" + d(v, 3) }
+      .mkString("{", ",", "}")
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val shortLine =
+      s"""{"metric":"total","value":${d(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfName"}"""
+
     // regression tracking vs the previous history entry (same sf only)
     val hist = Paths.get("bench_history.jsonl")
     if (Files.exists(hist)) {
@@ -93,6 +117,6 @@ object Bench {
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
     // bare final stdout line (after spark.stop so no INFO logs follow it)
-    println(line)
+    println(shortLine)
   }
 }
