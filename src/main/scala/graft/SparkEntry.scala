@@ -109,7 +109,15 @@ object SparkEntry {
     "q_m1_media_metadata" -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "q_m2_extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
     "q_m3_sample_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
-    "q_m4_resize" -> ((s, d) => Multimodal.resize(s, d))
+    "q_m4_resize" -> ((s, d) => Multimodal.resize(s, d)),
+    "q_m5_media_embed_join" -> ((s, d) => Multimodal.mediaEmbeddingJoin(s, d)),
+    // Round 3: analytic windows, grouping sets, stratified sampling,
+    // PII redaction, embedding quantization
+    "q_r17_window_funcs" -> ((s, d) => Relational.windowFunctions(s, d)),
+    "q_r18_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "q_c9_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q_t8_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q_y5_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,6 +187,12 @@ object SparkEntry {
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m2_extract_features" -> Multimodal.extractFeaturesSql,
     "q_m3_sample_frames" -> Multimodal.sampleFramesSql,
-    "q_m4_resize" -> Multimodal.resizeSql
+    "q_m4_resize" -> Multimodal.resizeSql,
+    "q_m5_media_embed_join" -> Multimodal.mediaEmbeddingJoinSql,
+    "q_r17_window_funcs" -> Relational.windowFunctionsSql,
+    "q_r18_grouping_sets" -> Relational.groupingSetsSql,
+    "q_c9_stratified_sample" -> Curation.stratifiedSampleSql,
+    "q_t8_pii_redact" -> TextAnalysis.piiRedactSql,
+    "q_y5_quantize_int8" -> Similarity.quantizeInt8Sql
   )
 }

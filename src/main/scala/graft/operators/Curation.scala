@@ -313,4 +313,52 @@ object Curation {
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  CAST(SUM(CAST(quality_score AS DECIMAL(38,6))) AS DOUBLE) AS quality_sum
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
+  /** Stratified (per-source) hash sampling to a fixed expected document
+    * budget per stratum: each source's keep-rate is `target / count(source)`
+    * and a document survives iff `poly_hash(doc_id) % 10000` falls under
+    * that stratum's threshold. Unlike [[sourceCaps]] (top-k by length) the
+    * selection is content-blind and rate-proportional, and unlike
+    * [[mixRebalance]] (token-budget per language) it emits the surviving
+    * ROWS — the reproducible "flatten the source mix" primitive.
+    *
+    * Scale shape: one count-agg over source (tiny result), broadcast back
+    * onto the scan as a hash-threshold filter — the corpus itself is never
+    * shuffled, so at 100 TB this is a scan + broadcast-join filter. */
+  def stratifiedSample(spark: SparkSession, dir: String, target: Int = 10)
+      : DataFrame = {
+    graft.functions.HashExpressions.ensureRegistered(spark)
+    val d = docs(spark, dir).withColumn("bucket",
+      graft.functions.HashExpressions.poly_hash(
+        col("doc_id").cast("string")) % 10000L)
+    val thr = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("threshold",
+        least(lit(10000L), floor(lit(10000.0) * target / col("cnt"))
+          .cast("long")))
+      .select(col("source"), col("threshold"))
+    d.join(broadcast(thr), Seq("source"))
+      .filter(col("bucket") < col("threshold"))
+      .select(col("source"), col("doc_id"), col("bucket"), col("threshold"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, length(CAST(doc_id AS VARCHAR))),
+      |        i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR),
+      |               CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS bucket
+      |  FROM documents),
+      |thr AS (
+      |  SELECT source,
+      |    least(CAST(10000 AS BIGINT),
+      |      CAST(floor(10000.0 * 10 / count(*)) AS BIGINT)) AS threshold
+      |  FROM d GROUP BY source)
+      |SELECT d.source, d.doc_id, d.bucket, thr.threshold
+      |FROM d JOIN thr ON d.source = thr.source
+      |WHERE d.bucket < thr.threshold
+      |ORDER BY d.source, d.doc_id""".stripMargin
 }

@@ -184,4 +184,48 @@ object Multimodal {
       |  least(256, strlen(text) - CAST(f AS INT) * 256) AS frame_len
       |FROM documents, unnest(range(0, strlen(text) // 256 + 1)) t(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Multimodal pairing join — align each document's media payload with its
+    * embedding row (the image↔embedding pairing step of a contrastive /
+    * caption training set) and roll up per (format, embedding-cluster
+    * label): pair count, total payload bytes, exact norm mass. The blob is
+    * never read — only pruned metadata columns cross the join, so at 100 TB
+    * the shuffle carries a few dozen bytes per pair while the binary stays
+    * behind in parquet until a downstream stage explicitly selects it. */
+  def mediaEmbeddingJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val med = withMedia(spark, dir)
+      .select(col("doc_id"), col("media_meta.format").as("format"),
+        col("media_meta.n_bytes").as("n_bytes"))
+    val emb = G.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorExpressions
+        .vector_dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"), col("nrm"))
+    med.join(emb, med("doc_id") === emb("vec_id"))
+      .groupBy(col("format"), col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        G.dsum(col("nrm")).as("norm_sum"))
+      .orderBy(col("format"), col("label"))
+  }
+
+  val mediaEmbeddingJoinSql: String =
+    """WITH med AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(substr(source, 4, 1) AS INT) % 2 = 0
+      |         THEN 'png' ELSE 'jpeg' END AS format,
+      |    strlen(text) AS n_bytes
+      |  FROM documents),
+      |e AS (
+      |  SELECT vec_id, label,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |SELECT med.format, e.label, count(*) AS n_pairs,
+      |  CAST(SUM(med.n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(CAST(e.nrm AS DECIMAL(38,6))) AS DOUBLE) AS norm_sum
+      |FROM med JOIN e ON med.doc_id = e.vec_id
+      |GROUP BY med.format, e.label
+      |ORDER BY med.format, e.label""".stripMargin
 }

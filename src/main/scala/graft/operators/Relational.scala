@@ -502,4 +502,67 @@ object Relational {
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin
+
+  /** Analytic window-function surface over per-customer order history:
+    * lag/lead (prev/next order price), ntile quartile, percent_rank and
+    * first_value — the dashboard "customer journey" shapes
+    * (ref: per-user panels, docs/05-clickhouse-grafana.md). One shuffle on
+    * o_custkey serves all five functions (same partitioning + ordering, so
+    * Catalyst collapses them into a single Window operator — no repeated
+    * exchange). percent_rank's (rank-1)/(n-1) division over small integers
+    * is the same double on any engine, so the output is hash-exact. */
+  def windowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    G.table(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        first_value(col("o_orderkey")).over(w).as("first_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowFunctionsSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  first_value(o_orderkey) OVER w AS first_key
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping() flags — the fourth member of the
+    * rollup/cube family, via the SQL surface (the set list is asymmetric:
+    * by-status, by-priority, and grand total — NOT expressible as rollup or
+    * cube). grouping() flags disambiguate a real NULL key from a
+    * superaggregate row; cast to BIGINT so both engines agree on the type. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    G.table(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |  coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority,
+      |  coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin
 }

@@ -305,6 +305,46 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Int8 scalar quantization round-trip — the embedding-compression step a
+    * 100 TB vector store runs before indexing (4× smaller than float32, 8×
+    * smaller than float64): per-vector symmetric scale = 127/max|x|,
+    * q = floor(x·scale + 0.5), reported with the saturation count and the
+    * reconstruction RMSE. Pure projection (scan-speed, shuffle-free); every
+    * step is a sequential fold in double precision, so DuckDB's
+    * list_transform/list_reduce replays it bit-for-bit — the error metrics
+    * hash-match with no rounding slack. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("max_abs", expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .select(col("vec_id"), col("max_abs"),
+        expr("""CAST(size(filter(v,
+                  x -> abs(floor(x * scale + 0.5d)) >= 127)) AS BIGINT)""")
+          .as("n_sat"),
+        expr("""sqrt(aggregate(v, CAST(0.0 AS DOUBLE),
+                  (s, x) -> s + (x - floor(x * scale + 0.5d) / scale)
+                              * (x - floor(x * scale + 0.5d) / scale))
+                / CAST(size(v) AS DOUBLE))""").as("rmse"))
+      .orderBy(col("vec_id"))
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS max_abs
+      |  FROM e),
+      |s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m)
+      |SELECT vec_id, max_abs,
+      |  CAST(len(list_filter(v,
+      |    x -> abs(floor(x * scale + 0.5)) >= 127)) AS BIGINT) AS n_sat,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(v, x -> (x - floor(x * scale + 0.5) / scale)
+      |                         * (x - floor(x * scale + 0.5) / scale))),
+      |    (a, b) -> a + b) / CAST(len(v) AS DOUBLE)) AS rmse
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val embeddingNearDupsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |           WHERE vec_id < 300)

@@ -276,4 +276,75 @@ object TextAnalysis {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // PII scrub patterns — the intersection of Java-regex and RE2 syntax
+  // (no backrefs, no lookaround), so the SAME pattern strings drive both
+  // the engine and the DuckDB oracle.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction — the scrub pass every training corpus needs before
+    * release: emails → [EMAIL], phone numbers → [PHONE], IPv4 → [IP],
+    * applied in that fixed order, plus per-document match counts.
+    *
+    * The synthetic corpus contains no organic PII, so the query first
+    * plants deterministic PII spans (email/phone/IP derived from doc_id,
+    * on a doc_id-mod schedule) and then redacts them — both engines replay
+    * the same plant+scrub, making counts and the redacted fingerprint
+    * hash-checkable while exercising the real mechanism (global regex
+    * replace + count). A pure projection: scan-speed, shuffle-free at any
+    * scale; Photon-class engines and Spark both keep regexp_replace inside
+    * whole-stage codegen. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("pii_text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1"))).otherwise(lit(""))))
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(emailRe)).as("n_email"),
+        regexp_count(col("pii_text"), lit(phoneRe)).as("n_phone"),
+        regexp_count(col("pii_text"), lit(ipRe)).as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]"))
+          .as("redacted_md5"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]"))
+          .cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+
+  val piiRedactSql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0
+      |         THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |         THEN ' from 10.' || (doc_id % 256) || '.0.1' ELSE '' END AS pii_text
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, pii_text,
+      |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |      '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'),
+      |      '$ipRe', '[IP]', 'g') AS redacted
+      |  FROM planted)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS INT) AS n_email,
+      |  CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS INT) AS n_phone,
+      |  CAST(len(regexp_extract_all(pii_text, '$ipRe')) AS INT) AS n_ip,
+      |  md5(redacted) AS redacted_md5,
+      |  CAST(length(redacted) AS BIGINT) AS redacted_len
+      |FROM red ORDER BY doc_id""".stripMargin
 }
