@@ -161,6 +161,62 @@ object Stress {
         sampled.write.mode("overwrite").format("noop").save()
         chunks.write.mode("overwrite").format("noop").save()
         bigrams.write.mode("overwrite").format("noop").save()
+      },
+      // round 3: int8 quantization metrics over 1M synthetic 64-d vectors —
+      // codegen QuantStats expression vs the CodegenFallback HOF folds
+      // (bit-equal results, Round3OpsSpec; the gap is the reason the
+      // expression exists)
+      time("quantize_expr") {
+        graft.functions.VectorExpressions.ensureRegistered(spark)
+        val nVecs = math.min(n, 1000000L)
+        val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63),
+                 |  d -> CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+            .stripMargin).as("v"))
+        vecs.withColumn("q",
+            graft.functions.VectorExpressions.quant_stats(col("v")))
+          .select(col("vec_id"), col("q.max_abs"), col("q.n_sat"), col("q.rmse"))
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("quantize_hof") {
+        val nVecs = math.min(n, 1000000L)
+        val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63),
+                 |  d -> CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+            .stripMargin).as("v"))
+        vecs.withColumn("max_abs", expr(
+            "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+          .withColumn("scale", lit(127.0) / col("max_abs"))
+          .select(col("vec_id"), col("max_abs"),
+            expr("""CAST(size(filter(v,
+                      x -> abs(floor(x * scale + 0.5d)) >= 127)) AS BIGINT)""")
+              .as("n_sat"),
+            expr("""sqrt(aggregate(v, CAST(0.0 AS DOUBLE),
+                      (s, x) -> s + (x - floor(x * scale + 0.5d) / scale)
+                                  * (x - floor(x * scale + 0.5d) / scale))
+                    / CAST(size(v) AS DOUBLE))""").as("rmse"))
+          .write.mode("overwrite").format("noop").save()
+      },
+      // round 3: PII regex scrub over 1M synthetic docs — three global
+      // regexp_replace passes + three regexp_count, all codegen'd
+      time("pii_redact") {
+        val nDocs = math.min(n, 1000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{3}-[0-9]{4}"
+        val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        docs.withColumn("pii_text", concat(col("text"),
+            when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+              col("doc_id"), lit("@example.com"))).otherwise(lit(""))))
+          .select(col("doc_id"),
+            regexp_count(col("pii_text"), lit(emailRe)).as("n_email"),
+            length(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+              emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]"))
+              .as("redacted_len"))
+          .write.mode("overwrite").format("noop").save()
       })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -56,20 +56,112 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8-quantization statistics of an array<double> in one codegen'd pass:
+  * struct(max_abs, n_sat, rmse) for the symmetric scale 127/max|x|,
+  * q = floor(x·scale + 0.5).
+  *
+  * Same justification as [[VectorDot]]: the higher-order-function
+  * formulation (three `aggregate`/`filter` folds) is CodegenFallback — a
+  * closure call per element per fold; this generates two primitive loops
+  * (max pass, then error pass) inside whole-stage codegen. Arithmetic is
+  * the identical sequential fold, so results are bit-equal to the HOF
+  * formulation and the DuckDB list_transform/list_reduce oracle
+  * (Round3OpsSpec pins the parity). */
+case class QuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_abs", DoubleType, nullable = false),
+    StructField("n_sat", LongType, nullable = false),
+    StructField("rmse", DoubleType, nullable = false)))
+  override def prettyName: String = "quant_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    val scale = 127.0 / maxAbs
+    var sat = 0L
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val q = math.floor(x * scale + 0.5)
+      if (math.abs(q) >= 127.0) sat += 1
+      val e = x - q / scale
+      s += e * e
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](maxAbs, sat, math.sqrt(s / n)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val a = ctx.freshName("a")
+      val scale = ctx.freshName("scale")
+      val sat = ctx.freshName("sat")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val q = ctx.freshName("q")
+      val e = ctx.freshName("e")
+      s"""
+         |int $n = $v.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs($v.getDouble($i));
+         |  if ($a > $maxAbs) $maxAbs = $a;
+         |}
+         |double $scale = 127.0 / $maxAbs;
+         |long $sat = 0L;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.getDouble($i);
+         |  double $q = java.lang.Math.floor($x * $scale + 0.5);
+         |  if (java.lang.Math.abs($q) >= 127.0) $sat++;
+         |  double $e = $x - $q / $scale;
+         |  $s += $e * $e;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$maxAbs, $sat, java.lang.Math.sqrt($s / $n)});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantStats =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.functions.{call_function, sqrt}
 
-  /** Register `vector_dot` in the session's function registry — the
-    * supported Spark 4 route to a custom Expression (Column↔Expression
-    * bridges are private to the sql package). Idempotent. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Register `vector_dot` + `quant_stats` in the session's function
+    * registry — the supported Spark 4 route to a custom Expression
+    * (Column↔Expression bridges are private to the sql package).
+    * Idempotent. */
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_stats", exprs => QuantStats(exprs.head), "built-in")
+  }
 
   /** Dot product of two array<double> columns (codegen'd).
     * Requires ensureRegistered on the session. */
   def vector_dot(a: Column, b: Column): Column =
     call_function("vector_dot", a, b)
+
+  /** struct(max_abs, n_sat, rmse) of int8 quantization of an array<double>
+    * column (codegen'd). Requires ensureRegistered on the session. */
+  def quant_stats(v: Column): Column = call_function("quant_stats", v)
 
   /** Cosine similarity built from vector_dot — same fold order as the
     * DuckDB oracle (`list_dot_product` / sqrt composition). */

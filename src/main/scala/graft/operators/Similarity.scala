@@ -315,6 +315,17 @@ object Similarity {
     * hash-match with no rounding slack. */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
+      .withColumn("q", graft.functions.VectorExpressions.quant_stats(col("v")))
+      .select(col("vec_id"), col("q.max_abs").as("max_abs"),
+        col("q.n_sat").as("n_sat"), col("q.rmse").as("rmse"))
+      .orderBy(col("vec_id"))
+
+  /** Higher-order-function formulation of [[quantizeInt8]] — CodegenFallback
+    * (closure per element per fold), kept as the readable reference;
+    * Round3OpsSpec asserts bit-equality with the codegen QuantStats
+    * expression, and graft.Stress quantifies the gap at 1 M vectors. */
+  private[graft] def quantizeInt8Hof(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
       .withColumn("max_abs", expr(
         "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
       .withColumn("scale", lit(127.0) / col("max_abs"))

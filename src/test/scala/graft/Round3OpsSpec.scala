@@ -80,6 +80,20 @@ class Round3OpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("quant_stats codegen expression == higher-order-function fold, bit for bit") {
+    val fast = Similarity.quantizeInt8(spark, sf()).collect()
+    val hof = Similarity.quantizeInt8Hof(spark, sf()).collect()
+    assert(fast.length == hof.length && fast.length > 0)
+    fast.zip(hof).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(1)), s"max_abs $a $b")
+      assert(a.getLong(2) == b.getLong(2), s"n_sat $a $b")
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(3)), s"rmse $a $b")
+    }
+  }
+
   test("media-embedding join: pair counts conserve and blob never joins") {
     val r = Multimodal.mediaEmbeddingJoin(spark, sf())
     val docs = G.table(spark, sf(), "documents").count()
