@@ -94,6 +94,31 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters == union-find ground truth on the same pair graph") {
+    val pairs = operators.Dedup.simhashNearDups(spark, sf())
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(v => (v, find(v))).toSeq
+      .groupBy(_._2).map { case (root, vs) =>
+        // operator labels clusters by min member id — so does find() here
+        (root, vs.size.toLong, vs.map(_._1).max)
+      }.toSet
+    val got = operators.Dedup.dedupClusters(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth)
+    assert(got.nonEmpty)
+  }
+
   test("media-embedding join: pair counts conserve and blob never joins") {
     val r = Multimodal.mediaEmbeddingJoin(spark, sf())
     val docs = G.table(spark, sf(), "documents").count()
