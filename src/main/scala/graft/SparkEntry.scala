@@ -118,7 +118,8 @@ object SparkEntry {
     "q_c9_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q_t8_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_y5_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
-    "q_c10_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d))
+    "q_c10_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "q_y6_ivf_build" -> ((s, d) => Similarity.ivfBuild(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,6 +196,7 @@ object SparkEntry {
     "q_c9_stratified_sample" -> Curation.stratifiedSampleSql,
     "q_t8_pii_redact" -> TextAnalysis.piiRedactSql,
     "q_y5_quantize_int8" -> Similarity.quantizeInt8Sql,
-    "q_c10_dedup_clusters" -> Dedup.dedupClustersSql
+    "q_c10_dedup_clusters" -> Dedup.dedupClustersSql,
+    "q_y6_ivf_build" -> Similarity.ivfBuildSql
   )
 }

@@ -288,6 +288,84 @@ object Similarity {
       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF index BUILD — the missing half of the ANN story (q_y2 assumes the
+    * coarse cells exist; this constructs them): k-means with deterministic
+    * seeding (centroids ← vectors 0..k-1) and a FIXED number of Lloyd
+    * rounds, unrolled declaratively — assignment is a broadcast cross join
+    * (k centroid rows against the corpus, corpus never shuffled) + argmin
+    * window; the centroid update is posexplode → per-(cell,dim) exact mean
+    * (k·d tiny groups) — the new centroids are again a broadcast-sized
+    * frame. At 100 TB this is exactly the shape you want: per round, one
+    * corpus scan, one k·d-group aggregate, no corpus shuffle at all.
+    * Fixed rounds (not convergence-tested) keep the plan static and the
+    * cross-engine replay exact; every distance is the same sequential
+    * squared-diff fold both engines run term-for-term. */
+  def ivfBuild(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    var assign: DataFrame = e.sparkSession.emptyDataFrame
+    for (round <- 1 to iters) {
+      val d = e.crossJoin(broadcast(cent))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+            |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
+      if (round < iters)
+        cent = assign
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(G.davg(col("x")).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+            .as("c"))
+    }
+    assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), G.dsum(col("dist2")).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
+  val ivfBuildSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c0.cid, e.v,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 64), i ->
+      |        (e.v[CAST(i+1 AS INT)] - c0.c[CAST(i+1 AS INT)])
+      |      * (e.v[CAST(i+1 AS INT)] - c0.c[CAST(i+1 AS INT)]))),
+      |      (a, b) -> a + b) AS dist2
+      |  FROM e CROSS JOIN c0),
+      |a1 AS (SELECT vec_id, cid, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2, cid) AS rn FROM d1) t
+      |  WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a1.cid, dd.i AS dim,
+      |    CAST(SUM(CAST(a1.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+      |      / COUNT(a1.v[CAST(dd.i+1 AS INT)]) AS m
+      |  FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dd
+      |  GROUP BY a1.cid, dd.i),
+      |c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+      |d2 AS (
+      |  SELECT e.vec_id, c1.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 64), i ->
+      |        (e.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)])
+      |      * (e.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)]))),
+      |      (a, b) -> a + b) AS dist2
+      |  FROM e CROSS JOIN c1),
+      |a2 AS (SELECT vec_id, cid, dist2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2, cid) AS rn FROM d2) t
+      |  WHERE rn = 1)
+      |SELECT cid, count(*) AS n_vecs,
+      |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+      |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs over a bounded window
     * (vec_id < 300 — the verify kernel LSH/IVF candidates feed at scale;
     * embeddings are random so 0.35 yields a thin non-empty tail). */
