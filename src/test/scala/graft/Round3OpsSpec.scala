@@ -119,6 +119,16 @@ class Round3OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ivf build: every vector assigned, and Lloyd round 2 lowers inertia") {
+    val e = G.table(spark, sf(), "embeddings")
+    val r1 = Similarity.ivfBuild(spark, sf(), iters = 1)
+    val r2 = Similarity.ivfBuild(spark, sf(), iters = 2)
+    assert(r2.agg(sum("n_vecs")).head().getLong(0) == e.count())
+    val i1 = r1.agg(sum("inertia")).head().getDouble(0)
+    val i2 = r2.agg(sum("inertia")).head().getDouble(0)
+    assert(i2 <= i1, s"inertia should not increase: $i1 -> $i2")
+  }
+
   test("media-embedding join: pair counts conserve and blob never joins") {
     val r = Multimodal.mediaEmbeddingJoin(spark, sf())
     val docs = G.table(spark, sf(), "documents").count()
