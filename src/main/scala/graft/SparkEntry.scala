@@ -119,7 +119,8 @@ object SparkEntry {
     "q_t8_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_y5_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_c10_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
-    "q_y6_ivf_build" -> ((s, d) => Similarity.ivfBuild(s, d))
+    "q_y6_ivf_build" -> ((s, d) => Similarity.ivfBuild(s, d)),
+    "q_t9_repetition" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_t8_pii_redact" -> TextAnalysis.piiRedactSql,
     "q_y5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "q_c10_dedup_clusters" -> Dedup.dedupClustersSql,
-    "q_y6_ivf_build" -> Similarity.ivfBuildSql
+    "q_y6_ivf_build" -> Similarity.ivfBuildSql,
+    "q_t9_repetition" -> TextAnalysis.repetitionMetricsSql
   )
 }

@@ -277,6 +277,69 @@ object TextAnalysis {
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repetition metrics — the Gopher-style quality gate that catches
+    * boilerplate and degenerate generations: share of all bigram
+    * occurrences claimed by the doc's most frequent bigram, distinct-token
+    * ratio, and the repetition flag combining both. Pure per-row
+    * computation (explode-free: the histogram is built inside HOFs over
+    * the token array), so it runs at scan speed with zero shuffle — the
+    * flag can gate a 100 TB corpus in one pass. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  ELSE array() END""".stripMargin))
+      .withColumn("top_bigram_n", expr(
+        """CASE WHEN size(bigrams) > 0 THEN
+          |  aggregate(array_distinct(bigrams), CAST(0 AS BIGINT), (m, b) ->
+          |    greatest(m, CAST(size(filter(bigrams, x -> x = b)) AS BIGINT)))
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") /
+          greatest(size(col("bigrams")), lit(1)).cast("double"))
+          .as("top_bigram_share"),
+        (col("n_distinct").cast("double") / col("n_toks").cast("double"))
+          .as("distinct_ratio"))
+      .withColumn("repetitive",
+        ((col("top_bigram_share") > 0.2) || (col("distinct_ratio") < 0.3))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+
+  val repetitionMetricsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)),
+      |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])
+      |      ELSE [] END AS bigrams
+      |  FROM t),
+      |m AS (
+      |  SELECT doc_id, n_toks, n_distinct, bigrams,
+      |    CASE WHEN len(bigrams) > 0 THEN
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_distinct(bigrams),
+      |          b2 -> CAST(len(list_filter(bigrams, x -> x = b2)) AS BIGINT))),
+      |        (a, c) -> greatest(a, c))
+      |    ELSE CAST(0 AS BIGINT) END AS top_bigram_n
+      |  FROM b)
+      |SELECT doc_id, n_toks, n_distinct, top_bigram_n,
+      |  CAST(top_bigram_n AS DOUBLE) / greatest(len(bigrams), 1) AS top_bigram_share,
+      |  CAST(n_distinct AS DOUBLE) / n_toks AS distinct_ratio,
+      |  CAST((CAST(top_bigram_n AS DOUBLE) / greatest(len(bigrams), 1) > 0.2)
+      |    OR (CAST(n_distinct AS DOUBLE) / n_toks < 0.3) AS BIGINT) AS repetitive
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // PII scrub patterns — the intersection of Java-regex and RE2 syntax
   // (no backrefs, no lookaround), so the SAME pattern strings drive both
   // the engine and the DuckDB oracle.

@@ -110,6 +110,18 @@ object StreamingJobs {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("sequential_id")
 
+  /** Stream–static join enrichment: every micro-batch joins the live
+    * stream against a batch dimension frame — the standard pattern for
+    * attaching slowly-changing reference data (market metadata, user
+    * tiers) to a CDC stream. The dimension side is broadcast, so the
+    * unbounded stream side never shuffles and the join is stateless (no
+    * watermark, no state store); at scale the dimension is re-resolved
+    * per micro-batch, which is exactly how reference-data refresh is
+    * supposed to reach a long-running stream. */
+  def enrichStream(parsed: DataFrame, dim: DataFrame): DataFrame =
+    parsed.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("market"), "left")
+
   /** D1–D4 streaming: flatMapGroupsWithState, sharing
     * `AnomalyDetection.step` with the batch fold. Events within each
     * micro-batch group are sorted by (ts, id) before folding — the

@@ -155,6 +155,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSet.size == 100)
   }
 
+  test("stream-static broadcast join enrichment == batch join") {
+    import spark.implicits._
+    val trades = Synthetic.trades(100)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    val dim = Synthetic.markets.zipWithIndex
+      .map { case (m, i) => (m, if (i % 2 == 0) "gold" else "silver") }
+      .toDF("market", "tier")
+    val q = StreamingJobs.enrichStream(parsedStream(jsons), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streaming = spark.table("enrich_out")
+      .select("trade_id", "market", "tier")
+      .orderBy("trade_id").collect().toSeq
+    val batch = graft.operators.CdcParser
+      .parseEnvelope(jsons.toDF("json"), col("json"))
+      .join(broadcast(dim), Seq("market"), "left")
+      .select("trade_id", "market", "tier")
+      .orderBy("trade_id").collect().toSeq
+    assert(streaming.nonEmpty && streaming == batch)
+    assert(streaming.forall(_.getString(2) != null))
+  }
+
   test("foreachBatch fan-out writes raw/agg/alerts sinks (T1)") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
