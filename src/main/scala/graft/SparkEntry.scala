@@ -120,7 +120,9 @@ object SparkEntry {
     "q_y5_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_c10_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "q_y6_ivf_build" -> ((s, d) => Similarity.ivfBuild(s, d)),
-    "q_t9_repetition" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d))
+    "q_t9_repetition" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
+    "q_p7_snapshot_apply" -> ((s, d) => CdcParser.snapshotApply(s, d)),
+    "q_a12_incremental_mv" -> ((s, d) => DashboardQueries.incrementalMvMerge(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,6 +201,8 @@ object SparkEntry {
     "q_y5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "q_c10_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_y6_ivf_build" -> Similarity.ivfBuildSql,
-    "q_t9_repetition" -> TextAnalysis.repetitionMetricsSql
+    "q_t9_repetition" -> TextAnalysis.repetitionMetricsSql,
+    "q_p7_snapshot_apply" -> CdcParser.snapshotApplySql,
+    "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql
   )
 }

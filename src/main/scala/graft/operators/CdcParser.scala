@@ -371,4 +371,38 @@ object CdcParser {
        |FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t
        |WHERE op IN ('c','u','d')
        |GROUP BY op ORDER BY op""".stripMargin
+
+  /** Changelog → snapshot apply: materialize the CURRENT table state from a
+    * CDC stream — the canonical CDC consumer (what the reference's MySQL
+    * table IS, reconstructed engine-side). Events are re-keyed
+    * (`trade_id % 3000`) so each key carries several versions; the latest
+    * version per key wins (`sequential_id` is the total order) and a final
+    * op='d' tombstones the key out of the snapshot.
+    *
+    * One shuffle on the key; `row_number <= 1` triggers WindowGroupLimit,
+    * so each map task forwards only its per-key latest row — the shuffle
+    * carries O(keys), not O(changelog). At 100 TB this is the compaction
+    * shape: replaying a day of changes costs one keyed exchange of the
+    * surviving rows. */
+  def snapshotApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("sequential_id").desc)
+    cdcParseRoundtrip(spark, dir)
+      .withColumn("key", col("trade_id") % 3000)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("key"), col("op"), col("market"), col("trade_price"),
+        col("sequential_id"))
+      .orderBy(col("key"))
+  }
+
+  val snapshotApplySql: String =
+    s"""SELECT key, op, market, trade_price, sequential_id FROM (
+       |  SELECT trade_id % 3000 AS key, op, market, trade_price,
+       |    sequential_id,
+       |    row_number() OVER (PARTITION BY trade_id % 3000
+       |      ORDER BY sequential_id DESC) AS rn
+       |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
+       |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY key""".stripMargin
 }

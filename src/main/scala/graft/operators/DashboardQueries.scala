@@ -238,4 +238,39 @@ object DashboardQueries {
   val minuteCountsSql: String =
     """SELECT date_trunc('minute', ts) AS minute, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental MV maintenance via mergeable partial states — the 100 TB
+    * answer to "the nightly aggregate must not recompute the world": the
+    * history partition's aggregate state is MERGED with the fresh delta's
+    * state (counts add, decimal sums add, min/max re-extremize) instead of
+    * re-aggregating raw history. The oracle computes the DIRECT aggregate
+    * over all rows — the hash-match PROVES merge(partial(old), partial(new))
+    * == direct(all), which holds bit-for-bit precisely because sums run
+    * through DECIMAL(38,6) (associative), not floating-point addition.
+    * This is the same algebra Spark's own partial/final aggregation and the
+    * streaming A3 rollup rely on, surfaced as an explicit operator. */
+  def incrementalMvMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = G.events(spark, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(38, 6))).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val cutoff = "2024-01-08"
+    val old = partial(ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz")))
+    val delta = partial(ev.filter(col("ts") >= lit(cutoff).cast("timestamp_ntz")))
+    old.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sv")).cast("double").as("sum_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val incrementalMvMergeSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
