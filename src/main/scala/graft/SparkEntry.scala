@@ -122,7 +122,9 @@ object SparkEntry {
     "q_y6_ivf_build" -> ((s, d) => Similarity.ivfBuild(s, d)),
     "q_t9_repetition" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
     "q_p7_snapshot_apply" -> ((s, d) => CdcParser.snapshotApply(s, d)),
-    "q_a12_incremental_mv" -> ((s, d) => DashboardQueries.incrementalMvMerge(s, d))
+    "q_a12_incremental_mv" -> ((s, d) => DashboardQueries.incrementalMvMerge(s, d)),
+    "q_r19_recursive_rollup" -> ((s, d) => Relational.recursiveSubtreeRollup(s, d)),
+    "q_x5_substring_dup" -> ((s, d) => Dedup.substringDupStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,6 +205,8 @@ object SparkEntry {
     "q_y6_ivf_build" -> Similarity.ivfBuildSql,
     "q_t9_repetition" -> TextAnalysis.repetitionMetricsSql,
     "q_p7_snapshot_apply" -> CdcParser.snapshotApplySql,
-    "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql
+    "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql,
+    "q_r19_recursive_rollup" -> Relational.recursiveSubtreeRollupSql,
+    "q_x5_substring_dup" -> Dedup.substringDupStatsSql
   )
 }

@@ -582,4 +582,82 @@ object Dedup {
        |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
        |SELECT label AS cluster_id, count(*) AS n_docs, max(id) AS max_doc
        |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin
+
+  /** Substring-level exact dedup metric (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): per document, the fraction of its
+    * token 8-gram positions whose 8-gram also appears in ANOTHER document —
+    * the signal that drives exact-substring dedup of boilerplate spans that
+    * whole-document dedup misses.
+    *
+    * Scale shape: each 8-gram is reduced to an 8-byte `poly_hash` AT THE
+    * SCAN (codegen'd expression inside the transform; the text itself never
+    * leaves the projection), so the explode→shuffle carries (doc_id, hash)
+    * pairs only — 16 bytes per gram position regardless of document size.
+    * The census (`nd` docs per gram) is a hash-keyed partial→final count,
+    * and the join back is hash-keyed too (AQE splits hot boilerplate grams).
+    * No payload is ever shuffled; at 100 TB the operator moves ~16 B × total
+    * token count.
+    *
+    * NOTE: the gram position sequence is guarded by CASE WHEN size >= n —
+    * Spark's `sequence(1, 0)` yields a DESCENDING [1,0], not empty (DuckDB
+    * `range(1,1)` IS empty), so short documents must short-circuit. */
+  def substringDupStats(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame = {
+    graft.functions.HashExpressions.ensureRegistered(spark)
+    val grams = G.table(spark, dir, "documents")
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  transform(sequence(1, size(toks) - ${n - 1}),
+           |    i -> poly_hash(concat_ws(' ', slice(toks, i, $n))))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("ghashes"))
+    val docStats = grams
+      .select(col("doc_id"), size(col("ghashes")).cast("long").as("n_grams"))
+    // per-(doc, gram) occurrence counts — the unit the census and the
+    // join-back both key on
+    val occ = grams
+      .select(col("doc_id"), explode(col("ghashes")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val byG = occ.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    val dup = occ.join(byG.filter(col("nd") >= 2), Seq("g"))
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_dup"))
+    docStats.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDupStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |gs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+      |      i -> array_to_string(toks[i:i+7], ' ')) AS grams
+      |  FROM toks),
+      |doc_stats AS (SELECT doc_id, len(grams) AS n_grams FROM gs),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, length(g)),
+      |        j -> CAST(unicode(substr(g, CAST(j+1 AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS g
+      |  FROM (SELECT doc_id, unnest(grams) AS g FROM gs) t),
+      |occ AS (SELECT doc_id, g, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+      |byg AS (SELECT g, count(*) AS nd FROM occ GROUP BY g),
+      |dup AS (
+      |  SELECT occ.doc_id, CAST(SUM(occ.cnt) AS BIGINT) AS n_dup
+      |  FROM occ JOIN byg ON occ.g = byg.g
+      |  WHERE byg.nd >= 2 GROUP BY occ.doc_id)
+      |SELECT d.doc_id, d.n_grams,
+      |  coalesce(dup.n_dup, 0) AS n_dup_grams,
+      |  CASE WHEN d.n_grams > 0
+      |       THEN CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / d.n_grams
+      |       ELSE 0.0 END AS dup_frac
+      |FROM doc_stats d LEFT JOIN dup ON d.doc_id = dup.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -565,4 +565,51 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_priority,
       |  coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin
+
+  /** Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4) —
+    * hierarchical subtree rollup. The hierarchy is the decimal-prefix tree
+    * over c_custkey (parent = floor(key/10)): every customer contributes its
+    * order count and revenue to each ancestor, so the query answers "total
+    * revenue under subtree root N" for every internal node — the org-chart /
+    * category-tree rollup shape that plain GROUP BY cannot express.
+    *
+    * Execution shape (scale): Spark plans the recursion as semi-naive
+    * UnionLoop — each round maps ONLY the previous increment (one narrow
+    * projection + filter per round, no re-scan of the anchor), and depth is
+    * O(log10 keyspace) ≈ 6 rounds, independent of row count. The pre-agg
+    * `per_cust` collapses orders per key BEFORE the hierarchy join, so the
+    * join input is dimension-sized; the revenue SUM stays DECIMAL(38,6)
+    * through both aggregation levels (associative ⇒ rollup lossless, same
+    * invariant as q_a12). Recursion row/level limits are far above this
+    * shape's needs (rows = customers × depth).
+    *
+    * Oracle: textually identical SQL in DuckDB (same WITH RECURSIVE
+    * semantics, floor-division parent function, decimal sums). */
+  def recursiveSubtreeRollup(spark: SparkSession, dir: String): DataFrame = {
+    G.table(spark, dir, "customer").createOrReplaceTempView("customer_rc")
+    G.table(spark, dir, "orders").createOrReplaceTempView("orders_rc")
+    spark.sql(recursiveSubtreeRollupSql
+      .replace("FROM customer", "FROM customer_rc")
+      .replace("FROM orders", "FROM orders_rc"))
+  }
+
+  val recursiveSubtreeRollupSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey AS node, c_custkey AS anc FROM customer
+      |  UNION ALL
+      |  SELECT node, CAST(floor(anc / 10) AS BIGINT) AS anc
+      |  FROM anc WHERE anc > 0
+      |),
+      |per_cust AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT a.anc AS subtree_root,
+      |       count(DISTINCT a.node) AS n_custs,
+      |       CAST(SUM(p.n_orders) AS BIGINT) AS n_orders,
+      |       CAST(SUM(p.rev) AS DOUBLE) AS revenue
+      |FROM anc a JOIN per_cust p ON a.node = p.o_custkey
+      |GROUP BY a.anc
+      |ORDER BY subtree_root""".stripMargin
 }

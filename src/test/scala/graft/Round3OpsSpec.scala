@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the round-3 operators on sf0.001 — properties the
@@ -140,5 +140,49 @@ class Round3OpsSpec extends SparkSpec {
     // the physical plan reads only pruned columns — media/text never joins
     val plan = r.queryExecution.executedPlan.toString
     assert(!plan.contains("media#") || !plan.contains("Exchange.*media"))
+  }
+
+  test("recursive rollup: root-0 subtree reproduces whole-table totals") {
+    val r = Relational.recursiveSubtreeRollup(spark, sf()).cache()
+    val orders = G.table(spark, sf(), "orders")
+    val root = r.filter(col("subtree_root") === 0)
+    assert(root.count() == 1)
+    // every custkey's chain ends at 0, so the root row covers all orders
+    assert(root.select("n_orders").head().getLong(0) == orders.count())
+    assert(root.select("n_custs").head().getLong(0) ==
+      orders.select(countDistinct("o_custkey")).head().getLong(0))
+    // subtree totals are monotone up the chain: parent >= child
+    val parentOf = r.select(col("subtree_root").as("c"),
+      col("n_orders").as("child_n"))
+      .withColumn("p", expr("CAST(floor(c / 10) AS BIGINT)"))
+      .filter(col("c") > 0)
+    val bad = parentOf.join(r.withColumnRenamed("subtree_root", "p"),
+        Seq("p"))
+      .filter(col("child_n") > col("n_orders")).count()
+    assert(bad == 0)
+    r.unpersist()
+  }
+
+  test("substring dup: planted full-dup pair saturates, unique doc at zero") {
+    val tmp = java.nio.file.Files.createTempDirectory("x5fix").toString
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 10).map(i => s"alt$i").mkString(" ")
+    Seq(
+      (1L, ten, "a"), (2L, ten, "b"),       // identical 10-token pair
+      (3L, other, "c"),                     // unique, same length
+      (4L, "too short here", "d")           // < 8 tokens -> zero grams
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Dedup.substringDupStats(spark, tmp).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1L) == ((3L, 3L, 1.0)) && r(2L) == ((3L, 3L, 1.0)))
+    assert(r(3L) == ((3L, 0L, 0.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+    // bounds on the real table
+    val real = Dedup.substringDupStats(spark, sf())
+    assert(real.filter(col("n_dup_grams") > col("n_grams") ||
+      col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() == 0)
   }
 }
