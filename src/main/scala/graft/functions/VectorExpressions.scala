@@ -85,20 +85,28 @@ case class QuantStats(child: Expression)
     while (i < n) {
       val a = math.abs(v.getDouble(i)); if (a > maxAbs) maxAbs = a; i += 1
     }
-    val scale = 127.0 / maxAbs
-    var sat = 0L
-    var s = 0.0
-    i = 0
-    while (i < n) {
-      val x = v.getDouble(i)
-      val q = math.floor(x * scale + 0.5)
-      if (math.abs(q) >= 127.0) sat += 1
-      val e = x - q / scale
-      s += e * e
-      i += 1
+    // All-zero vector: scale would be Infinity and rmse NaN; define the
+    // degenerate case as (0, 0, 0) — identically in codegen, the HOF
+    // formulation (Similarity.quantizeInt8Hof) and the DuckDB oracle.
+    if (maxAbs == 0.0) {
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, 0L, 0.0))
+    } else {
+      val scale = 127.0 / maxAbs
+      var sat = 0L
+      var s = 0.0
+      i = 0
+      while (i < n) {
+        val x = v.getDouble(i)
+        val q = math.floor(x * scale + 0.5)
+        if (math.abs(q) >= 127.0) sat += 1
+        val e = x - q / scale
+        s += e * e
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](maxAbs, sat, math.sqrt(s / n)))
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](maxAbs, sat, math.sqrt(s / n)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -120,19 +128,22 @@ case class QuantStats(child: Expression)
          |  double $a = java.lang.Math.abs($v.getDouble($i));
          |  if ($a > $maxAbs) $maxAbs = $a;
          |}
-         |double $scale = 127.0 / $maxAbs;
          |long $sat = 0L;
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $v.getDouble($i);
-         |  double $q = java.lang.Math.floor($x * $scale + 0.5);
-         |  if (java.lang.Math.abs($q) >= 127.0) $sat++;
-         |  double $e = $x - $q / $scale;
-         |  $s += $e * $e;
+         |if ($maxAbs != 0.0) {
+         |  double $scale = 127.0 / $maxAbs;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $v.getDouble($i);
+         |    double $q = java.lang.Math.floor($x * $scale + 0.5);
+         |    if (java.lang.Math.abs($q) >= 127.0) $sat++;
+         |    double $e = $x - $q / $scale;
+         |    $s += $e * $e;
+         |  }
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |    new Object[]{$maxAbs, $sat, java.lang.Math.sqrt($s / $n)});
+         |    new Object[]{$maxAbs, $sat,
+         |      $maxAbs == 0.0 ? 0.0 : java.lang.Math.sqrt($s / $n)});
        """.stripMargin
     })
 

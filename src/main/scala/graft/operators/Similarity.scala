@@ -408,13 +408,15 @@ object Similarity {
         "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
       .withColumn("scale", lit(127.0) / col("max_abs"))
       .select(col("vec_id"), col("max_abs"),
-        expr("""CAST(size(filter(v,
-                  x -> abs(floor(x * scale + 0.5d)) >= 127)) AS BIGINT)""")
+        expr("""IF(max_abs = 0.0d, CAST(0 AS BIGINT),
+                   CAST(size(filter(v,
+                     x -> abs(floor(x * scale + 0.5d)) >= 127)) AS BIGINT))""")
           .as("n_sat"),
-        expr("""sqrt(aggregate(v, CAST(0.0 AS DOUBLE),
-                  (s, x) -> s + (x - floor(x * scale + 0.5d) / scale)
-                              * (x - floor(x * scale + 0.5d) / scale))
-                / CAST(size(v) AS DOUBLE))""").as("rmse"))
+        expr("""IF(max_abs = 0.0d, CAST(0.0 AS DOUBLE),
+                   sqrt(aggregate(v, CAST(0.0 AS DOUBLE),
+                     (s, x) -> s + (x - floor(x * scale + 0.5d) / scale)
+                                 * (x - floor(x * scale + 0.5d) / scale))
+                   / CAST(size(v) AS DOUBLE)))""").as("rmse"))
       .orderBy(col("vec_id"))
 
   val quantizeInt8Sql: String =
@@ -426,12 +428,16 @@ object Similarity {
       |  FROM e),
       |s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m)
       |SELECT vec_id, max_abs,
-      |  CAST(len(list_filter(v,
-      |    x -> abs(floor(x * scale + 0.5)) >= 127)) AS BIGINT) AS n_sat,
-      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list_transform(v, x -> (x - floor(x * scale + 0.5) / scale)
-      |                         * (x - floor(x * scale + 0.5) / scale))),
-      |    (a, b) -> a + b) / CAST(len(v) AS DOUBLE)) AS rmse
+      |  CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(len(list_filter(v,
+      |         x -> abs(floor(x * scale + 0.5)) >= 127)) AS BIGINT)
+      |  END AS n_sat,
+      |  CASE WHEN max_abs = 0 THEN CAST(0.0 AS DOUBLE)
+      |       ELSE sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(v, x -> (x - floor(x * scale + 0.5) / scale)
+      |                              * (x - floor(x * scale + 0.5) / scale))),
+      |         (a, b) -> a + b) / CAST(len(v) AS DOUBLE))
+      |  END AS rmse
       |FROM s ORDER BY vec_id""".stripMargin
 
   val embeddingNearDupsSql: String =
