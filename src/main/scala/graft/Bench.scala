@@ -25,6 +25,26 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *    queries in one session.
   */
 object Bench {
+
+  /** Shortest-distinguishing-prefix aliases for the compact stdout line:
+    * first underscore token of the q_-stripped name, extended on collision
+    * (a10_approx vs a10_exact). k is BOUNDED by the name's own token count —
+    * two names whose token sequences are identical (e.g. "q_a_b" vs "a_b")
+    * can never be separated by any prefix length, and the unbounded loop
+    * this replaces spun forever on that input; such names fall back to the
+    * full original name instead. */
+  private[graft] def aliases(names: Seq[String]): Map[String, String] = {
+    def tok(n: String, k: Int) =
+      n.stripPrefix("q_").split("_").take(k).mkString("_")
+    names.map { n =>
+      val maxK = n.stripPrefix("q_").split("_").length
+      var k = 1
+      while (k < maxK && names.count(m => tok(m, k) == tok(n, k)) > 1) k += 1
+      val short = tok(n, k)
+      n -> (if (names.count(m => tok(m, k) == short) > 1) n else short)
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default 4, not 32: measured at sf0.1, 57 queries run 53.5 s on
@@ -77,14 +97,7 @@ object Bench {
     // the full-name full-precision line for humans and the judge.
     def d(v: Double, p: Int) =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    val names = results.map(_._1)
-    def tok(n: String, k: Int) =
-      n.stripPrefix("q_").split("_").take(k).mkString("_")
-    val alias = names.map { n =>
-      var k = 1
-      while (names.count(m => tok(m, k) == tok(n, k)) > 1) k += 1
-      n -> tok(n, k)
-    }.toMap
+    val alias = aliases(results.map(_._1))
     val qsShort = results
       .map { case (k, v) => "\"" + alias(k) + "\":" + d(v, 3) }
       .mkString("{", ",", "}")

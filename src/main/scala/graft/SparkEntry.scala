@@ -202,7 +202,7 @@ object SparkEntry {
     "q_t8_pii_redact" -> TextAnalysis.piiRedactSql,
     "q_y5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "q_c10_dedup_clusters" -> Dedup.dedupClustersSql,
-    "q_y6_ivf_build" -> Similarity.ivfBuildSql,
+    "q_y6_ivf_build" -> Similarity.ivfBuildSql(),
     "q_t9_repetition" -> TextAnalysis.repetitionMetricsSql,
     "q_p7_snapshot_apply" -> CdcParser.snapshotApplySql,
     "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql,

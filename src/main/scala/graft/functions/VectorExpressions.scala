@@ -83,11 +83,19 @@ case class QuantStats(child: Expression)
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(v.getDouble(i)); if (a > maxAbs) maxAbs = a; i += 1
+      // NaN propagates through the max pass (a > maxAbs is false for NaN,
+      // which would silently leave maxAbs at 0): greatest() in both Spark
+      // and DuckDB orders NaN largest, so the HOF/oracle formulations
+      // yield max_abs = NaN — match them, producing (NaN, 0, NaN).
+      val a = math.abs(v.getDouble(i))
+      if (a > maxAbs || java.lang.Double.isNaN(a)) maxAbs = a
+      i += 1
     }
     // All-zero vector: scale would be Infinity and rmse NaN; define the
     // degenerate case as (0, 0, 0) — identically in codegen, the HOF
-    // formulation (Similarity.quantizeInt8Hof) and the DuckDB oracle.
+    // formulation (Similarity.quantizeInt8Hof, whose division is lazily
+    // guarded so ANSI mode cannot throw DIVIDE_BY_ZERO) and the DuckDB
+    // oracle (its CASE guards fire before scale is consumed).
     if (maxAbs == 0.0) {
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0.0, 0L, 0.0))
@@ -126,7 +134,7 @@ case class QuantStats(child: Expression)
          |double $maxAbs = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $a = java.lang.Math.abs($v.getDouble($i));
-         |  if ($a > $maxAbs) $maxAbs = $a;
+         |  if ($a > $maxAbs || java.lang.Double.isNaN($a)) $maxAbs = $a;
          |}
          |long $sat = 0L;
          |double $s = 0.0;

@@ -536,6 +536,10 @@ object Dedup {
         .map { case (_, (src, lbl)) => (src, lbl) }
         .union(lab)
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        // cached because the pointer jump below consumes it TWICE (both
+        // sides of the self-join) — uncached, every round would recompute
+        // the propagate join twice; freed as soon as `jumped` materializes
+        .cache()
       // pointer jump (path compression): label(v) ← label(label(v)) —
       // labels are node ids, so `prop` is its own lookup table; jumping
       // turns O(diameter) rounds into O(log diameter)
@@ -548,6 +552,8 @@ object Dedup {
       val changed = jumped.join(lab)
         .filter { case (_, (a, b)) => a != b }
         .count()
+      // the count above materialized `jumped`'s cache — prop is done
+      prop.unpersist(blocking = false)
       lab.unpersist(blocking = false)
       lab = jumped
       converged = changed == 0

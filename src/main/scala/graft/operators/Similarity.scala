@@ -328,43 +328,47 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
-  val ivfBuildSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-      |d1 AS (
-      |  SELECT e.vec_id, c0.cid, e.v,
-      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |      list_transform(range(0, 64), i ->
-      |        (e.v[CAST(i+1 AS INT)] - c0.c[CAST(i+1 AS INT)])
-      |      * (e.v[CAST(i+1 AS INT)] - c0.c[CAST(i+1 AS INT)]))),
-      |      (a, b) -> a + b) AS dist2
-      |  FROM e CROSS JOIN c0),
-      |a1 AS (SELECT vec_id, cid, v FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY dist2, cid) AS rn FROM d1) t
-      |  WHERE rn = 1),
-      |m1 AS (
-      |  SELECT a1.cid, dd.i AS dim,
-      |    CAST(SUM(CAST(a1.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
-      |      / COUNT(a1.v[CAST(dd.i+1 AS INT)]) AS m
-      |  FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dd
-      |  GROUP BY a1.cid, dd.i),
-      |c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
-      |d2 AS (
-      |  SELECT e.vec_id, c1.cid,
-      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |      list_transform(range(0, 64), i ->
-      |        (e.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)])
-      |      * (e.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)]))),
-      |      (a, b) -> a + b) AS dist2
-      |  FROM e CROSS JOIN c1),
-      |a2 AS (SELECT vec_id, cid, dist2 FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY dist2, cid) AS rn FROM d2) t
-      |  WHERE rn = 1)
-      |SELECT cid, count(*) AS n_vecs,
-      |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
-      |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+  /** DuckDB replay of [[ivfBuild]], GENERATED from the same (k, iters, dims)
+    * so a non-default build (e.g. Round3OpsSpec's iters=1) always has a
+    * matching oracle — previously a hand-written k=8/iters=2/dims=64 string
+    * that silently mismatched any other parameterization. Structure per
+    * Lloyd round r: d_r (squared distance to every centroid, the same
+    * term-for-term sequential fold as the Spark zip_with/aggregate), a_r
+    * (argmin via row_number), and — before a further round — m_r/c_r (the
+    * exact per-(cell,dim) DECIMAL mean and re-assembled centroid list). */
+  def ivfBuildSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String = {
+    require(k > 0 && iters > 0 && dims > 0)
+    def dist(r: Int): String =
+      s"""d$r AS (
+         |  SELECT e.vec_id, c${r - 1}.cid, e.v,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, $dims), i ->
+         |        (e.v[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)])
+         |      * (e.v[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)]))),
+         |      (a, b) -> a + b) AS dist2
+         |  FROM e CROSS JOIN c${r - 1}),
+         |a$r AS (SELECT vec_id, cid, v, dist2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, cid) AS rn FROM d$r) t
+         |  WHERE rn = 1)""".stripMargin
+    def recenter(r: Int): String =
+      s"""m$r AS (
+         |  SELECT a$r.cid, dd.i AS dim,
+         |    CAST(SUM(CAST(a$r.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(a$r.v[CAST(dd.i+1 AS INT)]) AS m
+         |  FROM a$r CROSS JOIN (SELECT unnest(range(0, $dims)) AS i) dd
+         |  GROUP BY a$r.cid, dd.i),
+         |c$r AS (SELECT cid, list(m ORDER BY dim) AS c FROM m$r GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      if (r < iters) dist(r) + ",\n" + recenter(r) else dist(r)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
+       |$rounds
+       |SELECT cid, count(*) AS n_vecs,
+       |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+       |FROM a$iters GROUP BY cid ORDER BY cid""".stripMargin
+  }
 
   /** Embedding-cosine near-duplicate pairs over a bounded window
     * (vec_id < 300 — the verify kernel LSH/IVF candidates feed at scale;
@@ -401,12 +405,20 @@ object Similarity {
   /** Higher-order-function formulation of [[quantizeInt8]] — CodegenFallback
     * (closure per element per fold), kept as the readable reference;
     * Round3OpsSpec asserts bit-equality with the codegen QuantStats
-    * expression, and graft.Stress quantifies the gap at 1 M vectors. */
+    * expression (including the all-zero and NaN degenerate vectors), and
+    * graft.Stress quantifies the gap at 1 M vectors. */
   private[graft] def quantizeInt8Hof(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .withColumn("max_abs", expr(
         "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
-      .withColumn("scale", lit(127.0) / col("max_abs"))
+      // LAZY division: under ANSI (Spark 4's default) an eager
+      // lit(127.0)/max_abs is projected before the IF guards below run and
+      // throws DIVIDE_BY_ZERO on an all-zero vector. CaseWhen evaluates its
+      // arms lazily, so the division only happens when max_abs != 0; the
+      // NaN arm is never consumed (the guards short-circuit first).
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(Double.NaN))
+          .otherwise(lit(127.0) / col("max_abs")))
       .select(col("vec_id"), col("max_abs"),
         expr("""IF(max_abs = 0.0d, CAST(0 AS BIGINT),
                    CAST(size(filter(v,

@@ -137,9 +137,82 @@ class Round3OpsSpec extends SparkSpec {
     assert(pairs == math.min(docs, embs) ||
       pairs <= docs) // doc_id/vec_id overlap defines the pairing
     assert(pairs > 0)
-    // the physical plan reads only pruned columns — media/text never joins
-    val plan = r.queryExecution.executedPlan.toString
-    assert(!plan.contains("media#") || !plan.contains("Exchange.*media"))
+    // pruning/projection audit — the test standing between the m5 join and
+    // a full-blob shuffle at 100 TB (the r4 verdict flagged the previous
+    // string-match disjunction here as vacuously true). AQE off so scans and
+    // exchanges are collectable from the executed plan directly.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val r2 = Multimodal.mediaEmbeddingJoin(spark, sf())
+      r2.collect()
+      val plan2 = r2.queryExecution.executedPlan
+      val docScans = plan2.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("documents")) =>
+          s.requiredSchema.fieldNames.toSet
+      }
+      assert(docScans.nonEmpty, "no documents FileSourceScanExec found")
+      docScans.foreach { read =>
+        assert(read.subsetOf(Set("doc_id", "text", "source")),
+          s"documents scan reads beyond the metadata derivation: $read")
+      }
+      // no Exchange may carry the synthesized blob or the raw text — the
+      // projection to (doc_id, format, n_bytes) must land below the shuffle
+      val exchanged = plan2.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          e.output.map(_.name)
+      }
+      assert(exchanged.nonEmpty, "expected at least one Exchange in the plan")
+      exchanged.foreach { names =>
+        assert(!names.exists(n => n == "media" || n == "text"),
+          s"blob/raw-text column crosses an Exchange: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("quant_stats degenerate vectors: all-zero and NaN stay in parity") {
+    // r4 ADVICE: under ANSI (Spark 4 default) the HOF formulation's eager
+    // scale division threw DIVIDE_BY_ZERO on an all-zero vector, and a
+    // NaN element silently hit the (0,0,0) branch in the JVM paths while
+    // the HOF/oracle propagated NaN. Both are pinned here on planted data:
+    // all-zero -> (0, 0, 0); any-NaN -> (NaN, 0, NaN); all formulations
+    // bit-equal.
+    val tmp = java.nio.file.Files.createTempDirectory("qdegen").toString
+    import spark.implicits._
+    Seq(
+      (0L, 0, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(Float.NaN, 1.0f, -2.0f, 0.5f)),
+      (2L, 0, Array(0.25f, -1.5f, 3.0f, -0.125f))
+    ).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val fast = Similarity.quantizeInt8(spark, tmp).collect()
+    val hof = Similarity.quantizeInt8Hof(spark, tmp)
+      .select("vec_id", "max_abs", "n_sat", "rmse").collect()
+    assert(fast.length == 3 && hof.length == 3)
+    fast.zip(hof).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(1)), s"max_abs $a $b")
+      assert(a.getLong(2) == b.getLong(2), s"n_sat $a $b")
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(3)), s"rmse $a $b")
+    }
+    assert(fast(0).getDouble(1) == 0.0 && fast(0).getLong(2) == 0L &&
+      fast(0).getDouble(3) == 0.0)
+    assert(fast(1).getDouble(1).isNaN && fast(1).getLong(2) == 0L &&
+      fast(1).getDouble(3).isNaN)
+    assert(fast(2).getLong(2) >= 1L)
+  }
+
+  test("ivfBuildSql is generated from (k, iters, dims) — non-defaults covered") {
+    val one = Similarity.ivfBuildSql(k = 8, iters = 1, dims = 64)
+    assert(one.contains("FROM a1 GROUP BY cid") && !one.contains("m1 AS"))
+    val two = Similarity.ivfBuildSql()
+    assert(two.contains("m1 AS") && two.contains("FROM a2 GROUP BY cid"))
+    assert(two.contains("vec_id < 8") && two.contains("range(0, 64)"))
+    val k3 = Similarity.ivfBuildSql(k = 3, iters = 3, dims = 16)
+    assert(k3.contains("vec_id < 3") && k3.contains("range(0, 16)") &&
+      k3.contains("m2 AS") && k3.contains("FROM a3 GROUP BY cid"))
   }
 
   test("recursive rollup: root-0 subtree reproduces whole-table totals") {
