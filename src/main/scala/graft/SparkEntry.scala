@@ -124,7 +124,10 @@ object SparkEntry {
     "q_p7_snapshot_apply" -> ((s, d) => CdcParser.snapshotApply(s, d)),
     "q_a12_incremental_mv" -> ((s, d) => DashboardQueries.incrementalMvMerge(s, d)),
     "q_r19_recursive_rollup" -> ((s, d) => Relational.recursiveSubtreeRollup(s, d)),
-    "q_x5_substring_dup" -> ((s, d) => Dedup.substringDupStats(s, d))
+    "q_x5_substring_dup" -> ((s, d) => Dedup.substringDupStats(s, d)),
+    // T1/W1/K2 streaming spine, materialized end-to-end (file-stream
+    // source -> parse -> foreachBatch fan-out -> agg sink read-back)
+    "q_stream_a1" -> ((s, d) => graft.streaming.StreamingJobs.fanOutReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,6 +210,7 @@ object SparkEntry {
     "q_p7_snapshot_apply" -> CdcParser.snapshotApplySql,
     "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql,
     "q_r19_recursive_rollup" -> Relational.recursiveSubtreeRollupSql,
-    "q_x5_substring_dup" -> Dedup.substringDupStatsSql
+    "q_x5_substring_dup" -> Dedup.substringDupStatsSql,
+    "q_stream_a1" -> graft.streaming.StreamingJobs.fanOutReplaySql
   )
 }

@@ -286,15 +286,18 @@ object CdcParser {
       |     ELSE 'd' END""".stripMargin
 
   /** Build Debezium-shaped JSON from `events`, exercising every parser
-    * branch, then parse it back with `parseEnvelope`:
+    * branch — the single "json"-column stream shared by the batch roundtrip
+    * below and the streaming file-source replay
+    * (graft.streaming.StreamingJobs.fanOutReplay):
     *  - event_id % 17 == 0 → tombstone (no op) → dropped
     *  - event_id % 23 == 0 → malformed JSON → dropped
     *  - op 'd' rows carry the image in `before` (after=null)
     *  - event_type 'click' rows omit `ask_bid` → default "UNKNOWN"
     *  - odd event_id → fields at the JSON root (no payload wrapper)
     *  - cdc latency = props.k (source.ts_ms = ts_ms - k)
+    *  - trade_volume carries props.k as a decimal STRING (P2 parse path)
     */
-  def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def eventsAsEnvelopeJson(spark: SparkSession, dir: String): DataFrame = {
     val ev = G.eventsRaw(spark, dir)
       .withColumn("k", G.propsK(col("props")))
       .withColumn("cdc_ms", expr("ts_ns DIV 1000000"))
@@ -304,6 +307,7 @@ object CdcParser {
       lit("""{"trade_id": """), col("event_id"),
       lit(""", "market": "M"""), col("user_id"), lit("\""),
       lit(""", "trade_price": """"), col("value").cast(StringType), lit("\""),
+      lit(""", "trade_volume": """"), col("k").cast(StringType), lit("\""),
       when(col("event_type") =!= "click",
         concat(lit(""", "ask_bid": """"),
           when(col("event_type") === "purchase", "BID").otherwise("ASK"),
@@ -327,8 +331,12 @@ object CdcParser {
       .when(col("event_id") % 23 === 0, lit("""{"oops"""))  // malformed
       .when(col("event_id") % 2 === 1, payload)             // no wrapper
       .otherwise(concat(lit("""{"payload": """), payload, lit("}")))
-    parse(ev.select(json.as("json")), col("json"))
+    ev.select(json.as("json"))
   }
+
+  /** P1/P2/S2 roundtrip: generate the envelope stream, parse it back. */
+  def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    parse(eventsAsEnvelopeJson(spark, dir), col("json"))
 
   /** q_p1 entry: the roundtrip plus its presentation sort. The sort lives
     * here — not in the building block — so downstream aggregations
@@ -341,7 +349,7 @@ object CdcParser {
        |  event_id AS trade_id,
        |  'M' || user_id AS market,
        |  value AS trade_price,
-       |  CAST(0.0 AS DOUBLE) AS trade_volume,
+       |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE) AS trade_volume,
        |  CAST(0.0 AS DOUBLE) AS trade_amount,
        |  CASE WHEN event_type = 'click' THEN 'UNKNOWN'
        |       WHEN event_type = 'purchase' THEN 'BID'

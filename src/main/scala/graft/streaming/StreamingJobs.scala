@@ -252,6 +252,59 @@ object StreamingJobs {
       .start()
   }
 
+  /** The streaming spine, HASH-CHECKED (q_stream_a1): replay the
+    * events-derived envelope stream (`CdcParser.eventsAsEnvelopeJson` — the
+    * exact q_p1 input) through the T1 [[fanOut]] via the file-stream source
+    * with `Trigger.AvailableNow`, then read the materialized agg sink back.
+    * The input is coalesced to ONE text file so the replay is a single
+    * micro-batch and the per-batch window aggregate equals the global one —
+    * cross-batch stateful windows are covered by StreamingSpec's
+    * watermarked queries; this entry is what gives the reference's primary
+    * surface (`CdcPipelineJob.java:61-91`: source → parse → fan-out →
+    * sinks) a DuckDB-oracle signal instead of spec-only coverage.
+    * window_start is cast to TIMESTAMP_NTZ on read-back so the dumped
+    * parquet compares naive-to-naive against the oracle (q_a1 pattern). */
+  def fanOutReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_a1")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
+      .coalesce(1).write.mode("overwrite").text(in)
+    val q = fanOut(spark, in, out, ck, Trigger.AvailableNow())
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(s"$out/agg")
+      .withColumn("window_start",
+        col("window_start").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  /** DuckDB replay of [[fanOutReplay]]: the q_p1 parse SQL feeding the q_a1
+    * window-aggregation SQL under the stream's column mapping (market →
+    * user_id, ask_bid → event_type, trade_price → value, trade_volume → k).
+    * total_volume is DOUBLE (k rides the envelope as a decimal string) but
+    * every k is integer-valued, so the plain double sum is order-exact. */
+  val fanOutReplaySql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed),
+       |ev AS (SELECT make_timestamp(source_ts * 1000) AS ts,
+       |              market AS user_id, ask_bid AS event_type,
+       |              trade_price AS value, trade_volume AS k
+       |       FROM parsed)
+       |SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, user_id,
+       |  count(*) AS trade_count,
+       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid_count,
+       |  count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask_count,
+       |  CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
+       |  SUM(k) AS total_volume,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
+       |  MIN(value) AS min_price,
+       |  MAX(value) AS max_price,
+       |  CASE WHEN SUM(k) > 0
+       |       THEN CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) / SUM(k)
+       |       ELSE 0.0 END AS vwap
+       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private def windowAggBatch(batch: DataFrame): DataFrame =
     TradeAggregates.windowAggOn(
       batch.select(

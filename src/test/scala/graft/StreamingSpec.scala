@@ -139,6 +139,23 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batchParsed)
   }
 
+  test("fanOutReplay agg sink == batch window agg on the same envelope stream (q_stream_a1)") {
+    // the driver-oracle entry for the streaming spine: file-stream source →
+    // parse → foreachBatch fan-out → agg sink must reproduce the batch
+    // aggregation over the identical events-derived CDC input, row for row
+    val streamed = StreamingJobs.fanOutReplay(spark, sf()).collect().toSeq
+    val batch = TradeAggregates.windowAggOn(
+      graft.operators.CdcParser.cdcParseRoundtrip(spark, sf())
+        .select(timestamp_millis(col("source_ts")).as("ts"),
+          col("market").as("user_id"), col("ask_bid").as("event_type"),
+          col("trade_price").as("value"), col("trade_volume").as("k")))
+      .withColumn("window_start", col("window_start")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"), col("user_id")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops redelivered events (S3 INSERT IGNORE)") {
     val trades = Synthetic.trades(100)
     // every 4th trade delivered twice (WebSocket redelivery)
