@@ -42,7 +42,12 @@ object Stress {
           .as("value"),
         pmod(xxhash64(col("id") + 17), lit(101)).as("k"))
 
+    // optional stage filter: runMain graft.Stress <n> <nKeys> [stage ...]
+    // (ladder runs re-measure one stage in a fresh JVM without paying for
+    // the whole suite)
+    val only = args.drop(2).toSet
     def time[T](label: String)(f: => T): (String, Double) = {
+      if (only.nonEmpty && !only.contains(label)) return label -> -1.0
       val t0 = System.nanoTime()
       f
       val dt = (System.nanoTime() - t0) / 1e9
@@ -217,7 +222,36 @@ object Stress {
               emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]"))
               .as("redacted_len"))
           .write.mode("overwrite").format("noop").save()
+      },
+      // round 5: the two slowest bench queries, laddered (VERDICT r4 #7).
+      // 8-gram census — the exact substringDupStats code over synthetic
+      // docs (docs scale with n: n/10 docs of 16 tokens → 9 grams/doc)
+      time("substring_census") {
+        val nDocs = math.min(n / 10, 4000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+        graft.operators.Dedup.substringDupStatsOn(docs)
+          .write.mode("overwrite").format("noop").save()
+      },
+      // connected components — the exact clustersFromPairs loop over a
+      // deterministic random graph (n/10 edges over n/10 nodes, avg degree
+      // 2 → giant component, diameter O(log n): the pointer-jump worst-ish
+      // case, far harsher than LSH's near-clique components)
+      time("cluster_pairs") {
+        val nEdges = math.min(n / 10, 4000000L)
+        val pairs = spark.range(nEdges).select(
+            pmod(xxhash64(col("id")), lit(nEdges)).as("a"),
+            pmod(xxhash64(col("id") + 31L), lit(nEdges)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("_1"),
+            greatest(col("a"), col("b")).as("_2"))
+          .as[(Long, Long)]
+        graft.operators.Dedup.clustersFromPairs(pairs)
+          .write.mode("overwrite").format("noop").save()
       })
+      .filter(_._2 >= 0)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

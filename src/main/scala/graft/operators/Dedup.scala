@@ -500,8 +500,20 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 20)
       : DataFrame = {
     import spark.implicits._
-    val pairsDf = simhashNearDups(spark, dir)
-      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    clustersFromPairs(
+      simhashNearDups(spark, dir)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)],
+      maxIter)
+  }
+
+  /** Connected components over any pair Dataset — split out so
+    * graft.Stress can ladder the label-propagation loop on synthetic
+    * graphs independently of the simhash candidate generation. */
+  private[graft] def clustersFromPairs(
+      pairsDf: org.apache.spark.sql.Dataset[(Long, Long)],
+      maxIter: Int = 20): DataFrame = {
+    val spark = pairsDf.sparkSession
+    import spark.implicits._
     // The iteration itself runs on RDDs with one shared HashPartitioner —
     // the same choice GraphX's Pregel makes, for the same two reasons:
     // (1) a Catalyst loop re-plans and re-compiles whole-stage codegen
@@ -608,9 +620,15 @@ object Dedup {
     * Spark's `sequence(1, 0)` yields a DESCENDING [1,0], not empty (DuckDB
     * `range(1,1)` IS empty), so short documents must short-circuit. */
   def substringDupStats(spark: SparkSession, dir: String, n: Int = 8)
+      : DataFrame =
+    substringDupStatsOn(G.table(spark, dir, "documents"), n)
+
+  /** The census over any (doc_id, text) frame — split out so graft.Stress
+    * can ladder the exact operator code on synthetic corpora. */
+  private[graft] def substringDupStatsOn(docs: DataFrame, n: Int = 8)
       : DataFrame = {
-    graft.functions.HashExpressions.ensureRegistered(spark)
-    val grams = G.table(spark, dir, "documents")
+    graft.functions.HashExpressions.ensureRegistered(docs.sparkSession)
+    val grams = docs
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
       .select(col("doc_id"), expr(
         s"""CASE WHEN size(toks) >= $n THEN
