@@ -127,7 +127,10 @@ object SparkEntry {
     "q_x5_substring_dup" -> ((s, d) => Dedup.substringDupStats(s, d)),
     // T1/W1/K2 streaming spine, materialized end-to-end (file-stream
     // source -> parse -> foreachBatch fan-out -> agg sink read-back)
-    "q_stream_a1" -> ((s, d) => graft.streaming.StreamingJobs.fanOutReplay(s, d))
+    "q_stream_a1" -> ((s, d) => graft.streaming.StreamingJobs.fanOutReplay(s, d)),
+    // Round 5: BM25 retrieval scoring + weight-proportional sampling
+    "q_t10_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q_c11_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,6 +214,8 @@ object SparkEntry {
     "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql,
     "q_r19_recursive_rollup" -> Relational.recursiveSubtreeRollupSql,
     "q_x5_substring_dup" -> Dedup.substringDupStatsSql,
-    "q_stream_a1" -> graft.streaming.StreamingJobs.fanOutReplaySql
+    "q_stream_a1" -> graft.streaming.StreamingJobs.fanOutReplaySql,
+    "q_t10_bm25" -> TextAnalysis.bm25Sql,
+    "q_c11_weighted_sample" -> Curation.weightedSampleSql
   )
 }

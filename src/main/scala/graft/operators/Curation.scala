@@ -361,4 +361,46 @@ object Curation {
       |FROM d JOIN thr ON d.source = thr.source
       |WHERE d.bucket < thr.threshold
       |ORDER BY d.source, d.doc_id""".stripMargin
+
+  /** c11: weight-proportional Bernoulli sampling — each document is kept
+    * with probability ∝ its weight (here the length-derived quality proxy
+    * min(1, n_chars/2000)), decided purely from a content-free hash of its
+    * id. This is the sampler that REPLACES reservoir/exact weighted
+    * sampling at 100 TB: no global pass, no driver state, no sort — one
+    * scan-local predicate per row (expected kept mass ∝ total weight, the
+    * property training-mix builders actually need), deterministic under
+    * re-partitioning and re-runs. Same poly_hash‰10000 bucket mechanism as
+    * c9, so the DuckDB replay is exact: the per-row threshold
+    * floor(10000·p) is integer arithmetic on both engines. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExpressions.ensureRegistered(spark)
+    docs(spark, dir)
+      .withColumn("bucket",
+        graft.functions.HashExpressions.poly_hash(
+          col("doc_id").cast("string")) % 10000L)
+      .withColumn("threshold",
+        floor(lit(10000.0) *
+          least(lit(1.0), col("n_chars").cast("double") / lit(2000.0)))
+          .cast("long"))
+      .filter(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("bucket"), col("threshold"))
+      .orderBy(col("doc_id"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, length(CAST(doc_id AS VARCHAR))),
+      |        i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR),
+      |               CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS bucket,
+      |    CAST(floor(10000.0 *
+      |      least(1.0, CAST(n_chars AS DOUBLE) / 2000.0)) AS BIGINT)
+      |      AS threshold
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, bucket, threshold
+      |FROM d WHERE bucket < threshold
+      |ORDER BY doc_id""".stripMargin
 }

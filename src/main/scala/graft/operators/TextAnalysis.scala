@@ -422,4 +422,73 @@ object TextAnalysis {
       |  md5(redacted) AS redacted_md5,
       |  CAST(length(redacted) AS BIGINT) AS redacted_len
       |FROM red ORDER BY doc_id""".stripMargin
+
+  /** t10: BM25-style relevance ranking of the corpus for a fixed query —
+    * the retrieval scorer a curation pipeline runs to pull topical training
+    * slices (and the classical baseline any embedding retriever is judged
+    * against). Standard BM25 shape with one documented deviation: the idf
+    * factor is the RATIONAL (N - df + 0.5)/(df + 0.5) rather than its log —
+    * a strictly monotone transform that preserves the per-term ranking
+    * while keeping every operation (+,*,/) bit-reproducible across engines
+    * (ln() is libm-dependent; same reason t7 avoids LM log-probs).
+    *
+    * Scale shape: the per-doc length table and the tf table are two
+    * hash-aggs over one tokenize pass; df and the corpus stats are
+    * broadcast-sized (|query terms| and 1 row); the only real shuffle is
+    * the (doc_id) join of tf against dl — both sides already hash-keyed by
+    * doc_id from their aggs, so AQE replans no extra exchange. avgdl is a
+    * DECIMAL-exact mean so the scale factor is the identical double in
+    * both engines. */
+  def bm25(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("shuffle", "broadcast", "query", "join"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"),
+      explode(expr("split(lower(text), '\\\\s+')")).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), G.davg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)))
+      .withColumn("contrib",
+        (col("idf") * (col("tf") * lit(k1 + 1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(G.dsum(col("contrib")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('shuffle', 'broadcast', 'query', 'join')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |contribs AS (
+      |  SELECT tf.doc_id,
+      |    ((CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5)
+      |      * (tf.tf * 2.2))
+      |    / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl)) AS contrib
+      |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score,
+      |  count(*) AS n_terms_hit
+      |FROM contribs GROUP BY doc_id
+      |ORDER BY score DESC, doc_id""".stripMargin
 }
