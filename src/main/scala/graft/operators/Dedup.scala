@@ -628,20 +628,35 @@ object Dedup {
   private[graft] def substringDupStatsOn(docs: DataFrame, n: Int = 8)
       : DataFrame = {
     graft.functions.HashExpressions.ensureRegistered(docs.sparkSession)
-    val grams = docs
+    val base = docs
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+    val grams = base
       .select(col("doc_id"), expr(
         s"""CASE WHEN size(toks) >= $n THEN
            |  transform(sequence(1, size(toks) - ${n - 1}),
            |    i -> poly_hash(concat_ws(' ', slice(toks, i, $n))))
            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("ghashes"))
-    val docStats = grams
-      .select(col("doc_id"), size(col("ghashes")).cast("long").as("n_grams"))
+    // n_grams is pure arithmetic on the token count — deriving it from
+    // `grams` would re-run the whole per-gram hash projection a second
+    // time (two uncached consumers), which the r5 profile showed was the
+    // single largest avoidable cost in this operator
+    val docStats = base
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(toks) >= $n
+           |THEN CAST(size(toks) - ${n - 1} AS BIGINT)
+           |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("n_grams"))
     // per-(doc, gram) occurrence counts — the unit the census and the
     // join-back both key on
     val occ = grams
       .select(col("doc_id"), explode(col("ghashes")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    // nd (docs per gram) stays a count-agg + join-back rather than a
+    // window over g: locally a window is ~8% faster (one fewer shuffle),
+    // but a WindowExec partition cannot be skew-split — one hot
+    // boilerplate gram would serialize into a single straggler task at
+    // scale, while AQE happily splits the skewed join shuffle (measured
+    // r5: join 5.50 s vs window 5.08 s at sf0.1 — the skew robustness is
+    // worth 0.4 s)
     val byG = occ.groupBy(col("g")).agg(count(lit(1)).as("nd"))
     val dup = occ.join(byG.filter(col("nd") >= 2), Seq("g"))
       .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_dup"))
