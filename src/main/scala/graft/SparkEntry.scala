@@ -128,8 +128,16 @@ object SparkEntry {
     // T1/W1/K2 streaming spine, materialized end-to-end (file-stream
     // source -> parse -> foreachBatch fan-out -> agg sink read-back)
     "q_stream_a1" -> ((s, d) => graft.streaming.StreamingJobs.fanOutReplay(s, d)),
+    // Round 6: the fan-out's other two sinks (K1 raw, K3 alerts) read back
+    // from the SAME replay run as q_stream_a1, plus the stateful
+    // flatMapGroupsWithState detector replayed end-to-end (D1-D4 streaming)
+    "q_stream_raw" -> ((s, d) => graft.streaming.StreamingJobs.fanOutRawReplay(s, d)),
+    "q_stream_alerts" -> ((s, d) => graft.streaming.StreamingJobs.fanOutAlertsReplay(s, d)),
+    "q_stream_d3d4" -> ((s, d) => graft.streaming.StreamingJobs.detectorReplay(s, d)),
     // Round 5: BM25 retrieval scoring + weight-proportional sampling
     "q_t10_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    // log-idf production scorer, rows-only; deterministic twin = q_t10
+    "q_t10b_bm25_log" -> ((s, d) => TextAnalysis.bm25LogIdf(s, d)),
     "q_c11_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d))
   )
 
@@ -215,6 +223,9 @@ object SparkEntry {
     "q_r19_recursive_rollup" -> Relational.recursiveSubtreeRollupSql,
     "q_x5_substring_dup" -> Dedup.substringDupStatsSql,
     "q_stream_a1" -> graft.streaming.StreamingJobs.fanOutReplaySql,
+    "q_stream_raw" -> graft.streaming.StreamingJobs.fanOutRawSql,
+    "q_stream_alerts" -> graft.streaming.StreamingJobs.fanOutAlertsSql,
+    "q_stream_d3d4" -> operators.AnomalyDetection.streamAlertCountsSql,
     "q_t10_bm25" -> TextAnalysis.bm25Sql,
     "q_c11_weighted_sample" -> Curation.weightedSampleSql
   )

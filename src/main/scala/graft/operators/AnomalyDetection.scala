@@ -192,20 +192,12 @@ object AnomalyDetection {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("alert_type"))
 
-  val alertCountsSql: String =
-    s"""WITH RECURSIVE ev AS (
-      |  SELECT user_id, value AS price,
-      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS volume,
-      |    value * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS amount,
-      |    epoch_ms(ts) AS ts_ms,
-      |    CASE user_id % 3 WHEN 0 THEN CAST(15000.0 AS DOUBLE)
-      |                     WHEN 1 THEN CAST(9000.0 AS DOUBLE)
-      |                     ELSE CAST(3000.0 AS DOUBLE) END AS thr,
-      |    CASE WHEN user_id % 3 = 0 THEN CAST(0.02 AS DOUBLE)
-      |         ELSE CAST(0.03 AS DOUBLE) END AS sthr,
-      |    row_number() OVER (PARTITION BY user_id
-      |                       ORDER BY epoch_ms(ts), event_id) AS seq
-      |  FROM events),
+  /** The recursive state-machine fold shared by the batch (q_d3d4) and
+    * streaming-replay (q_stream_d3d4) oracles. `evSql` must yield columns
+    * (user_id, price, volume BIGINT, amount, ts_ms, thr, sthr,
+    * seq = per-user fold position). */
+  private def alertCountsFoldSql(evSql: String): String =
+    s"""WITH RECURSIVE ev AS ($evSql),
       |step AS (
       |  SELECT user_id, CAST(0 AS BIGINT) AS i,
       |    CAST(0 AS DOUBLE) AS lp, CAST(0 AS DOUBLE) AS avg,
@@ -246,4 +238,39 @@ object AnomalyDetection {
       |  UNION ALL SELECT 'RAPID_TRADES', d4 FROM counts
       |  UNION ALL SELECT 'VOLUME_SURGE', d3 FROM counts) t
       |WHERE n > 0 ORDER BY alert_type""".stripMargin
+
+  val alertCountsSql: String = alertCountsFoldSql(
+    """SELECT user_id, value AS price,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS volume,
+      |    value * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS amount,
+      |    epoch_ms(ts) AS ts_ms,
+      |    CASE user_id % 3 WHEN 0 THEN CAST(15000.0 AS DOUBLE)
+      |                     WHEN 1 THEN CAST(9000.0 AS DOUBLE)
+      |                     ELSE CAST(3000.0 AS DOUBLE) END AS thr,
+      |    CASE WHEN user_id % 3 = 0 THEN CAST(0.02 AS DOUBLE)
+      |         ELSE CAST(0.03 AS DOUBLE) END AS sthr,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts), event_id) AS seq
+      |  FROM events""".stripMargin)
+
+  /** q_stream_d3d4 oracle: the same fold over the streaming detector's
+    * input — the parsed CDC roundtrip restricted to inserts (op='c' ↔
+    * event_type signup/purchase; tombstone/malformed rows %17/%23 never
+    * parse), evented at source time (ts_ms = cdc_ms - k), with the flat
+    * default tier every "M<id>" market lands in (key%3 = 2 → thr 3000.0,
+    * sthr 0.03). Grouping by user_id is fold-equivalent to the stream's
+    * hashed market key because market = 'M'||user_id is unique per user and
+    * the hash is collision-free on the corpus (StreamingSpec pins this). */
+  val streamAlertCountsSql: String = alertCountsFoldSql(
+    """SELECT user_id, value AS price, k AS volume,
+      |    value * k AS amount,
+      |    epoch_ms(ts) - k AS ts_ms,
+      |    CAST(3000.0 AS DOUBLE) AS thr, CAST(0.03 AS DOUBLE) AS sthr,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts) - k, event_id) AS seq
+      |  FROM (SELECT *,
+      |          CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |        FROM events)
+      |  WHERE event_id % 17 <> 0 AND event_id % 23 <> 0
+      |    AND event_type IN ('signup', 'purchase')""".stripMargin)
 }

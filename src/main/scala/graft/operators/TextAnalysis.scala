@@ -432,30 +432,60 @@ object TextAnalysis {
     * while keeping every operation (+,*,/) bit-reproducible across engines
     * (ln() is libm-dependent; same reason t7 avoids LM log-probs).
     *
-    * Scale shape: the per-doc length table and the tf table are two
-    * hash-aggs over one tokenize pass; df and the corpus stats are
-    * broadcast-sized (|query terms| and 1 row); the only real shuffle is
-    * the (doc_id) join of tf against dl — both sides already hash-keyed by
-    * doc_id from their aggs, so AQE replans no extra exchange. avgdl is a
+    * Scale shape: doc length is a pure projection (size of the token
+    * array — no second explode of the corpus); only the tf branch
+    * tokenize-explodes, immediately filtered to the query terms. df and
+    * the corpus stats are broadcast-sized (|query terms| and 1 row); the
+    * only real shuffle is the (doc_id) join of tf against dl. avgdl is a
     * DECIMAL-exact mean so the scale factor is the identical double in
     * both engines. */
   def bm25(spark: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("shuffle", "broadcast", "query", "join"),
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(spark, dir, queryTerms, k1, b, logIdf = false)
+
+  /** Production-standard log-idf BM25 (q_t10b): the identical pipeline with
+    * the textbook idf = ln(1 + (N - df + 0.5)/(df + 0.5)). ln() is
+    * libm-dependent, so this variant is rows-only in the driver gate; its
+    * deterministic twin is [[bm25]] (rational idf), hash-checked end-to-end
+    * over the shared pipeline — the x2/x2b twin pattern. Round6OpsSpec pins
+    * the two scorers' rankings against each other. */
+  def bm25LogIdf(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("shuffle", "broadcast", "query", "join"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(spark, dir, queryTerms, k1, b, logIdf = true)
+
+  private def bm25Scored(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], k1: Double, b: Double,
+      logIdf: Boolean): DataFrame = {
     val d = docs(spark, dir)
+    // doc length is per-row computable: a projection, NOT a second explode
+    // of the corpus — the tf branch below is the only Generate in the plan
+    // (Round5OpsSpec pins this); dl never shuffles more than its (doc_id,
+    // dl) pairs into the keyed join
+    val dl = d.select(col("doc_id"),
+      size(expr("split(lower(text), '\\\\s+')")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), G.davg(col("dl")).as("avgdl"))
     val toks = d.select(col("doc_id"),
       explode(expr("split(lower(text), '\\\\s+')")).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), G.davg(col("dl")).as("avgdl"))
+    // tf feeds BOTH the scoring join and the df rollup. Without the
+    // persist, each consumer re-derives the whole tokenize-explode lineage
+    // (the join pushes different isnotnull filters into the two copies, so
+    // neither ReuseExchange nor AQE can unify them) — i.e. the corpus would
+    // be tokenized twice. tf is tiny (query-term hits only, O(matching
+    // docs)), so caching it makes the explode run once; the session's
+    // per-query clearCache releases it.
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rational =
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))
     tf.join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)))
+      .withColumn("idf", if (logIdf) log1p(rational) else rational)
       .withColumn("contrib",
         (col("idf") * (col("tf") * lit(k1 + 1.0))) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))))
@@ -469,7 +499,9 @@ object TextAnalysis {
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
       |  FROM documents),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |dl AS (SELECT doc_id,
+      |         CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS dl
+      |       FROM documents),
       |stats AS (
       |  SELECT count(*) AS n_docs,
       |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl

@@ -93,5 +93,17 @@ class Round5OpsSpec extends SparkSpec {
       assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
         s"documents scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
     }
+    // doc length is a projection and tf is cached: the corpus is tokenized
+    // ONCE (inside the cached tf build — was four explode lineages when dl
+    // and avgdl re-exploded and tf/df each re-derived the scan). The outer
+    // plan must therefore contain NO Generate and read tf via the
+    // in-memory relation.
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.isEmpty,
+      s"explode leaked out of the cached tf build (${gens.length}):\n$plan")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      s"tf not served from cache:\n$plan")
+    spark.catalog.clearCache()
   }
 }

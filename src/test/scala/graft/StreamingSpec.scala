@@ -156,6 +156,92 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("fan-out raw + alert sinks reproduce the batch parse (q_stream_raw / q_stream_alerts)") {
+    // read-back of the OTHER two sinks of the same T1 replay: the raw sink
+    // must hold exactly the parsed rows, the alert sink exactly the
+    // stateless LARGE_TRADE subset
+    val raw = StreamingJobs.fanOutRawReplay(spark, sf()).collect().toSeq
+    val batch = graft.operators.CdcParser.cdcParseRoundtripSorted(spark, sf())
+      .collect().toSeq
+    assert(raw.nonEmpty && raw == batch)
+    val alerts = StreamingJobs.fanOutAlertsReplay(spark, sf()).collect().toSeq
+    val batchAlerts = graft.operators.CdcParser.cdcParseRoundtrip(spark, sf())
+      .filter(col("op") === "c" &&
+        col("trade_price") * col("trade_volume") >= 3000.0)
+      .select(col("trade_id"), col("market"), col("trade_price"),
+        col("trade_volume"),
+        (col("trade_price") * col("trade_volume")).as("amount"))
+      .orderBy(col("trade_id")).collect().toSeq
+    assert(alerts.nonEmpty && alerts == batchAlerts)
+  }
+
+  test("stateful detector replay == local fold; key mapping collision-free (q_stream_d3d4)") {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtrip(spark, sf())
+    // the q_stream_d3d4 oracle groups by market/user_id; the stream groups
+    // by the hashed key — equivalence requires the mapping be injective on
+    // the corpus
+    val nMkts = parsed.filter(col("op") === "c")
+      .select("market").distinct().count()
+    val nKeys = StreamingJobs.evFromTrades(parsed)
+      .select("user_id").distinct().count()
+    assert(nMkts == nKeys, "market->key hash collision")
+    val streamed = StreamingJobs.detectorReplay(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val evs = StreamingJobs.evFromTrades(parsed).collect()
+    val local = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+      var st = model.DetectorState.empty
+      es.sortBy(e => (e.ts_ms, e.event_id)).toSeq.flatMap { e =>
+        val (a, s2) = AnomalyDetection.step(st, e); st = s2; a }
+    }
+    val localCounts = local.groupBy(_.alert_type)
+      .map { case (t, as) => (t, as.size.toLong) }.toSeq.sortBy(_._1)
+    assert(streamed.nonEmpty && streamed == localCounts)
+  }
+
+  test("stateful detector carries state across micro-batches (two-batch == global fold)") {
+    val trades = Synthetic.trades(300)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    // trades are time-ordered, so a half split preserves per-key global
+    // (ts, id) order across the batch boundary
+    val (first, second) = jsons.splitAt(150)
+    val mem = MemoryStream[String](spark)
+    val parsed = graft.operators.CdcParser.parse(
+      mem.toDF().withColumnRenamed("value", "json"), col("json"))
+    val q = StreamingJobs.detectAnomaliesStream(parsed)
+      .writeStream.format("memory").queryName("carry_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("carry_out")
+      .select("alert_type", "market", "trade_id")
+      .collect().map(_.toSeq).toSet
+    def fold(js: Seq[String], st0: Map[Long, model.DetectorState] = Map.empty)
+        : (Set[Seq[Any]], Map[Long, model.DetectorState]) = {
+      val evs = StreamingJobs.evFromTrades(
+        graft.operators.CdcParser.parseEnvelope(js.toDF("json"), col("json")))
+        .collect()
+      var states = st0
+      val out = evs.groupBy(_.user_id).toSeq.flatMap { case (k, es) =>
+        var st = states.getOrElse(k, model.DetectorState.empty)
+        val as = es.sortBy(e => (e.ts_ms, e.event_id)).toSeq.flatMap { e =>
+          val (a, s2) = AnomalyDetection.step(st, e); st = s2; a }
+        states = states.updated(k, st)
+        as
+      }.map(a => Seq[Any](a.alert_type, a.market, a.trade_id)).toSet
+      (out, states)
+    }
+    val (global, _) = fold(jsons) // one fold over everything
+    assert(streaming == global)
+    // the test is non-vacuous only if a state reset at the boundary would
+    // change the output: fold each half from empty state and compare
+    val (h1, _) = fold(first)
+    val (h2, _) = fold(second)
+    assert(h1.union(h2) != global,
+      "split corpus not state-sensitive; pick a different split")
+  }
+
   test("streaming dedup drops redelivered events (S3 INSERT IGNORE)") {
     val trades = Synthetic.trades(100)
     // every 4th trade delivered twice (WebSocket redelivery)
