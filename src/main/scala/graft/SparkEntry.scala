@@ -138,6 +138,11 @@ object SparkEntry {
     "q_t10_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // log-idf production scorer, rows-only; deterministic twin = q_t10
     "q_t10b_bm25_log" -> ((s, d) => TextAnalysis.bm25LogIdf(s, d)),
+    // product quantization: per-subspace codebook build + ADC code search
+    "q_y7_pq_build" -> ((s, d) => Similarity.pqBuild(s, d)),
+    "q_y8_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
+    // fuzzy (near-dup) benchmark decontamination, bench side broadcast
+    "q_c12_fuzzy_decontam" -> ((s, d) => Curation.fuzzyDecontaminate(s, d)),
     "q_c11_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d))
   )
 
@@ -217,6 +222,9 @@ object SparkEntry {
     "q_y5_quantize_int8" -> Similarity.quantizeInt8Sql,
     "q_c10_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_y6_ivf_build" -> Similarity.ivfBuildSql(),
+    "q_y7_pq_build" -> Similarity.pqBuildSql(),
+    "q_y8_pq_search" -> Similarity.pqSearchSql(),
+    "q_c12_fuzzy_decontam" -> Curation.fuzzyDecontaminateSql,
     "q_t9_repetition" -> TextAnalysis.repetitionMetricsSql,
     "q_p7_snapshot_apply" -> CdcParser.snapshotApplySql,
     "q_a12_incremental_mv" -> DashboardQueries.incrementalMvMergeSql,

@@ -403,4 +403,73 @@ object Curation {
       |SELECT doc_id, source, n_chars, bucket, threshold
       |FROM d WHERE bucket < threshold
       |ORDER BY doc_id""".stripMargin
+
+  /** c12: FUZZY benchmark decontamination — near-duplicate (not just
+    * exact-n-gram, as [[decontaminate]]) matches between the training
+    * corpus and a benchmark set, via MinHash+LSH banding with exact-Jaccard
+    * verification. The benchmark here is planted: every 53rd doc, first
+    * token dropped, re-keyed +3000000 — a realistic "benchmark rephrases
+    * the training doc" contamination that exact 5-gram matching can also
+    * see but paraphrase-style perturbations would evade.
+    *
+    * Scale shape: signatures are ONE tight-JVM pass over train ∪ bench
+    * ([[Dedup.minhashPolyStage]], cached — its two consumers are the band
+    * join and the shingle verify); the benchmark side of the candidate
+    * join is BROADCAST (a benchmark is always tiny next to a 100 TB
+    * corpus), so the training corpus never shuffles — the asymmetric
+    * counterpart of x2's self-join. capBuckets drops degenerate hot
+    * buckets before the join. Every stage is mod-P arithmetic
+    * (polyHashMod), so the WHOLE pipeline replays in DuckDB — no
+    * rows-only twin needed. */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val bench = base.filter(col("doc_id") % 53 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
+    val sigs = Dedup.minhashPolyStage(base.union(bench)).cache()
+    val banded = Dedup.capBuckets(
+      sigs.select(col("doc_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000)
+    val bt = banded.filter(col("doc_id") < 3000000)
+      .select(col("doc_id").as("train_id"), col("band"), col("bucket"))
+    val bb = banded.filter(col("doc_id") >= 3000000)
+      .select(col("doc_id").as("bench_id"), col("band"), col("bucket"))
+    val cand = bt.join(broadcast(bb), Seq("band", "bucket"))
+      .select(col("train_id"), col("bench_id")).distinct()
+    val shT = sigs.select(col("doc_id").as("train_id"),
+      col("shingles").as("sh_t"))
+    val shB = sigs.select(col("doc_id").as("bench_id"),
+      col("shingles").as("sh_b"))
+    cand.join(shT, Seq("train_id")).join(broadcast(shB), Seq("bench_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_t"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_t"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("train_id"), col("bench_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  val fuzzyDecontaminateSql: String = Dedup.minhashChainSql(
+    """
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
+      |  FROM documents WHERE doc_id % 53 = 0""".stripMargin) + """,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id < 3000000 AND b.doc_id >= 3000000)
+      |SELECT p.train_id, p.bench_id,
+      |  round(len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.shingles, y.shingles))), 4) AS jaccard
+      |FROM pairs p
+      |JOIN sh x ON x.doc_id = p.train_id
+      |JOIN sh y ON y.doc_id = p.bench_id
+      |WHERE len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+      |ORDER BY train_id, bench_id""".stripMargin
 }

@@ -294,15 +294,15 @@ object Dedup {
     * Same planted near-dups and same scale shape as the production variant
     * (signatures in a tight JVM loop, bucket-equality joins only, skew cap);
     * the production variant keeps FNV-64's better mixing. */
-  def minhashLshPairsChecked(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
+  /** The SQL-replayable MinHash ingest: (doc_id, text) → (doc_id, shingles,
+    * buckets) — 3-token shingles, [[polyHashMod]] 64-permutation signatures,
+    * 16×4 mod-P band buckets, all in one tight JVM pass. Shared by the
+    * checked self-join twin ([[minhashLshPairsChecked]]) and the asymmetric
+    * fuzzy decontamination (Curation.fuzzyDecontaminate). */
+  private[operators] def minhashPolyStage(df: DataFrame): DataFrame = {
+    val spark2 = df.sparkSession
     import spark2.implicits._
-    val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val perturbed = base.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"),
-        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
-    val docs = base.union(perturbed)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val toks = text.toLowerCase.split("\\s+")
@@ -329,7 +329,15 @@ object Dedup {
             Some((id, sh, buckets))
           }
         }
-      }.toDF("doc_id", "shingles", "buckets").cache()
+      }.toDF("doc_id", "shingles", "buckets")
+  }
+
+  def minhashLshPairsChecked(spark: SparkSession, dir: String): DataFrame = {
+    val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
+    val docs = minhashPolyStage(base.union(perturbed)).cache()
     val banded = capBuckets(
       docs.select(col("doc_id"),
         posexplode(col("buckets")).as(Seq("band", "bucket"))),
@@ -354,18 +362,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashLshPairsCheckedSql: String =
-    """WITH all_docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 2000000 AS doc_id,
-      |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
-      |  FROM documents WHERE doc_id % 7 = 0),
+  /** The DuckDB replay of [[minhashPolyStage]] (shingle → mod-P signature →
+    * band buckets) over a caller-supplied `all_docs`(doc_id, text) CTE body;
+    * yields CTEs `sh` (doc_id, shingles) and `banded` (doc_id, band,
+    * bucket) for the caller's candidate join. */
+  private[operators] def minhashChainSql(allDocs: String): String =
+    s"""WITH all_docs AS ($allDocs),
       |sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
       |        FROM all_docs)
       |  WHERE len(t) >= 3),
       |hs AS (
@@ -387,7 +394,15 @@ object Dedup {
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_slice(s, band * 4 + 1, band * 4 + 4)),
       |      (a, v) -> (a * 31 + v) % 1000000007) AS bucket
-      |  FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS band) b),
+      |  FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS band) b)""".stripMargin
+
+  val minhashLshPairsCheckedSql: String = minhashChainSql(
+    """
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin) + """,
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b

@@ -370,6 +370,178 @@ object Similarity {
        |FROM a$iters GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  /** Product-quantization subvector assignment: the shared k-means core of
+    * [[pqBuild]] and [[pqSearch]]. The 64-d corpus is split into `m`
+    * subspaces of 64/m dims; each subspace trains its own K-centroid
+    * codebook with deterministic seeding (centroids ← subvectors of
+    * vec_id 0..k-1) and a FIXED number of Lloyd rounds, unrolled
+    * declaratively exactly like [[ivfBuild]]: assignment = broadcast join
+    * of the (m·k)-row codebook against the subvector frame + argmin
+    * window; recenter = per-(subspace, cell, dim) exact DECIMAL mean.
+    * Returns (final assignment (vec_id, m, cid, dist2), the codebook that
+    * produced it). Per round: one pass over the subvectors, one tiny
+    * m·k·d-group aggregate, the corpus never shuffles. */
+  private def pqAssign(spark: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val subDim = 64 / m
+    val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    val sub = e.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mm -> slice(v, CAST(mm * $subDim + 1 AS INT), $subDim))"))
+        .as(Seq("m", "sv")))
+    var cent = sub.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("c"))
+    var assign: DataFrame = spark.emptyDataFrame
+    for (round <- 1 to iters) {
+      val d = sub.join(broadcast(cent), Seq("m"))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),
+            |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist2"), col("cid"))
+      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid"), col("dist2"), col("sv"))
+      if (round < iters)
+        cent = assign
+          .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("m"), col("cid"), col("dim"))
+          .agg(G.davg(col("x")).as("mean"))
+          .groupBy(col("m"), col("cid"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(dim, mean))), s -> s.mean)")
+            .as("c"))
+    }
+    (assign, cent)
+  }
+
+  /** Product-quantization codebook BUILD (q_y7): per-subspace cell sizes
+    * and inertia — the training half of the PQ pipeline a 100 TB vector
+    * store runs to compress embeddings 8× further than int8 (64 float64
+    * dims → m code bytes). Deterministic twin-free: every distance is the
+    * same sequential squared-diff fold in both engines and the means are
+    * DECIMAL-exact, so the oracle replays the whole build bit-for-bit. */
+  def pqBuild(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (assign, _) = pqAssign(spark, dir, m, k, iters)
+    assign.groupBy(col("m"), col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), G.dsum(col("dist2")).as("inertia"))
+      .orderBy(col("m"), col("cid"))
+  }
+
+  /** PQ asymmetric-distance top-5 search (q_y8): score the corpus CODES
+    * against per-query distance tables without touching a single corpus
+    * vector at query time — the PQ payoff. The query's subvectors are
+    * joined against the broadcast codebook once (m·k rows → the ADC
+    * table), then each corpus code row looks its subspace distance up in
+    * the broadcast table and the m partial distances sum per (query,
+    * vector). Scale shape: the codes frame carries m small ints per
+    * vector; the ADC join is broadcast (no corpus shuffle) and the
+    * distance sum partial-aggregates map-side because a vector's m code
+    * rows are colocated (posexplode of one row). The sum is DECIMAL-exact
+    * so the 8-way add is order-free for the oracle. */
+  def pqSearch(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      iters: Int = 2, topK: Int = 5): DataFrame = {
+    val (assign, cent) = pqAssign(spark, dir, m, k, iters)
+    val codes = assign.select(col("vec_id"), col("m"), col("cid"))
+    val subDim = 64 / m
+    val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    val qsub = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mm -> slice(v, CAST(mm * $subDim + 1 AS INT), $subDim))"))
+        .as(Seq("m", "qsv")))
+    val table = qsub.join(broadcast(cent), Seq("m"))
+      .withColumn("qdist2", expr(
+        """aggregate(zip_with(qsv, c, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      .select(col("query_id"), col("m"), col("cid"), col("qdist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(table), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(G.dsum(col("qdist2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Shared WITH-prefix of the PQ oracles, GENERATED from (m, k, iters)
+    * like [[ivfBuildSql]]: sub (subvector frame), c0 (seed codebook), and
+    * per Lloyd round r the distance/argmin CTEs d_r/a_r plus — before a
+    * further round — the DECIMAL-mean recenter m_r/c_r. */
+  private def pqRoundsSql(m: Int, k: Int, iters: Int): String = {
+    require(m > 0 && 64 % m == 0 && k > 0 && iters > 0)
+    val subDim = 64 / m
+    def dist(r: Int): String =
+      s"""d$r AS (
+         |  SELECT s.vec_id, s.m, c${r - 1}.cid, s.sv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, $subDim), i ->
+         |        (s.sv[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)])
+         |      * (s.sv[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)]))),
+         |      (a, b) -> a + b) AS dist2
+         |  FROM sub s JOIN c${r - 1} ON s.m = c${r - 1}.m),
+         |a$r AS (SELECT vec_id, m, cid, sv, dist2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist2, cid) AS rn FROM d$r) t
+         |  WHERE rn = 1)""".stripMargin
+    def recenter(r: Int): String =
+      s"""m$r AS (
+         |  SELECT a$r.m, a$r.cid, dd.i AS dim,
+         |    CAST(SUM(CAST(a$r.sv[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(a$r.sv[CAST(dd.i+1 AS INT)]) AS mean
+         |  FROM a$r CROSS JOIN (SELECT unnest(range(0, $subDim)) AS i) dd
+         |  GROUP BY a$r.m, a$r.cid, dd.i),
+         |c$r AS (SELECT m, cid, list(mean ORDER BY dim) AS c
+         |        FROM m$r GROUP BY m, cid)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      if (r < iters) dist(r) + ",\n" + recenter(r) else dist(r)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (
+       |  SELECT e.vec_id, mm.m,
+       |    list_transform(range(0, $subDim),
+       |      i -> e.v[CAST(mm.m * $subDim + i + 1 AS INT)]) AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
+       |c0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
+
+  def pqBuildSql(m: Int = 8, k: Int = 16, iters: Int = 2): String =
+    s"""${pqRoundsSql(m, k, iters)}
+       |SELECT m, cid, count(*) AS n_vecs,
+       |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+       |FROM a$iters GROUP BY m, cid ORDER BY m, cid""".stripMargin
+
+  def pqSearchSql(m: Int = 8, k: Int = 16, iters: Int = 2,
+      topK: Int = 5): String =
+    s"""${pqRoundsSql(m, k, iters)},
+       |qt AS (
+       |  SELECT s.vec_id AS query_id, s.m, cf.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, ${64 / m}), i ->
+       |        (s.sv[CAST(i+1 AS INT)] - cf.c[CAST(i+1 AS INT)])
+       |      * (s.sv[CAST(i+1 AS INT)] - cf.c[CAST(i+1 AS INT)]))),
+       |      (a, b) -> a + b) AS qdist2
+       |  FROM sub s JOIN c${iters - 1} cf ON s.m = cf.m
+       |  WHERE s.vec_id < 10),
+       |adc AS (
+       |  SELECT qt.query_id, a$iters.vec_id,
+       |    CAST(SUM(CAST(qt.qdist2 AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |  FROM a$iters JOIN qt
+       |    ON a$iters.m = qt.m AND a$iters.cid = qt.cid
+       |  WHERE a$iters.vec_id <> qt.query_id
+       |  GROUP BY qt.query_id, a$iters.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id, adist FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs over a bounded window
     * (vec_id < 300 — the verify kernel LSH/IVF candidates feed at scale;
     * embeddings are random so 0.35 yields a thin non-empty tail). */
