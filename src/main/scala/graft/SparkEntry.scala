@@ -143,7 +143,15 @@ object SparkEntry {
     "q_y8_pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     // fuzzy (near-dup) benchmark decontamination, bench side broadcast
     "q_c12_fuzzy_decontam" -> ((s, d) => Curation.fuzzyDecontaminate(s, d)),
-    "q_c11_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d))
+    "q_c11_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    // Round 6 second wave: batch multi-query retrieval, streaming
+    // INSERT-IGNORE dedup replayed across micro-batches, SemDeDup
+    // semantic near-dup removal, and the salted skew join as a checked
+    // query
+    "q_t11_batch_retrieve" -> ((s, d) => TextAnalysis.batchRetrieve(s, d)),
+    "q_stream_dedup" -> ((s, d) => graft.streaming.StreamingJobs.dedupReplay(s, d)),
+    "q_y9_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "q_r20_salted_join" -> ((s, d) => Relational.saltedSupplierRevenue(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -235,6 +243,10 @@ object SparkEntry {
     "q_stream_alerts" -> graft.streaming.StreamingJobs.fanOutAlertsSql,
     "q_stream_d3d4" -> operators.AnomalyDetection.streamAlertCountsSql,
     "q_t10_bm25" -> TextAnalysis.bm25Sql,
-    "q_c11_weighted_sample" -> Curation.weightedSampleSql
+    "q_c11_weighted_sample" -> Curation.weightedSampleSql,
+    "q_t11_batch_retrieve" -> TextAnalysis.batchRetrieveSql,
+    "q_stream_dedup" -> graft.streaming.StreamingJobs.dedupReplaySql,
+    "q_y9_semdedup" -> Similarity.semDedupSql(),
+    "q_r20_salted_join" -> Relational.saltedSupplierRevenueSql
   )
 }

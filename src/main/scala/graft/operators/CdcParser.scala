@@ -297,7 +297,16 @@ object CdcParser {
     *  - cdc latency = props.k (source.ts_ms = ts_ms - k)
     *  - trade_volume carries props.k as a decimal STRING (P2 parse path)
     */
-  def eventsAsEnvelopeJson(spark: SparkSession, dir: String): DataFrame = {
+  def eventsAsEnvelopeJson(spark: SparkSession, dir: String): DataFrame =
+    eventsAsEnvelopeJsonTs(spark, dir).select(col("json"))
+
+  /** [[eventsAsEnvelopeJson]] plus the source event-time (`src_ms`) — the
+    * streaming dedup replay needs event time to range-partition the input
+    * files so micro-batches replay in event-time order (the watermark
+    * contract). The column is replay plumbing only; it never appears in
+    * the envelope. */
+  private[graft] def eventsAsEnvelopeJsonTs(spark: SparkSession,
+      dir: String): DataFrame = {
     val ev = G.eventsRaw(spark, dir)
       .withColumn("k", G.propsK(col("props")))
       .withColumn("cdc_ms", expr("ts_ns DIV 1000000"))
@@ -331,7 +340,7 @@ object CdcParser {
       .when(col("event_id") % 23 === 0, lit("""{"oops"""))  // malformed
       .when(col("event_id") % 2 === 1, payload)             // no wrapper
       .otherwise(concat(lit("""{"payload": """), payload, lit("}")))
-    ev.select(json.as("json"))
+    ev.select(json.as("json"), col("src_ms"))
   }
 
   /** P1/P2/S2 roundtrip: generate the envelope stream, parse it back. */

@@ -612,4 +612,39 @@ object Relational {
       |FROM anc a JOIN per_cust p ON a.node = p.o_custkey
       |GROUP BY a.anc
       |ORDER BY subtree_root""".stripMargin
+
+  /** Salted skew join (q_r20): supplier revenue through [[Skew.saltedJoin]]
+    * — the named skew lever run as a first-class checked query, not just a
+    * property test. Each lineitem suppkey is split over 8 salt sub-keys
+    * (deterministic `pmod(hash(l_orderkey), 8)`), the supplier side is
+    * replicated ×8, and the join keys on (suppkey, salt) — a hot supplier's
+    * rows land on 8 reducers instead of one straggler. The result is
+    * EXACTLY the plain join (salting is join-key refinement), which is what
+    * the plain-SQL oracle checks. Use when the skewed side feeds an
+    * aggregation the planner can't see past or the join is planned
+    * broadcast-free on a mis-estimated side; AQE handles the cases it can
+    * observe. */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String,
+      factor: Int = 8): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val sup = G.table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, Seq("suppkey"), saltOn = col("l_orderkey"),
+        factor = factor)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        G.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val saltedSupplierRevenueSql: String =
+    """SELECT s_nationkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 }

@@ -301,7 +301,16 @@ object Similarity {
     * cross-engine replay exact; every distance is the same sequential
     * squared-diff fold both engines run term-for-term. */
   def ivfBuild(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2)
-      : DataFrame = {
+      : DataFrame =
+    ivfAssign(spark, dir, k, iters).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), G.dsum(col("dist2")).as("inertia"))
+      .orderBy(col("cid"))
+
+  /** The k-means core of [[ivfBuild]] (and [[semDedup]]'s clustering
+    * stage): returns the final per-vector assignment
+    * (vec_id, cid, dist2, v). */
+  private def ivfAssign(spark: SparkSession, dir: String, k: Int,
+      iters: Int): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
@@ -311,9 +320,17 @@ object Similarity {
         .withColumn("dist2", expr(
           """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
             |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
+      // argmin as min(struct(dist2, cid, v)): struct comparison is
+      // lexicographic, so the minimum IS the oracle's row_number()=1 under
+      // ORDER BY dist2, cid ((dist2, cid) is unique per candidate; v is
+      // identical across a vector's candidates, so the third field never
+      // decides). Unlike a row_number window this partial-aggregates
+      // map-side: the k candidate rows collapse to one BEFORE the
+      // exchange, and the sort disappears — shuffle volume drops k×.
+      assign = d.groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("a"))
+        .select(col("vec_id"), col("a.cid").as("cid"),
+          col("a.dist2").as("dist2"), col("a.v").as("v"))
       if (round < iters)
         cent = assign
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -323,9 +340,46 @@ object Similarity {
           .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
             .as("c"))
     }
-    assign.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_vecs"), G.dsum(col("dist2")).as("inertia"))
-      .orderBy(col("cid"))
+    assign
+  }
+
+  /** SemDeDup (q_y9, Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means cluster the embedding space, then search for
+    * near-duplicates ONLY within each cluster — the trick that turns the
+    * O(n²) all-pairs cosine scan into O(Σ|cluster|²), which is how
+    * semantic dedup runs over web-scale corpora. A vector is REMOVED when
+    * some lower-id member of its cluster is cosine-similar above `tau`
+    * (the paper keeps one representative per semantic group; lowest id is
+    * the deterministic choice). Output: one row per removed vector with
+    * its cluster, the representative that displaced it, and its dup
+    * stats.
+    *
+    * Scale shape: clustering is [[ivfAssign]] (broadcast centroids, no
+    * corpus shuffle); the within-cluster pair generation is a self-join
+    * keyed on cid — the shuffle is O(n) vector rows, the pair blow-up is
+    * bounded by the largest cluster (k scales with n in practice; a hot
+    * cluster splits under AQE skew-join). Nothing here is all-pairs. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val assign = ivfAssign(spark, dir, k, iters)
+      .select(col("vec_id"), col("cid"), col("v"))
+    val a = assign.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
+    val b = assign.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+      .withColumn("nb", sqrt(dot(col("vb"), col("vb"))))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("id_b"), col("cid"))
+      .agg(min(col("id_a")).as("kept_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("sim")).as("max_sim"))
+      .select(col("id_b").as("vec_id"), col("cid"), col("kept_id"),
+        col("n_dups"), col("max_sim"))
+      .orderBy(col("vec_id"))
   }
 
   /** DuckDB replay of [[ivfBuild]], GENERATED from the same (k, iters, dims)
@@ -336,7 +390,34 @@ object Similarity {
     * term-for-term sequential fold as the Spark zip_with/aggregate), a_r
     * (argmin via row_number), and — before a further round — m_r/c_r (the
     * exact per-(cell,dim) DECIMAL mean and re-assembled centroid list). */
-  def ivfBuildSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String = {
+  def ivfBuildSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String =
+    s"""${ivfRoundsSql(k, iters, dims)}
+       |SELECT cid, count(*) AS n_vecs,
+       |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+       |FROM a$iters GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** DuckDB replay of [[semDedup]]: the shared k-means rounds feeding the
+    * within-cluster pair scan — the same per-pair sequential cosine fold
+    * as [[embeddingNearDupsSql]]. */
+  def semDedupSql(k: Int = 8, iters: Int = 2, dims: Int = 64,
+      tau: Double = 0.35): String =
+    s"""${ivfRoundsSql(k, iters, dims)},
+       |pairs AS (
+       |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v))
+       |       * sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM a$iters a JOIN a$iters b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT id_b AS vec_id, cid, min(id_a) AS kept_id,
+       |  count(*) AS n_dups, max(sim) AS max_sim
+       |FROM pairs WHERE sim >= $tau
+       |GROUP BY id_b, cid ORDER BY vec_id""".stripMargin
+
+  /** Shared WITH-prefix of the IVF-family oracles ([[ivfBuildSql]],
+    * [[semDedupSql]]), GENERATED from (k, iters, dims) like
+    * [[pqRoundsSql]]. */
+  private def ivfRoundsSql(k: Int, iters: Int, dims: Int): String = {
     require(k > 0 && iters > 0 && dims > 0)
     def dist(r: Int): String =
       s"""d$r AS (
@@ -364,10 +445,7 @@ object Similarity {
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
-       |$rounds
-       |SELECT cid, count(*) AS n_vecs,
-       |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
-       |FROM a$iters GROUP BY cid ORDER BY cid""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Product-quantization subvector assignment: the shared k-means core of
@@ -397,10 +475,13 @@ object Similarity {
         .withColumn("dist2", expr(
           """aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),
             |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("dist2"), col("cid"))
-      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cid"), col("dist2"), col("sv"))
+      // argmin via min(struct) — see ivfAssign: identical selection to the
+      // oracle's row_number()=1, but map-side partial aggregation collapses
+      // the k codebook candidates per (vec_id, m) before the exchange
+      assign = d.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist2"), col("cid"), col("sv"))).as("a"))
+        .select(col("vec_id"), col("m"), col("a.cid").as("cid"),
+          col("a.dist2").as("dist2"), col("a.sv").as("sv"))
       if (round < iters)
         cent = assign
           .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))

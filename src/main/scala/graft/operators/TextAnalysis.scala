@@ -495,6 +495,108 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** The q_t11 query workload: three queries of three terms each, drawn
+    * from the corpus's dominant vocabulary so every query has a dense
+    * result set. A (query_id, term) relation rather than per-query code —
+    * the batch scorer is shaped like an inverted-index probe, not Q
+    * reruns of the single-query path. */
+  val retrievalQueries: Seq[(Long, String)] = Seq(
+    1L -> "join", 1L -> "hash", 1L -> "scan",
+    2L -> "window", 2L -> "stream", 2L -> "batch",
+    3L -> "sort", 3L -> "merge", 3L -> "filter")
+
+  /** BATCH top-k retrieval (q_t11): score Q queries against the corpus in
+    * ONE pass — the serving-side counterpart of q_t10's single-query
+    * scorer. The corpus is tokenized once; per-term tf/df stats are shared
+    * across queries; fanning out to the (query_id, term) relation happens
+    * AFTER the tf rollup, so the explode volume is independent of Q. Top-k
+    * per query is a rank-filtered window over the scored frame — Spark
+    * rewrites `row_number <= k` into WindowGroupLimit (a per-partition
+    * top-k heap), so no query's full posting list is ever sorted. At
+    * 100 TB/Q queries this is the right shape: one corpus scan, broadcast
+    * stats, one keyed (query_id, doc_id) aggregate, heap-bounded ranking.
+    * Reference: search-serving endpoints (`api/.../dashboard.py` query
+    * surface) generalized to the LLM-retrieval workload. */
+  def batchRetrieve(spark: SparkSession, dir: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs(spark, dir)
+    val qt = retrievalQueries.toDF("query_id", "term")
+    val terms = retrievalQueries.map(_._2).distinct
+    val dl = d.select(col("doc_id"),
+      size(expr("split(lower(text), '\\\\s+')")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), G.davg(col("dl")).as("avgdl"))
+    val toks = d.select(col("doc_id"),
+      explode(expr("split(lower(text), '\\\\s+')")).as("term"))
+    // shared across the df rollup and the per-query fan-out (see bm25's
+    // persist note: two consumers would re-run the corpus explode)
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rational =
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("contrib",
+        (rational * (col("tf") * lit(k1 + 1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(G.dsum(col("contrib")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val batchRetrieveSql: String = {
+    val values = retrievalQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $values) AS t(query_id, term)),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id,
+       |         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN (SELECT term FROM qt)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT CAST(qt.query_id AS BIGINT) AS query_id, tf.doc_id,
+       |    CAST(SUM(CAST(
+       |      ((CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5)
+       |        * (tf.tf * 2.2))
+       |      / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))
+       |      AS DECIMAL(38,6))) AS DOUBLE) AS score,
+       |    count(*) AS n_terms_hit
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |  JOIN qt USING (term) CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, score, n_terms_hit
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val bm25Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term

@@ -374,6 +374,68 @@ object StreamingJobs {
       .orderBy(col("alert_type"))
   }
 
+  /** K5/S3 STREAMING, HASH-CHECKED (q_stream_dedup): replay the envelope
+    * stream WITH redelivery through [[dedupStream]]'s
+    * `dropDuplicatesWithinWatermark` and read the materialized sink back
+    * against the q_p1 parse oracle — the INSERT-IGNORE upsert
+    * (`mysql/init.sql:42,45-47`, `producer.py:104-109`) in its streaming
+    * form, state carried ACROSS micro-batches.
+    *
+    * Replay construction (all deterministic):
+    *  - the base envelope is range-partitioned on event time, so
+    *    part-0000k ascends in time; each part's modtime is then stamped
+    *    ascending, and the file source (`latestFirst=false` processes in
+    *    modtime order) with `maxFilesPerTrigger=1` replays one file per
+    *    micro-batch in event-time order — no original row is ever behind
+    *    the watermark when it arrives.
+    *  - redelivered duplicates are the events in the newest 9 minutes of
+    *    the stream (inside the 10-minute watermark horizon — the
+    *    WebSocket-redelivery model: duplicates arrive within seconds, not
+    *    days), written last with both the newest modtime AND a
+    *    lexicographically-last name, so they arrive after their originals
+    *    under either file ordering. Their keys' dedup state is still live
+    *    (event time > final watermark), so every duplicate is dropped and
+    *    the sink equals the duplicate-free parse exactly.
+    * Duplicate rows are byte-identical to their originals, so WHICH copy
+    * survives never affects the output. */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_k5")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+    env.repartitionByRange(6, col("src_ms")).select("json")
+      .write.mode("overwrite").text(in)
+    val baseFiles = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600000L
+    baseFiles.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 1000L); ()
+    }
+    val maxTs = env.agg(max(col("src_ms"))).head().getLong(0)
+    val dupStage = s"$tmp/dup"
+    env.filter(col("src_ms") >= maxTs - 9L * 60000L).select("json")
+      .write.mode("overwrite").text(dupStage)
+    new java.io.File(dupStage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(in, f"z-redelivery-$i%05d.txt")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(t0 + 7200000L); ()
+      }
+    val deduped = dedupStream(readCdcStream(spark, in, maxFilesPerTrigger = 1))
+      .drop("ts")
+    val q = deduped.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out).orderBy(col("trade_id"))
+  }
+
+  /** The dedup sink must contain exactly the duplicate-free parse. */
+  val dedupReplaySql: String = graft.operators.CdcParser.cdcParseRoundtripSql
+
   /** DuckDB replay of [[fanOutReplay]]: the q_p1 parse SQL feeding the q_a1
     * window-aggregation SQL under the stream's column mapping (market →
     * user_id, ask_bid → event_type, trade_price → value, trade_volume → k).

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Similarity, TextAnalysis}
+import graft.operators.{Curation, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-6 operators: the log-idf BM25 production scorer pinned against its
@@ -80,5 +80,83 @@ class Round6OpsSpec extends SparkSpec {
       val d = (r - lr(id)).toDouble; d * d }.sum
     val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
     assert(rho > 0.99, s"spearman rho $rho")
+  }
+
+  test("batch retrieval: per-query top-k ranked, scores agree with q_t10 shape") {
+    val r = TextAnalysis.batchRetrieve(spark, sf()).cache()
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L, 3L))
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_.getInt(1))
+      // ranks are 1..k and scores are non-increasing in rank
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to qs.length))
+      assert(qs.length <= 10)
+      val s = sorted.map(_.getDouble(3))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+      // every hit matched at least one term, at most the query's 3
+      assert(sorted.forall(x => x.getLong(4) >= 1 && x.getLong(4) <= 3))
+    }
+    // ONE corpus pass for three queries: like q_t10 (Round5OpsSpec), the
+    // tokenize explode lives inside the cached tf build, so the outer plan
+    // has NO Generate and reads tf from the in-memory relation
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = TextAnalysis.batchRetrieve(spark, sf())
+        d.collect(); d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.isEmpty,
+      s"corpus explode leaked out of the cached tf build:\n$plan")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      s"tf not served from cache:\n$plan")
+    r.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("streaming dedup replay == batch parse (INSERT IGNORE, cross-batch state)") {
+    val streamed = graft.streaming.StreamingJobs.dedupReplay(spark, sf())
+      .collect()
+    val batch = graft.operators.CdcParser.cdcParseRoundtripSorted(spark, sf())
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
+  test("semdedup: removals are within-cluster, lower-id kept, above tau") {
+    val sd = Similarity.semDedup(spark, sf()).cache()
+    val rows = sd.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (vec, kept, nDups, maxSim) =
+        (x.getLong(0), x.getLong(2), x.getLong(3), x.getDouble(4))
+      assert(kept < vec, s"representative must precede the removed vector")
+      assert(nDups >= 1)
+      assert(maxSim >= 0.35 && maxSim <= 1.0 + 1e-9)
+    }
+    // removed ids are distinct (one verdict per vector)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    sd.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("salted join result == plain join (key refinement, no row drift)") {
+    val salted = Relational.saltedSupplierRevenue(spark, sf()).collect()
+    val li = G.table(spark, sf(), "lineitem")
+    val sup = G.table(spark, sf(), "supplier")
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(G.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey")).collect()
+    assert(salted.length == plain.length && salted.nonEmpty)
+    salted.zip(plain).foreach { case (a, b) =>
+      assert(a.getAs[Number](0).longValue == b.getAs[Number](0).longValue)
+      assert(a.getDouble(1) == b.getDouble(1)) // DECIMAL-exact: bit equality
+      assert(a.getLong(2) == b.getLong(2))
+    }
   }
 }
