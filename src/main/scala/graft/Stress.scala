@@ -250,6 +250,69 @@ object Stress {
           .as[(Long, Long)]
         graft.operators.Dedup.clustersFromPairs(pairs)
           .write.mode("overwrite").format("noop").save()
+      },
+      // round 6: the k-means assignment argmin A/B — one Lloyd round over
+      // 500k synthetic 64-d vectors × 16 broadcast centroids. The
+      // min(struct) formulation partial-aggregates the 16 candidate rows
+      // per vector map-side (shuffle = n rows); the row_number window
+      // (the pre-round-6 shape, kept here as the baseline) shuffles all
+      // 16·n candidates and sorts them reduce-side.
+      time("kmeans_argmin") {
+        val nVecs = math.min(n, 500000L)
+        val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63),
+                 |  d -> CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+            .stripMargin).as("v"))
+        val cent = vecs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        vecs.crossJoin(broadcast(cent))
+          .withColumn("dist2", expr(
+            """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+              |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("a"))
+          .select(col("vec_id"), col("a.cid"), col("a.dist2"))
+          .write.mode("overwrite").format("noop").save()
+      },
+      // narrow-struct variant: min over (dist2, cid) only, vector joined
+      // back afterwards — trades the wide partial-agg for a join
+      time("kmeans_argmin_join") {
+        val nVecs = math.min(n, 500000L)
+        val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63),
+                 |  d -> CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+            .stripMargin).as("v"))
+        val cent = vecs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        val assign = vecs.crossJoin(broadcast(cent))
+          .withColumn("dist2", expr(
+            """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+              |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist2"), col("cid"))).as("a"))
+          .select(col("vec_id"), col("a.cid").as("cid"),
+            col("a.dist2").as("dist2"))
+        assign.join(vecs, Seq("vec_id"))
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("kmeans_argmin_window") {
+        import org.apache.spark.sql.expressions.Window
+        val nVecs = math.min(n, 500000L)
+        val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63),
+                 |  d -> CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+            .stripMargin).as("v"))
+        val cent = vecs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cid"))
+        vecs.crossJoin(broadcast(cent))
+          .withColumn("dist2", expr(
+            """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+              |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("dist2"))
+          .write.mode("overwrite").format("noop").save()
       })
       .filter(_._2 >= 0)
 

@@ -320,17 +320,16 @@ object Similarity {
         .withColumn("dist2", expr(
           """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
             |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
-      // argmin as min(struct(dist2, cid, v)): struct comparison is
-      // lexicographic, so the minimum IS the oracle's row_number()=1 under
-      // ORDER BY dist2, cid ((dist2, cid) is unique per candidate; v is
-      // identical across a vector's candidates, so the third field never
-      // decides). Unlike a row_number window this partial-aggregates
-      // map-side: the k candidate rows collapse to one BEFORE the
-      // exchange, and the sort disappears — shuffle volume drops k×.
-      assign = d.groupBy(col("vec_id"))
-        .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("a"))
-        .select(col("vec_id"), col("a.cid").as("cid"),
-          col("a.dist2").as("dist2"), col("a.v").as("v"))
+      // argmin stays a row_number window, DELIBERATELY: min(struct(...))
+      // would partial-aggregate the k candidates map-side, but Min over a
+      // struct falls to SortAggregate with interpreted comparisons (and
+      // copies the payload per candidate) — measured 3.0× slower at
+      // 500k×16 (Stress kmeans_argmin vs kmeans_argmin_window; the
+      // narrow-struct + join-back variant still loses 2×). One window
+      // sort of the candidate frame is the cheapest argmin Spark has.
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
       if (round < iters)
         cent = assign
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -475,13 +474,13 @@ object Similarity {
         .withColumn("dist2", expr(
           """aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),
             |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
-      // argmin via min(struct) — see ivfAssign: identical selection to the
-      // oracle's row_number()=1, but map-side partial aggregation collapses
-      // the k codebook candidates per (vec_id, m) before the exchange
-      assign = d.groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dist2"), col("cid"), col("sv"))).as("a"))
-        .select(col("vec_id"), col("m"), col("a.cid").as("cid"),
-          col("a.dist2").as("dist2"), col("a.sv").as("sv"))
+      // row_number window argmin — see the ivfAssign note: the
+      // min(struct) partial-agg alternative measures 3× slower (Stress
+      // kmeans_argmin A/B)
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist2"), col("cid"))
+      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid"), col("dist2"), col("sv"))
       if (round < iters)
         cent = assign
           .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
