@@ -151,7 +151,9 @@ object SparkEntry {
     "q_t11_batch_retrieve" -> ((s, d) => TextAnalysis.batchRetrieve(s, d)),
     "q_stream_dedup" -> ((s, d) => graft.streaming.StreamingJobs.dedupReplay(s, d)),
     "q_y9_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
-    "q_r20_salted_join" -> ((s, d) => Relational.saltedSupplierRevenue(s, d))
+    "q_r20_salted_join" -> ((s, d) => Relational.saltedSupplierRevenue(s, d)),
+    // stream-stream event-time interval join (trades x quotes), replayed
+    "q_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteJoinReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -247,6 +249,7 @@ object SparkEntry {
     "q_t11_batch_retrieve" -> TextAnalysis.batchRetrieveSql,
     "q_stream_dedup" -> graft.streaming.StreamingJobs.dedupReplaySql,
     "q_y9_semdedup" -> Similarity.semDedupSql(),
-    "q_r20_salted_join" -> Relational.saltedSupplierRevenueSql
+    "q_r20_salted_join" -> Relational.saltedSupplierRevenueSql,
+    "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql
   )
 }

@@ -436,6 +436,75 @@ object StreamingJobs {
   /** The dedup sink must contain exactly the duplicate-free parse. */
   val dedupReplaySql: String = graft.operators.CdcParser.cdcParseRoundtripSql
 
+  /** Stream–stream event-time interval join: BID (trade) rows joined to
+    * the ASK (quote) rows of the same market whose event time falls in the
+    * hour before the trade — the canonical trades⋈quotes enrichment, and
+    * the one streaming operator class the rest of the surface didn't
+    * exercise. Both sides carry watermarks and the join condition bounds
+    * event time on both sides, so each side's buffered state is evicted
+    * once the other side's watermark passes the interval: state is
+    * O(events per watermark horizon), not O(stream). Inner joins emit
+    * eagerly (no watermark wait), so a single-batch replay produces every
+    * match; cross-batch buffering is pinned by StreamingSpec's two-batch
+    * MemoryStream test. */
+  def tradeQuoteJoin(parsed: DataFrame): DataFrame = {
+    val trades = parsed.filter(col("ask_bid") === "BID")
+      .select(col("market"), col("trade_id"), col("trade_price"),
+        col("source_ts").as("t_ms"),
+        timestamp_millis(col("source_ts")).as("t_ts"))
+      .withWatermark("t_ts", "10 minutes")
+    val quotes = parsed.filter(col("ask_bid") === "ASK")
+      .select(col("market").as("q_market"), col("trade_id").as("quote_id"),
+        col("trade_price").as("quote_price"),
+        col("source_ts").as("q_ms"),
+        timestamp_millis(col("source_ts")).as("q_ts"))
+      .withWatermark("q_ts", "10 minutes")
+    trades.join(quotes,
+      col("market") === col("q_market") &&
+        col("q_ts") >= col("t_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("q_ts") <= col("t_ts"))
+      .select(col("market"), col("trade_id"), col("quote_id"),
+        col("trade_price"), col("quote_price"),
+        (col("t_ms") - col("q_ms")).as("lag_ms"))
+  }
+
+  /** Stream–stream join, HASH-CHECKED (q_stream_join): replay the envelope
+    * stream through [[tradeQuoteJoin]] (both join branches fed by ONE
+    * file-stream source — the batch self-join shape a real trades/quotes
+    * topology would run with two topics) and read the sink back against a
+    * plain DuckDB interval join over the parse oracle. */
+  def tradeQuoteJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_j")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
+      .write.mode("overwrite").text(in)
+    val joined = tradeQuoteJoin(
+      readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
+    val q = joined.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out).orderBy(col("trade_id"), col("quote_id"))
+  }
+
+  val tradeQuoteJoinSql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed)
+       |SELECT t.market, t.trade_id, q.trade_id AS quote_id,
+       |  t.trade_price, q.trade_price AS quote_price,
+       |  t.source_ts - q.source_ts AS lag_ms
+       |FROM parsed t JOIN parsed q
+       |  ON t.market = q.market
+       | AND t.ask_bid = 'BID' AND q.ask_bid = 'ASK'
+       | AND q.source_ts >= t.source_ts - 3600000
+       | AND q.source_ts <= t.source_ts
+       |ORDER BY t.trade_id, quote_id""".stripMargin
+  }
+
   /** DuckDB replay of [[fanOutReplay]]: the q_p1 parse SQL feeding the q_a1
     * window-aggregation SQL under the stream's column mapping (market →
     * user_id, ask_bid → event_type, trade_price → value, trade_volume → k).

@@ -258,6 +258,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSet.size == 100)
   }
 
+  test("stream-stream interval join == batch join, matches across micro-batches") {
+    import spark.implicits._
+    val trades = Synthetic.trades(300)
+    val jsons = trades.map(t => Synthetic.envelopeJson(t))
+    // trades are time-ordered (1 s cadence), so this is a time split:
+    // batch 2 is strictly later and nothing arrives behind the watermark
+    val (first, second) = jsons.splitAt(150)
+    val mem = MemoryStream[String](spark)
+    val parsed = graft.operators.CdcParser.parse(
+      mem.toDF().withColumnRenamed("value", "json"), col("json"))
+    val q = StreamingJobs.tradeQuoteJoin(parsed)
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("ssj_out")
+      .orderBy("trade_id", "quote_id").collect().toSeq
+    val bp = graft.operators.CdcParser
+      .parseEnvelope(jsons.toDF("json"), col("json"))
+    val bt = bp.filter(col("ask_bid") === "BID")
+      .select(col("market"), col("trade_id"), col("trade_price"),
+        col("source_ts").as("t_ms"))
+    val bq = bp.filter(col("ask_bid") === "ASK")
+      .select(col("market").as("q_market"), col("trade_id").as("quote_id"),
+        col("trade_price").as("quote_price"), col("source_ts").as("q_ms"))
+    val batch = bt.join(bq,
+        col("market") === col("q_market") &&
+          col("q_ms") >= col("t_ms") - lit(3600000L) &&
+          col("q_ms") <= col("t_ms"))
+      .select(col("market"), col("trade_id"), col("quote_id"),
+        col("trade_price"), col("quote_price"),
+        (col("t_ms") - col("q_ms")).as("lag_ms"))
+      .orderBy("trade_id", "quote_id").collect().toSeq
+    assert(streaming.nonEmpty && streaming == batch)
+    // the join state really buffered across micro-batches: some match
+    // pairs a second-batch trade with a first-batch quote
+    val firstIds = trades.take(150).map(_.trade_id).toSet
+    val secondIds = trades.drop(150).map(_.trade_id).toSet
+    assert(streaming.exists(r =>
+      secondIds.contains(r.getLong(1)) && firstIds.contains(r.getLong(2))))
+  }
+
   test("stream-static broadcast join enrichment == batch join") {
     import spark.implicits._
     val trades = Synthetic.trades(100)
