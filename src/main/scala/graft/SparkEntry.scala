@@ -153,7 +153,9 @@ object SparkEntry {
     "q_y9_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "q_r20_salted_join" -> ((s, d) => Relational.saltedSupplierRevenue(s, d)),
     // stream-stream event-time interval join (trades x quotes), replayed
-    "q_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteJoinReplay(s, d))
+    "q_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteJoinReplay(s, d)),
+    // z-order (Morton) clustering value, the ST2 sort key in 2-D
+    "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,6 +252,7 @@ object SparkEntry {
     "q_stream_dedup" -> graft.streaming.StreamingJobs.dedupReplaySql,
     "q_y9_semdedup" -> Similarity.semDedupSql(),
     "q_r20_salted_join" -> Relational.saltedSupplierRevenueSql,
-    "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql
+    "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql,
+    "q_st5_zorder" -> Tables.zorderStatsSql
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Columnar table layout (SURVEY §2.8 ST1–ST4) — the ClickHouse MergeTree
@@ -56,6 +56,77 @@ object Tables {
   /** ST3: retention keep-predicate (TTL 90 days in the reference). */
   def retentionFilter(df: DataFrame, tsCol: String, cutoff: String): DataFrame =
     df.filter(col(tsCol) >= lit(cutoff).cast("timestamp_ntz"))
+
+  /** Z-value (Morton code) of two dimensions, each truncated to its low
+    * 16 bits: bit-interleave via the classic binary-magic-number spread —
+    * pure BIGINT shifts/masks, codegen'd end-to-end and replayable
+    * term-for-term in any engine with `<<`, `&`, `|` (the q_st5 oracle
+    * does exactly that in DuckDB).
+    *
+    * Why it matters at 100 TB: a linear sort key gives row-group min/max
+    * skipping on ONE leading column; sorting by z-value makes row groups
+    * tight boxes in BOTH dimensions, so a conjunctive box predicate
+    * (market range × time range, user × value, ...) prunes multiplicatively
+    * instead of only on the leading key. LayoutSpec measures the touched
+    * row-group fraction z vs linear on the same data. */
+  def zValue(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      val x = x0.bitwiseAND(lit(0xFFFFL))
+      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write `df` clustered by the z-order of (dimA, dimB): global range
+    * partition on the z-value (one shuffle, like any global sort), local
+    * sort by it, then the helper column is dropped — the payoff is the
+    * row-group min/max stats of dimA and dimB themselves, which become
+    * tight 2-D boxes. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+      nFiles: Int = 8, parquetBlockBytes: Long = 128L << 20): Unit =
+    df.withColumn("_z", zValue(col(dimA), col(dimB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", parquetBlockBytes)
+      .parquet(path)
+
+  /** q_st5: the z-value expression as a checked query — events bucketized
+    * to two 8-bit dims, Morton-coded, rolled up per 1024-wide z range.
+    * Pure integer shifts/masks, so the DuckDB oracle replays every bit. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val ub = col("user_id").bitwiseAND(lit(255L))
+    val vb = floor(col("value")).cast("long").bitwiseAND(lit(255L))
+    G.events(spark, dir)
+      .select(zValue(ub, vb).as("z"))
+      .groupBy(expr("z DIV 1024").as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+      .orderBy(col("z_bucket"))
+  }
+
+  /** The magic-number spread written out as SQL (the inner term textually
+    * repeats — generated, so the two engines cannot drift). */
+  private def spreadSql(x: String): String = {
+    val m0 = s"($x & 65535)"
+    val m1 = s"(($m0 | ($m0 << 8)) & 16711935)"
+    val m2 = s"(($m1 | ($m1 << 4)) & 252645135)"
+    val m3 = s"(($m2 | ($m2 << 2)) & 858993459)"
+    s"(($m3 | ($m3 << 1)) & 1431655765)"
+  }
+
+  val zorderStatsSql: String = {
+    val za = spreadSql("(user_id & 255)")
+    val zb = spreadSql("(CAST(floor(value) AS BIGINT) & 255)")
+    s"""WITH zt AS (SELECT ($za | ($zb << 1)) AS z FROM events)
+       |SELECT z // 1024 AS z_bucket, count(*) AS n,
+       |  min(z) AS z_min, max(z) AS z_max
+       |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Read back a table written by writePartitioned. */
   def read(spark: SparkSession, path: String): DataFrame =

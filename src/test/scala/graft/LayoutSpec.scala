@@ -32,6 +32,72 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: 2-D box predicate touches fewer row groups than linear sort") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+
+    val base = Files.createTempDirectory("graft_zorder").toString
+    // 200k rows, two independent uniform 8-bit dims
+    val df = spark.range(200000).select(
+      pmod(xxhash64(col("id")), lit(256)).as("xa"),
+      pmod(xxhash64(col("id") + 1), lit(256)).as("xb"),
+      col("id"))
+    Tables.writeZOrdered(df, s"$base/z", "xa", "xb", nFiles = 4,
+      parquetBlockBytes = 64L << 10)
+    // linear baseline: same data, same file/block sizing, 1-D sort key
+    df.repartitionByRange(4, col("xa"))
+      .sortWithinPartitions(col("xa"), col("xb"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64L << 10)
+      .parquet(s"$base/lin")
+
+    // row groups whose (xa, xb) min/max box intersects the predicate box
+    def touched(dir: String, lo: Long, hi: Long): (Int, Int) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      var total = 0; var hit = 0
+      files.foreach { f =>
+        val rd = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try rd.getFooter.getBlocks.asScala.foreach { blk =>
+          total += 1
+          def range(name: String): (Long, Long) = {
+            val st = blk.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          }
+          val (amin, amax) = range("xa"); val (bmin, bmax) = range("xb")
+          if (amax >= lo && amin <= hi && bmax >= lo && bmin <= hi) hit += 1
+        } finally rd.close()
+      }
+      (hit, total)
+    }
+    // box = an aligned 32x32 tile ([32,63]^2 is one contiguous z range,
+    // 3072..4095). A box straddling the major quadrant boundary (e.g.
+    // [112,143]^2 around 128) is the z-curve's worst case and degrades
+    // to ~linear pruning — that is inherent to Morton order, not a bug.
+    val (zHit, zTotal) = touched(s"$base/z", 32L, 63L)
+    val (lHit, lTotal) = touched(s"$base/lin", 32L, 63L)
+    assert(zTotal >= 8 && lTotal >= 8,
+      s"need multiple row groups to compare ($zTotal z, $lTotal linear)")
+    val zFrac = zHit.toDouble / zTotal
+    val lFrac = lHit.toDouble / lTotal
+    assert(zFrac < lFrac * 0.6,
+      s"z-order should prune multiplicatively: z $zHit/$zTotal vs linear $lHit/$lTotal")
+    // layout changes nothing about the data: both reads agree
+    val zRows = spark.read.parquet(s"$base/z")
+      .filter(col("xa").between(32, 63) && col("xb").between(32, 63))
+      .orderBy("id").collect().toSeq
+    val lRows = spark.read.parquet(s"$base/lin")
+      .filter(col("xa").between(32, 63) && col("xb").between(32, 63))
+      .orderBy("id").collect().toSeq
+    assert(zRows.nonEmpty && zRows == lRows)
+  }
+
   test("IVF cell layout: probe scans only its partition (partition pruning)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val base = Files.createTempDirectory("graft_ivf").toString
