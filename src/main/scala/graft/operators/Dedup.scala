@@ -640,30 +640,73 @@ object Dedup {
 
   /** The census over any (doc_id, text) frame — split out so graft.Stress
     * can ladder the exact operator code on synthetic corpora. */
+  private val HashP = 1000000007L
+
+  /** The per-token content hash — the same (h·31 + codepoint) mod P fold
+    * as the `poly_hash` expression, inlined for the rolling loop below. */
+  private def tokenPolyHash(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * 31 + s.codePointAt(i)) % HashP; i += 1 }
+    h
+  }
+
+  /** All n-gram hashes of one document as (doc_id, gram_hash) pairs.
+    * Gram hash = the base-31 polynomial of the window's TOKEN hashes,
+    * maintained with an O(1) rolling update — versus hashing the
+    * materialized gram string, this touches each character once (in the
+    * token-hash pass) instead of n times and allocates no gram strings;
+    * measured 4.8× on the census at sf0.1 (SCALE.md round 6). The value
+    * is the exact window polynomial, so the DuckDB oracle recomputes it
+    * with a direct 8-element fold. Tokenization must mirror the Spark
+    * `split(lower(text), '\s+')` in [[substringDupStats]]'s n_grams
+    * projection: limit -1 keeps trailing empty tokens. */
+  private def gramHashRows(docId: Long, text: String, n: Int)
+      : Iterator[(Long, Long)] = {
+    if (text == null) return Iterator.empty
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    if (toks.length < n) return Iterator.empty
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = tokenPolyHash(toks(i)); i += 1 }
+    var pow = 1L // 31^(n-1) mod P, the leading-term weight
+    i = 0
+    while (i < n - 1) { pow = pow * 31 % HashP; i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = (h * 31 + th(i)) % HashP; i += 1 }
+    out(0) = h
+    var s = 1
+    while (s <= toks.length - n) {
+      // drop the window's leading term, shift, append the new trailing one
+      h = (((h - th(s - 1) * pow % HashP) % HashP + HashP) * 31
+        + th(s + n - 1)) % HashP
+      out(s) = h
+      s += 1
+    }
+    out.iterator.map(g => (docId, g))
+  }
+
   private[graft] def substringDupStatsOn(docs: DataFrame, n: Int = 8)
       : DataFrame = {
-    graft.functions.HashExpressions.ensureRegistered(docs.sparkSession)
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
     val base = docs
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
-    val grams = base
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN size(toks) >= $n THEN
-           |  transform(sequence(1, size(toks) - ${n - 1}),
-           |    i -> poly_hash(concat_ws(' ', slice(toks, i, $n))))
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("ghashes"))
-    // n_grams is pure arithmetic on the token count — deriving it from
-    // `grams` would re-run the whole per-gram hash projection a second
-    // time (two uncached consumers), which the r5 profile showed was the
-    // single largest avoidable cost in this operator
+    // n_grams is pure arithmetic on the token count — a projection, never
+    // re-running the hash pass
     val docStats = base
       .select(col("doc_id"), expr(
         s"""CASE WHEN size(toks) >= $n
            |THEN CAST(size(toks) - ${n - 1} AS BIGINT)
            |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("n_grams"))
     // per-(doc, gram) occurrence counts — the unit the census and the
-    // join-back both key on
-    val occ = grams
-      .select(col("doc_id"), explode(col("ghashes")).as("g"))
+    // join-back both key on. The gram-hash pass is a tight JVM rolling
+    // loop (see gramHashRows): the round-5 HOF formulation built a string
+    // per gram and re-hashed every character n times
+    val occ = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) => gramHashRows(id, text, n) })
+      .toDF("doc_id", "g")
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
     // nd (docs per gram) stays a count-agg + join-back rather than a
     // window over g: locally a window is ~8% faster (one fewer shuffle),
@@ -688,19 +731,26 @@ object Dedup {
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
       |  FROM documents),
-      |gs AS (
+      |th AS (
       |  SELECT doc_id,
-      |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
-      |      i -> array_to_string(toks[i:i+7], ' ')) AS grams
+      |    list_transform(toks, t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(0, length(t)),
+      |          j -> CAST(unicode(substr(t, CAST(j+1 AS INT), 1)) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
       |  FROM toks),
-      |doc_stats AS (SELECT doc_id, len(grams) AS n_grams FROM gs),
+      |doc_stats AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(th) >= 8 THEN CAST(len(th) - 7 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS n_grams
+      |  FROM th),
       |hashed AS (
       |  SELECT doc_id,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(0, length(g)),
-      |        j -> CAST(unicode(substr(g, CAST(j+1 AS INT), 1)) AS BIGINT))),
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
       |      (a, b) -> (a * 31 + b) % 1000000007) AS g
-      |  FROM (SELECT doc_id, unnest(grams) AS g FROM gs) t),
+      |  FROM (SELECT doc_id, th,
+      |          unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS i
+      |        FROM th) t),
       |occ AS (SELECT doc_id, g, count(*) AS cnt FROM hashed GROUP BY 1, 2),
       |byg AS (SELECT g, count(*) AS nd FROM occ GROUP BY g),
       |dup AS (
