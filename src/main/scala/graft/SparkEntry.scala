@@ -155,7 +155,10 @@ object SparkEntry {
     // stream-stream event-time interval join (trades x quotes), replayed
     "q_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteJoinReplay(s, d)),
     // z-order (Morton) clustering value, the ST2 sort key in 2-D
-    "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d))
+    "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d)),
+    // data-quality gates: per-column profile + named constraint rules
+    "q_v1_profile" -> ((s, d) => Validation.profile(s, d)),
+    "q_v2_constraints" -> ((s, d) => Validation.constraints(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,6 +256,8 @@ object SparkEntry {
     "q_y9_semdedup" -> Similarity.semDedupSql(),
     "q_r20_salted_join" -> Relational.saltedSupplierRevenueSql,
     "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql,
-    "q_st5_zorder" -> Tables.zorderStatsSql
+    "q_st5_zorder" -> Tables.zorderStatsSql,
+    "q_v1_profile" -> Validation.profileSql,
+    "q_v2_constraints" -> Validation.constraintsSql
   )
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates for a training-data pipeline — the validation pass a
+  * corpus runs through before anything trains on it (the Deequ/
+  * great-expectations operator family, re-expressed as single-pass Spark
+  * aggregates).
+  *
+  * Scale shape, both queries: ONE scan of the fact table feeding ONE
+  * global aggregate; per-column/per-rule metrics are conditional
+  * aggregates inside the same AggregateExec, so adding a metric never adds
+  * a pass. The exact per-column distinct counts expand the scan k-ways
+  * (Spark's Expand for multi-column COUNT DISTINCT — the standard
+  * profiling trade, same as Deequ's exact mode); swap to
+  * `approx_count_distinct` for the one-pass sketch at 100 TB, as q_a5
+  * does for the dashboard.
+  *
+  * Output is long-format (one row per column / per rule): profiles are
+  * joined, diffed across snapshots, and alerted on — a row stream, not a
+  * wide one-off row.
+  */
+object Validation {
+
+  /** q_v1: per-column profile of `events` — row count, null count,
+    * exact distinct count, numeric min/max (null for string columns).
+    * The wide single-row aggregate is stacked to long format AFTER
+    * aggregation, so the reshape costs nothing. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.events(spark, dir)
+    val wide = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("null_event_id"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_event_type"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+      count_distinct(col("event_id")).as("nd_event_id"),
+      count_distinct(col("user_id")).as("nd_user_id"),
+      count_distinct(col("event_type")).as("nd_event_type"),
+      count_distinct(col("value")).as("nd_value"),
+      count_distinct(col("props")).as("nd_props"),
+      min(col("event_id")).cast("double").as("min_event_id"),
+      max(col("event_id")).cast("double").as("max_event_id"),
+      min(col("user_id")).cast("double").as("min_user_id"),
+      max(col("user_id")).cast("double").as("max_user_id"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+    wide.select(col("n_rows"), expr(
+      """stack(5,
+        |  'event_id',   null_event_id,   nd_event_id,   min_event_id, max_event_id,
+        |  'user_id',    null_user_id,    nd_user_id,    min_user_id,  max_user_id,
+        |  'event_type', null_event_type, nd_event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'value',      null_value,      nd_value,      min_value,    max_value,
+        |  'props',      null_props,      nd_props,      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |AS (col_name, n_null, n_distinct, min_num, max_num)""".stripMargin))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileSql: String =
+    """WITH wide AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+      |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+      |    count(DISTINCT event_id) AS nd_event_id,
+      |    count(DISTINCT user_id) AS nd_user_id,
+      |    count(DISTINCT event_type) AS nd_event_type,
+      |    count(DISTINCT value) AS nd_value,
+      |    count(DISTINCT props) AS nd_props,
+      |    CAST(min(event_id) AS DOUBLE) AS min_event_id,
+      |    CAST(max(event_id) AS DOUBLE) AS max_event_id,
+      |    CAST(min(user_id) AS DOUBLE) AS min_user_id,
+      |    CAST(max(user_id) AS DOUBLE) AS max_user_id,
+      |    min(value) AS min_value,
+      |    max(value) AS max_value
+      |  FROM events)
+      |SELECT u.col_name, wide.n_rows,
+      |  u.n_null, u.n_distinct, u.min_num, u.max_num
+      |FROM wide, LATERAL (
+      |  SELECT 'event_id' AS col_name, null_event_id AS n_null,
+      |         nd_event_id AS n_distinct, min_event_id AS min_num,
+      |         max_event_id AS max_num
+      |  UNION ALL SELECT 'user_id', null_user_id, nd_user_id,
+      |         min_user_id, max_user_id
+      |  UNION ALL SELECT 'event_type', null_event_type, nd_event_type,
+      |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      |  UNION ALL SELECT 'value', null_value, nd_value,
+      |         min_value, max_value
+      |  UNION ALL SELECT 'props', null_props, nd_props,
+      |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)) u
+      |ORDER BY col_name""".stripMargin
+
+  /** q_v2: named constraint rules over `events`, each a conditional count
+    * in the same single aggregate — the gate a pipeline asserts before a
+    * snapshot is blessed. A rule FAILS rows it cannot prove: null is a
+    * violation for every rule below (mirrored by coalescing the predicate
+    * to FALSE on both engines). */
+  def constraints(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.events(spark, dir)
+    def viol(pass: org.apache.spark.sql.Column) =
+      sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L))
+    val wide = ev.agg(
+      count(lit(1)).as("n_checked"),
+      viol(col("event_id").isNotNull && (col("event_id") >= 0))
+        .as("v_event_id_nonneg"),
+      viol(col("event_type").isin("purchase", "view", "click", "signup",
+        "error")).as("v_event_type_domain"),
+      viol(col("value") >= 0.0).as("v_value_nonneg"),
+      viol(col("user_id") >= 0).as("v_user_id_nonneg"),
+      viol(get_json_object(col("props"), "$.k").isNotNull)
+        .as("v_props_has_k"))
+    wide.select(col("n_checked"), expr(
+      """stack(5,
+        |  'event_id_nonneg',   v_event_id_nonneg,
+        |  'event_type_domain', v_event_type_domain,
+        |  'props_has_k',       v_props_has_k,
+        |  'user_id_nonneg',    v_user_id_nonneg,
+        |  'value_nonneg',      v_value_nonneg)
+        |AS (rule, n_violations)""".stripMargin))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (lit(1.0) - col("n_violations").cast("double") / col("n_checked"))
+          .as("pass_fraction"))
+      .orderBy(col("rule"))
+  }
+
+  val constraintsSql: String =
+    """WITH wide AS (
+      |  SELECT count(*) AS n_checked,
+      |    CAST(SUM(CASE WHEN coalesce(event_id IS NOT NULL AND event_id >= 0,
+      |                           false) THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS v_event_id_nonneg,
+      |    CAST(SUM(CASE WHEN coalesce(event_type IN ('purchase', 'view',
+      |                           'click', 'signup', 'error'), false)
+      |             THEN 0 ELSE 1 END) AS BIGINT) AS v_event_type_domain,
+      |    CAST(SUM(CASE WHEN coalesce(value >= 0.0, false) THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v_value_nonneg,
+      |    CAST(SUM(CASE WHEN coalesce(user_id >= 0, false) THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v_user_id_nonneg,
+      |    CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+      |             THEN 0 ELSE 1 END) AS BIGINT) AS v_props_has_k
+      |  FROM events)
+      |SELECT u.rule, wide.n_checked, u.n_violations,
+      |  1.0 - CAST(u.n_violations AS DOUBLE) / wide.n_checked AS pass_fraction
+      |FROM wide, LATERAL (
+      |  SELECT 'event_id_nonneg' AS rule, v_event_id_nonneg AS n_violations
+      |  UNION ALL SELECT 'event_type_domain', v_event_type_domain
+      |  UNION ALL SELECT 'props_has_k', v_props_has_k
+      |  UNION ALL SELECT 'user_id_nonneg', v_user_id_nonneg
+      |  UNION ALL SELECT 'value_nonneg', v_value_nonneg) u
+      |ORDER BY rule""".stripMargin
+}

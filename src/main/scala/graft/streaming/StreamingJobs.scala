@@ -402,7 +402,10 @@ object StreamingJobs {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_k5")
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
-    env.repartitionByRange(6, col("src_ms")).select("json")
+    // 4 time-range files + the redelivery file = 5 micro-batches: enough
+    // to carry dedup state across several batches without paying the
+    // per-batch state-commit machinery more often than the test needs
+    env.repartitionByRange(4, col("src_ms")).select("json")
       .write.mode("overwrite").text(in)
     val baseFiles = new java.io.File(in).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)

@@ -143,6 +143,29 @@ class Round6OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("data-quality gates: profile invariants and clean-table constraints") {
+    val prof = graft.operators.Validation.profile(spark, sf()).collect()
+    assert(prof.map(_.getString(0)).toSeq ==
+      Seq("event_id", "event_type", "props", "user_id", "value"))
+    val n = prof.head.getLong(1)
+    prof.foreach { r =>
+      assert(r.getLong(1) == n)                      // one shared row count
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= n) // n_null bounded
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n) // n_distinct bounded
+    }
+    val byCol = prof.map(r => r.getString(0) -> r).toMap
+    assert(byCol("event_id").getLong(3) == n)        // ids unique
+    assert(byCol("event_type").getLong(3) <= 5)      // closed domain
+    assert(byCol("event_type").isNullAt(4))          // no numeric min for strings
+    val cons = graft.operators.Validation.constraints(spark, sf()).collect()
+    assert(cons.length == 5)
+    // the generated table is clean: every rule passes outright
+    cons.foreach { r =>
+      assert(r.getLong(2) == 0L, s"rule ${r.getString(0)} has violations")
+      assert(r.getDouble(3) == 1.0)
+    }
+  }
+
   test("salted join result == plain join (key refinement, no row drift)") {
     val salted = Relational.saltedSupplierRevenue(spark, sf()).collect()
     val li = G.table(spark, sf(), "lineitem")
