@@ -158,7 +158,9 @@ object SparkEntry {
     "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d)),
     // data-quality gates: per-column profile + named constraint rules
     "q_v1_profile" -> ((s, d) => Validation.profile(s, d)),
-    "q_v2_constraints" -> ((s, d) => Validation.constraints(s, d))
+    "q_v2_constraints" -> ((s, d) => Validation.constraints(s, d)),
+    // A9 session windows through the watermarked streaming machinery
+    "q_stream_sessions" -> ((s, d) => graft.streaming.StreamingJobs.sessionReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -258,6 +260,7 @@ object SparkEntry {
     "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql,
     "q_st5_zorder" -> Tables.zorderStatsSql,
     "q_v1_profile" -> Validation.profileSql,
-    "q_v2_constraints" -> Validation.constraintsSql
+    "q_v2_constraints" -> Validation.constraintsSql,
+    "q_stream_sessions" -> graft.streaming.StreamingJobs.sessionReplaySql
   )
 }

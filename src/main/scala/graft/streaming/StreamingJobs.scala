@@ -439,6 +439,87 @@ object StreamingJobs {
   /** The dedup sink must contain exactly the duplicate-free parse. */
   val dedupReplaySql: String = graft.operators.CdcParser.cdcParseRoundtripSql
 
+  /** Session windows STREAMING, HASH-CHECKED (q_stream_sessions): the A9
+    * session operator (30-minute gap, per market) run through the real
+    * watermarked streaming machinery and read back against the
+    * gaps-and-islands oracle. Append-mode session aggregation only emits a
+    * session once the watermark passes its end, so the replay appends ONE
+    * sentinel trade two days after the real stream (its own market,
+    * filtered from the read-back): the sentinel's micro-batch advances the
+    * watermark past every real session, and the trailing no-data batch
+    * flushes them all to the sink. Deterministic: session contents are
+    * event-time math, independent of batch boundaries. */
+  def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_s")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+    env.select("json").write.mode("overwrite").text(in)
+    val maxTs = env.agg(max(col("src_ms"))).head().getLong(0)
+    val sentinelTs = maxTs + 2L * 86400000L
+    val sentinel =
+      s"""{"payload": {"before": null, "after": {"trade_id": 999999999, """ +
+        s""""market": "ZSENTINEL", "trade_price": "1.0", "trade_volume": "1", """ +
+        s""""ask_bid": "ASK", "sequential_id": 999999999000}, """ +
+        s""""source": {"ts_ms": $sentinelTs, "db": "crypto_db", "table": "crypto_trades"}, """ +
+        s""""op": "c", "ts_ms": $sentinelTs}}"""
+    val sentinelFile = new java.io.File(in, "z-sentinel.txt")
+    java.nio.file.Files.write(sentinelFile.toPath,
+      (sentinel + "\n").getBytes("UTF-8"))
+    sentinelFile.setLastModified(System.currentTimeMillis() + 60000L)
+    val parsed = readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20)
+    val sessions = parsed
+      .select(timestamp_millis(col("source_ts")).as("ts"),
+        col("market"), col("trade_price"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("market"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.G.dsum(col("trade_price")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("market"), col("n_events"), col("total_value"))
+    val q = sessions.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("market") =!= "ZSENTINEL")
+      .withColumn("session_start", col("session_start")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .withColumn("session_end", col("session_end")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("market"), col("session_start"))
+  }
+
+  /** Gaps-and-islands over the parse oracle — the q_a9 SQL shape keyed by
+    * market (strict > gap: Spark merges an event at exactly last+gap). */
+  val sessionReplaySql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed),
+       |ev AS (SELECT make_timestamp(source_ts * 1000) AS ts, market,
+       |              trade_price FROM parsed),
+       |marked AS (
+       |  SELECT market, ts, trade_price,
+       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY market ORDER BY ts)
+       |              > INTERVAL 30 MINUTE OR
+       |         lag(ts) OVER (PARTITION BY market ORDER BY ts) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev),
+       |islands AS (
+       |  SELECT *, sum(new_session) OVER (PARTITION BY market ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM marked)
+       |SELECT min(ts) AS session_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  market, count(*) AS n_events,
+       |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       |FROM islands GROUP BY market, island
+       |ORDER BY market, session_start""".stripMargin
+  }
+
   /** Stream–stream event-time interval join: BID (trade) rows joined to
     * the ASK (quote) rows of the same market whose event time falls in the
     * hour before the trade — the canonical trades⋈quotes enrichment, and
