@@ -160,7 +160,9 @@ object SparkEntry {
     "q_v1_profile" -> ((s, d) => Validation.profile(s, d)),
     "q_v2_constraints" -> ((s, d) => Validation.constraints(s, d)),
     // A9 session windows through the watermarked streaming machinery
-    "q_stream_sessions" -> ((s, d) => graft.streaming.StreamingJobs.sessionReplay(s, d))
+    "q_stream_sessions" -> ((s, d) => graft.streaming.StreamingJobs.sessionReplay(s, d)),
+    // W1/A1 append-mode tumbling windows, watermark-emitted
+    "q_stream_w1" -> ((s, d) => graft.streaming.StreamingJobs.windowAggReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,6 +263,7 @@ object SparkEntry {
     "q_st5_zorder" -> Tables.zorderStatsSql,
     "q_v1_profile" -> Validation.profileSql,
     "q_v2_constraints" -> Validation.constraintsSql,
-    "q_stream_sessions" -> graft.streaming.StreamingJobs.sessionReplaySql
+    "q_stream_sessions" -> graft.streaming.StreamingJobs.sessionReplaySql,
+    "q_stream_w1" -> graft.streaming.StreamingJobs.windowAggReplaySql
   )
 }

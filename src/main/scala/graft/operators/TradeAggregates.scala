@@ -55,6 +55,30 @@ object TradeAggregates {
           .otherwise(0.0).as("vwap"))
   }
 
+  /** [[windowAggOn]] grouped by the window STRUCT (start projected after
+    * the aggregate): identical values, but required for append-mode
+    * streaming — extracting `.getField("start")` inside the groupBy severs
+    * the event-time column Spark tracks the watermark through, and the
+    * planner then rejects the query as an un-watermarked aggregation. */
+  def windowAggAppendOn(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("trade_count"),
+        count(when(col("event_type") === "purchase", 1)).as("bid_count"),
+        count(when(col("event_type") =!= "purchase", 1)).as("ask_count"),
+        G.dsum(col("value") * col("k")).as("total_amount"),
+        sum(col("k")).as("total_volume"),
+        (G.dsum(col("value")) / count(col("value"))).as("avg_price"),
+        min(col("value")).as("min_price"),
+        max(col("value")).as("max_price"),
+        when(sum(col("k")) > 0,
+          G.dsum(col("value") * col("k")) / sum(col("k")))
+          .otherwise(0.0).as("vwap"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("trade_count"), col("bid_count"), col("ask_count"),
+        col("total_amount"), col("total_volume"), col("avg_price"),
+        col("min_price"), col("max_price"), col("vwap"))
+
   /** Session windows (30-minute gap) per user — Spark `session_window`;
     * additive streaming-semantics surface (the reference has none,
     * SURVEY §2.6 W5). Oracle: gaps-and-islands SQL — a new session starts

@@ -66,9 +66,11 @@ object StreamingJobs {
     df.writeStream.format("console").option("truncate", "false")
 
   /** W1/A1 streaming: 5-minute tumbling event-time window aggregate with
-    * watermark; reuses the exact batch aggregation expressions. */
+    * watermark; reuses the exact batch aggregation expressions (struct
+    * grouping — see [[TradeAggregates.windowAggAppendOn]] — so append
+    * mode's watermark tracking survives). */
   def windowAggStream(parsed: DataFrame): DataFrame =
-    TradeAggregates.windowAggOn(
+    TradeAggregates.windowAggAppendOn(
       parsed.select(
         timestamp_millis(col("source_ts")).as("ts"),
         col("market").as("user_id"),
@@ -452,20 +454,7 @@ object StreamingJobs {
   def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_s")
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
-    env.select("json").write.mode("overwrite").text(in)
-    val maxTs = env.agg(max(col("src_ms"))).head().getLong(0)
-    val sentinelTs = maxTs + 2L * 86400000L
-    val sentinel =
-      s"""{"payload": {"before": null, "after": {"trade_id": 999999999, """ +
-        s""""market": "ZSENTINEL", "trade_price": "1.0", "trade_volume": "1", """ +
-        s""""ask_bid": "ASK", "sequential_id": 999999999000}, """ +
-        s""""source": {"ts_ms": $sentinelTs, "db": "crypto_db", "table": "crypto_trades"}, """ +
-        s""""op": "c", "ts_ms": $sentinelTs}}"""
-    val sentinelFile = new java.io.File(in, "z-sentinel.txt")
-    java.nio.file.Files.write(sentinelFile.toPath,
-      (sentinel + "\n").getBytes("UTF-8"))
-    sentinelFile.setLastModified(System.currentTimeMillis() + 60000L)
+    writeEnvelopeWithSentinel(spark, dir, in)
     val parsed = readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20)
     val sessions = parsed
       .select(timestamp_millis(col("source_ts")).as("ts"),
@@ -518,6 +507,63 @@ object StreamingJobs {
        |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE) AS total_value
        |FROM islands GROUP BY market, island
        |ORDER BY market, session_start""".stripMargin
+  }
+
+  /** W1/A1 STREAMING, HASH-CHECKED (q_stream_w1): the dedicated
+    * [[windowAggStream]] path — watermarked tumbling windows emitted in
+    * APPEND mode by watermark passage (the production A1 stream, distinct
+    * from the per-batch aggregate inside the [[fanOut]] sink that
+    * q_stream_a1 checks). Same sentinel construction as
+    * [[sessionReplay]]: one trade two days out closes every real window.
+    * Oracle = the q_stream_a1 window SQL (sentinel filtered both sides by
+    * market). */
+  def windowAggReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_w")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    writeEnvelopeWithSentinel(spark, dir, in)
+    val agg = windowAggStream(
+      readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
+    val q = agg.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("user_id") =!= "ZSENTINEL")
+      .withColumn("window_start",
+        col("window_start").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  // the sentinel exists only in the constructed replay input (and is
+  // filtered from the read-back), so the events-table window oracle is
+  // exactly q_stream_a1's. `def`: fanOutReplaySql is declared later in
+  // this object and a val here would capture null at init time.
+  def windowAggReplaySql: String = fanOutReplaySql
+
+  /** Shared by [[sessionReplay]] and [[windowAggReplay]]: the envelope
+    * stream plus one ZSENTINEL trade two days past its end, written so the
+    * sentinel is the last micro-batch and the final watermark closes every
+    * real window/session. */
+  private def writeEnvelopeWithSentinel(spark: SparkSession, dir: String,
+      in: String): Unit = {
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+    env.select("json").write.mode("overwrite").text(in)
+    val maxTs = env.agg(max(col("src_ms"))).head().getLong(0)
+    val sentinelTs = maxTs + 2L * 86400000L
+    val sentinel =
+      s"""{"payload": {"before": null, "after": {"trade_id": 999999999, """ +
+        s""""market": "ZSENTINEL", "trade_price": "1.0", "trade_volume": "1", """ +
+        s""""ask_bid": "ASK", "sequential_id": 999999999000}, """ +
+        s""""source": {"ts_ms": $sentinelTs, "db": "crypto_db", "table": "crypto_trades"}, """ +
+        s""""op": "c", "ts_ms": $sentinelTs}}"""
+    val sentinelFile = new java.io.File(in, "z-sentinel.txt")
+    java.nio.file.Files.write(sentinelFile.toPath,
+      (sentinel + "\n").getBytes("UTF-8"))
+    sentinelFile.setLastModified(System.currentTimeMillis() + 60000L)
+    ()
   }
 
   /** Stream–stream event-time interval join: BID (trade) rows joined to
