@@ -295,6 +295,36 @@ object Stress {
         assign.join(vecs, Seq("vec_id"))
           .write.mode("overwrite").format("noop").save()
       },
+      // round 6: the PQ SEARCH hot path at scale — asymmetric-distance
+      // scoring of 1M vectors' codes (m=8 subspaces) against 10 queries'
+      // broadcast distance tables: the codes join is broadcast-keyed and
+      // the per-(query, vector) sum partial-aggregates map-side, so the
+      // corpus codes never shuffle. The bench queries run this at 2k
+      // vectors; this is the 500× rung.
+      time("pq_adc") {
+        import org.apache.spark.sql.expressions.Window
+        val nVecs = math.min(n / 10, 4000000L)
+        val m = 8; val k = 16
+        // synthetic code table: every vector coded in all m subspaces
+        val codes = spark.range(nVecs).select(col("id").as("vec_id"),
+            explode(expr(s"sequence(0, ${m - 1})")).as("m"))
+          .withColumn("cid", pmod(xxhash64(col("vec_id") * 8 + col("m")), lit(k)))
+        // per-query ADC tables: 10 queries x m x k distances
+        val table = spark.range(10).select(col("id").as("query_id"))
+          .crossJoin(spark.range(m).select(col("id").as("m")))
+          .crossJoin(spark.range(k).select(col("id").as("cid")))
+          .withColumn("qdist2",
+            pmod(xxhash64(col("query_id") * 1000 + col("m") * 100 + col("cid")),
+              lit(1000)).cast("double") / 100.0)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("vec_id"))
+        codes.join(broadcast(table), Seq("m", "cid"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qdist2")).as("adist"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .write.mode("overwrite").format("noop").save()
+      },
       time("kmeans_argmin_window") {
         import org.apache.spark.sql.expressions.Window
         val nVecs = math.min(n, 500000L)

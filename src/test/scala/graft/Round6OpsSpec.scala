@@ -166,6 +166,36 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("plan audit: semdedup broadcasts centroids, never cross-joins the corpus pairs") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = Similarity.semDedup(spark, sf())
+        d.collect(); d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val str = plan.toString
+    // k-means assignment: centroids reach the corpus via broadcast
+    assert(str.contains("BroadcastNestedLoopJoin") ||
+      str.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$str")
+    // the pair stage is the cid-keyed equi-join, NOT an all-pairs product
+    assert(!str.contains("CartesianProduct"),
+      s"within-cluster pair scan degraded to all-pairs:\n$str")
+  }
+
+  test("plan audit: profile + constraints are each ONE scan of events") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(graft.operators.Validation.profile(spark, sf()),
+        graft.operators.Validation.constraints(spark, sf())).foreach { d =>
+        d.collect()
+        val scans = d.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        assert(scans.length == 1,
+          s"expected a single events scan, got ${scans.length}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("salted join result == plain join (key refinement, no row drift)") {
     val salted = Relational.saltedSupplierRevenue(spark, sf()).collect()
     val li = G.table(spark, sf(), "lineitem")
