@@ -227,7 +227,7 @@ object Stress {
       // 8-gram census — the exact substringDupStats code over synthetic
       // docs (docs scale with n: n/10 docs of 16 tokens → 9 grams/doc)
       time("substring_census") {
-        val nDocs = math.min(n / 10, 4000000L)
+        val nDocs = math.min(n / 10, 8000000L)
         val docs = spark.range(nDocs).select(col("id").as("doc_id"),
           concat_ws(" ", (0 until 16).map(w =>
             concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
