@@ -162,7 +162,13 @@ object SparkEntry {
     // A9 session windows through the watermarked streaming machinery
     "q_stream_sessions" -> ((s, d) => graft.streaming.StreamingJobs.sessionReplay(s, d)),
     // W1/A1 append-mode tumbling windows, watermark-emitted
-    "q_stream_w1" -> ((s, d) => graft.streaming.StreamingJobs.windowAggReplay(s, d))
+    "q_stream_w1" -> ((s, d) => graft.streaming.StreamingJobs.windowAggReplay(s, d)),
+    // Round 6 third wave: SCD Type-2 history from the CDC changelog, a
+    // bigram-LM quality scorer, and SpaceSaving heavy hitters (custom
+    // mergeable Aggregator; deterministic twin = q_c4 over the same stream)
+    "q_p8_scd2" -> ((s, d) => CdcParser.scd2History(s, d)),
+    "q_t12_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "q_c13_heavy_hitters" -> ((s, d) => Curation.heavyHitters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,6 +270,8 @@ object SparkEntry {
     "q_v1_profile" -> Validation.profileSql,
     "q_v2_constraints" -> Validation.constraintsSql,
     "q_stream_sessions" -> graft.streaming.StreamingJobs.sessionReplaySql,
-    "q_stream_w1" -> graft.streaming.StreamingJobs.windowAggReplaySql
+    "q_stream_w1" -> graft.streaming.StreamingJobs.windowAggReplaySql,
+    "q_p8_scd2" -> CdcParser.scd2HistorySql,
+    "q_t12_lm_score" -> TextAnalysis.lmScoreSql
   )
 }

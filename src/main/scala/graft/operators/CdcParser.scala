@@ -422,4 +422,53 @@ object CdcParser {
        |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
        |WHERE rn = 1 AND op <> 'd'
        |ORDER BY key""".stripMargin
+
+  /** Changelog → SCD Type-2 history: the OTHER canonical CDC consumer.
+    * [[snapshotApply]] keeps only each key's latest row; a warehouse
+    * dimension keeps EVERY version as a validity interval. Same re-keying
+    * (`trade_id % 3000` so keys carry several versions), ordered by
+    * `sequential_id` (the changelog's total order — the authority; the
+    * payload timestamps are data, reference
+    * `producer/producer.py:104-109` unique key semantics):
+    *
+    *  - `valid_from` = the version's `source_ts`
+    *  - `valid_to`   = the NEXT change's `source_ts` (lead over ALL ops,
+    *    deletes included — a delete closes the last interval without
+    *    emitting a row), null while the version is still open
+    *  - `is_current` = 1 iff `valid_to` is null; a key whose final op is
+    *    'd' has no current row (tombstoned out, like the snapshot)
+    *
+    * Scale shape: identical to [[snapshotApply]] — ONE hash exchange on the
+    * key, then lead() streams each partition in sort order; no second
+    * shuffle, no self-join (the naive SCD2 build joins the changelog to
+    * itself on key + next-seq, which is two exchanges and a sort-merge).
+    * The pre-window projection keeps the exchange to 6 narrow columns. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("sequential_id"))
+    cdcParseRoundtrip(spark, dir)
+      .withColumn("key", col("trade_id") % 3000)
+      .select(col("key"), col("op"), col("market"), col("trade_price"),
+        col("sequential_id"), col("source_ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col("key"), col("sequential_id"), col("market"),
+        col("trade_price"), col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("key"), col("sequential_id"))
+  }
+
+  val scd2HistorySql: String =
+    s"""SELECT key, sequential_id, market, trade_price, valid_from,
+       |  valid_to,
+       |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_current
+       |FROM (
+       |  SELECT trade_id % 3000 AS key, op, market, trade_price,
+       |    sequential_id, source_ts AS valid_from,
+       |    lead(source_ts) OVER (PARTITION BY trade_id % 3000
+       |      ORDER BY sequential_id) AS valid_to
+       |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
+       |WHERE op <> 'd'
+       |ORDER BY key, sequential_id""".stripMargin
 }

@@ -131,6 +131,36 @@ object Curation {
       |SELECT bigram, count(*) AS cnt FROM bi
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin
 
+  /** q_c13: heavy hitters over the SAME bigram stream as [[bigramStats]],
+    * but through the [[graft.functions.SpaceSaving]] mergeable sketch
+    * instead of an exact hash-agg — the production shape when the key
+    * domain no longer fits an aggregation hash table (URL hosts, n-grams at
+    * web scale). Bounded O(capacity) state per partition, O(capacity ×
+    * partitions) shuffle, versus the exact plan's O(distinct keys).
+    *
+    * Rows-only by declared design (estimates depend on partition merge
+    * order); `q_c4_bigram_stats` is the oracle-checked deterministic twin
+    * over the identical stream, and Round6bOpsSpec pins the sketch bounds
+    * (`cnt_est - err <= true <= cnt_est`, heavy-item recall) against the
+    * exact counts. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      capacity: Int = 256, k: Int = 50): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSaving.Agg(capacity))
+    docs(spark, dir)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("bigram", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  ELSE array() END""".stripMargin)))
+      .agg(ss(col("bigram")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.bigram").as("bigram"), col("h.cnt_est").as("cnt_est"),
+        col("h.err").as("err"))
+      .orderBy(col("cnt_est").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination screen: flag corpus documents sharing any
     * word-5-gram with a held-out benchmark set (here: every 97th doc stands
     * in for the eval set). The standard pretraining hygiene step. Scale

@@ -625,4 +625,83 @@ object TextAnalysis {
       |  count(*) AS n_terms_hit
       |FROM contribs GROUP BY doc_id
       |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** q_t12: bigram language-model quality score — the CCNet-style
+    * perplexity filter (train a cheap LM on trusted text, keep documents the
+    * model finds unsurprising). Train counts come from the 80% hash-split
+    * (`doc_id % 10 < 8`); EVERY document is scored, `held_out` marking the
+    * 20% the model never saw.
+    *
+    * Per positional bigram (a,b) the add-one-smoothed inverse conditional
+    * probability is `(C(a·) + V) / (C(ab) + 1)` — C(ab) train occurrences of
+    * the bigram, C(a·) train occurrences of `a` as a history, V the distinct
+    * history vocabulary. The document score `avg_inv_p` is the mean over its
+    * bigrams: the arithmetic-mean analogue of perplexity. A log-domain
+    * variant would be the textbook geometric mean, but `ln` is not
+    * bit-reproducible across engines (same reason q_t10 BM25 uses a rational
+    * idf); the rational form is monotone in the same direction, which is all
+    * a quality FILTER needs, and it hash-matches DuckDB exactly (per-term
+    * DECIMAL(38,6) sum, the G.dsum contract).
+    *
+    * Scale shape: the corpus explodes to positional bigrams ONCE; the two
+    * count tables are vocabulary-sized (O(V) / O(V²) bounded by corpus),
+    * built with map-side partial aggregation, and joined back on the gram
+    * key — with a capped LM vocabulary both sides broadcast, and AQE picks
+    * that up automatically at these sizes. No payload column ever crosses an
+    * exchange; the wide `text` stays in the scan stage. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val pos = docs(spark, dir)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        expr("element_at(toks, i)").as("hist"),
+        expr("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")
+          .as("bigram"))
+    val train = pos.filter(col("doc_id") % 10 < 8)
+    val cAb = train.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val cA = train.groupBy(col("hist")).agg(count(lit(1)).as("c_a"))
+    val vocab = cA.agg(count(lit(1)).as("vocab"))
+    pos
+      .join(cAb, Seq("bigram"), "left")
+      .join(cA, Seq("hist"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("inv_p",
+        (coalesce(col("c_a"), lit(0L)) + col("vocab")).cast("double")
+          / (coalesce(col("c_ab"), lit(0L)) + lit(1L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (G.dsum(col("inv_p")) / count(lit(1))).as("avg_inv_p"))
+      .withColumn("held_out",
+        when(col("doc_id") % 10 >= 8, 1L).otherwise(0L))
+      .select(col("doc_id"), col("held_out"), col("n_bigrams"),
+        col("avg_inv_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t[i] AS hist, t[i] || ' ' || t[i+1] AS bigram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM tok WHERE len(t) >= 2)),
+      |cab AS (SELECT bigram, count(*) AS c_ab FROM pos
+      |        WHERE doc_id % 10 < 8 GROUP BY bigram),
+      |ca AS (SELECT hist, count(*) AS c_a FROM pos
+      |       WHERE doc_id % 10 < 8 GROUP BY hist),
+      |v AS (SELECT count(*) AS vocab FROM ca)
+      |SELECT pos.doc_id,
+      |  CAST(CASE WHEN pos.doc_id % 10 >= 8 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS held_out,
+      |  count(*) AS n_bigrams,
+      |  CAST(SUM(CAST(
+      |      CAST(coalesce(c_a, 0) + vocab AS DOUBLE) / (coalesce(c_ab, 0) + 1)
+      |    AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_inv_p
+      |FROM pos LEFT JOIN cab USING (bigram) LEFT JOIN ca USING (hist)
+      |CROSS JOIN v
+      |GROUP BY pos.doc_id ORDER BY pos.doc_id""".stripMargin
 }
