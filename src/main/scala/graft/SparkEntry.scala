@@ -167,6 +167,7 @@ object SparkEntry {
     // bigram-LM quality scorer, and SpaceSaving heavy hitters (custom
     // mergeable Aggregator; deterministic twin = q_c4 over the same stream)
     "q_p8_scd2" -> ((s, d) => CdcParser.scd2History(s, d)),
+    "q_p9_pit_lookup" -> ((s, d) => CdcParser.pitLookup(s, d)),
     "q_t12_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "q_c13_heavy_hitters" -> ((s, d) => Curation.heavyHitters(s, d))
   )
@@ -272,6 +273,7 @@ object SparkEntry {
     "q_stream_sessions" -> graft.streaming.StreamingJobs.sessionReplaySql,
     "q_stream_w1" -> graft.streaming.StreamingJobs.windowAggReplaySql,
     "q_p8_scd2" -> CdcParser.scd2HistorySql,
+    "q_p9_pit_lookup" -> CdcParser.pitLookupSql,
     "q_t12_lm_score" -> TextAnalysis.lmScoreSql
   )
 }

@@ -443,7 +443,12 @@ object CdcParser {
     * shuffle, no self-join (the naive SCD2 build joins the changelog to
     * itself on key + next-seq, which is two exchanges and a sort-merge).
     * The pre-window projection keeps the exchange to 6 narrow columns. */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Versions(spark, dir).orderBy(col("key"), col("sequential_id"))
+
+  /** [[scd2History]] without the presentation sort — the shape consumers
+    * join against ([[pitLookup]]). */
+  private[graft] def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("sequential_id"))
     cdcParseRoundtrip(spark, dir)
@@ -455,7 +460,6 @@ object CdcParser {
       .select(col("key"), col("sequential_id"), col("market"),
         col("trade_price"), col("valid_from"), col("valid_to"),
         when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
-      .orderBy(col("key"), col("sequential_id"))
   }
 
   val scd2HistorySql: String =
@@ -471,4 +475,76 @@ object CdcParser {
        |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
        |WHERE op <> 'd'
        |ORDER BY key, sequential_id""".stripMargin
+
+  /** Point-in-time lookup against the SCD2 history — the warehouse query
+    * the interval table exists for: for every probe `(key, ts)` find the
+    * dimension version effective AT `ts` (`valid_from <= ts < valid_to`,
+    * open intervals unbounded). Probes here are the changelog's own
+    * `(key, source_ts)` pairs ("what did the dimension say when this event
+    * happened"); a key tombstoned before `ts` correctly matches nothing.
+    *
+    * Out-of-order payload timestamps can make intervals of one key overlap
+    * (the changelog order `sequential_id`, not the timestamps, is the
+    * authority — see [[scd2History]]), so a probe may hit several versions;
+    * the as-of rule picks the latest `valid_from` (ties: highest
+    * `sequential_id`).
+    *
+    * Scale shape (pinned in Round6bOpsSpec): the history side is hashed
+    * once on `key` for its lead() window; the equi-join streams over that
+    * partitioning (range conditions ride along as join filters) and the
+    * dedup window — partitioned on the HISTORY-side key attribute, see
+    * below — reuses it too, so between the version build and the
+    * presentation sort there is NO additional exchange, and the rank
+    * filter runs as WindowGroupLimit (per-task top-1 before any data
+    * moves). At dimension sizes past the broadcast threshold the same
+    * shape holds with the probe side hashed instead of broadcast. */
+  def pitLookup(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2Versions(spark, dir)
+      .withColumnRenamed("key", "hkey")
+      .withColumnRenamed("market", "h_market")
+      .withColumnRenamed("trade_price", "h_price")
+    val probes = cdcParseRoundtrip(spark, dir)
+      .select(col("trade_id"), (col("trade_id") % 3000).as("key"),
+        col("source_ts").as("ts"))
+    // partition the dedup window on the HISTORY-side key attribute (equal
+    // to the probe key on every joined row): the window's clustering then
+    // matches the history input's hash partitioning, so no exchange lands
+    // between join and window — Catalyst can't see cross-side attribute
+    // equivalence from the probe-side `key`.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hkey"), col("trade_id"))
+      .orderBy(col("valid_from").desc, col("sequential_id").desc)
+    probes
+      .join(hist, col("key") === col("hkey") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("trade_id"), col("key"), col("ts"),
+        col("sequential_id").as("version_seq"),
+        col("h_market").as("market"), col("h_price").as("trade_price"))
+      .orderBy(col("trade_id"))
+  }
+
+  val pitLookupSql: String =
+    s"""WITH hist AS (
+       |  SELECT key, sequential_id, market, trade_price, valid_from, valid_to
+       |  FROM (
+       |    SELECT trade_id % 3000 AS key, op, market, trade_price,
+       |      sequential_id, source_ts AS valid_from,
+       |      lead(source_ts) OVER (PARTITION BY trade_id % 3000
+       |        ORDER BY sequential_id) AS valid_to
+       |    FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
+       |  WHERE op <> 'd'),
+       |probes AS (
+       |  SELECT trade_id, trade_id % 3000 AS key, source_ts AS ts
+       |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t)
+       |SELECT p.trade_id, p.key, p.ts, h.sequential_id AS version_seq,
+       |  h.market, h.trade_price
+       |FROM probes p JOIN hist h ON p.key = h.key
+       |  AND p.ts >= h.valid_from
+       |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+       |QUALIFY row_number() OVER (PARTITION BY p.trade_id
+       |  ORDER BY h.valid_from DESC, h.sequential_id DESC) = 1
+       |ORDER BY p.trade_id""".stripMargin
 }

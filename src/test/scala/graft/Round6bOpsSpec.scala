@@ -166,6 +166,38 @@ class Round6bOpsSpec extends SparkSpec {
       s"unexpected partitionings: $kinds")
   }
 
+  test("pit lookup: unique per probe, every match inside its interval") {
+    val r = CdcParser.pitLookup(spark, sf()).cache()
+    assert(r.count() > 0)
+    assert(r.groupBy(col("trade_id")).count()
+      .filter(col("count") > 1).count() == 0)
+    // re-join to the history and check interval containment of each match
+    val hist = CdcParser.scd2History(spark, sf())
+      .select(col("key").as("k2"), col("sequential_id").as("v2"),
+        col("valid_from"), col("valid_to"))
+    val bad = r.join(hist, col("key") === col("k2") &&
+        col("version_seq") === col("v2"))
+      .filter(col("ts") < col("valid_from") ||
+        (col("valid_to").isNotNull && col("ts") >= col("valid_to")))
+    assert(bad.count() == 0, "match outside its validity interval")
+    r.unpersist()
+  }
+
+  test("plan audit: q_p9 pit join adds no exchange between join and dedup window") {
+    val plan = executed(CdcParser.pitLookup(spark, sf()))
+    val s = plan.toString
+    // the rank-1 filter must run as WindowGroupLimit (per-task top-1)
+    assert(s.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$s")
+    val exchanges = plan.collect { case e: Exchange => e }
+    // broadcast (probe side) + one hash (history window, reused by the
+    // join AND the dedup window) + presentation range sort — nothing else
+    assert(exchanges.length == 3, s"expected 3 exchanges, got:\n$s")
+    val kinds = exchanges.map(_.outputPartitioning.getClass.getSimpleName)
+    assert(kinds.count(_.contains("Hash")) == 1 &&
+      kinds.count(_.contains("Range")) == 1,
+      s"unexpected partitionings: $kinds")
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
