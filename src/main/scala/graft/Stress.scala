@@ -325,6 +325,34 @@ object Stress {
           .filter(col("rank") <= 5)
           .write.mode("overwrite").format("noop").save()
       },
+      // round 6: SpaceSaving sketch vs exact hash-agg heavy hitters over n
+      // harmonically-skewed string keys (each row draws a modulus m uniform
+      // in 1..1000 then a key uniform in 0..m-1 → P(key) ~ log(1000/key)).
+      // The sketch's shuffle is O(capacity x partitions) regardless of key
+      // cardinality; the exact plan shuffles O(distinct). At 1000 distinct
+      // keys the exact plan WINS (map-side combine collapses everything) —
+      // the sketch's value begins where the distinct count stops fitting
+      // the agg hash table; this pair quantifies the constant-factor cost
+      // paid for bounded state at a cardinality where both are viable.
+      time("heavy_hitters_sketch") {
+        val keys = spark.range(n).select(concat(lit("w"),
+          pmod(xxhash64(col("id")),
+            pmod(xxhash64(col("id") + 5), lit(1000)) + 1)).as("k"))
+        val ss = udaf(new graft.functions.SpaceSaving.Agg(256))
+        keys.agg(ss(col("k")).as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.bigram"), col("h.cnt_est"), col("h.err"))
+          .orderBy(col("cnt_est").desc).limit(50)
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("heavy_hitters_exact") {
+        val keys = spark.range(n).select(concat(lit("w"),
+          pmod(xxhash64(col("id")),
+            pmod(xxhash64(col("id") + 5), lit(1000)) + 1)).as("k"))
+        keys.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("k")).limit(50)
+          .write.mode("overwrite").format("noop").save()
+      },
       time("kmeans_argmin_window") {
         import org.apache.spark.sql.expressions.Window
         val nVecs = math.min(n, 500000L)

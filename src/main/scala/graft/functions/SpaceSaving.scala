@@ -55,6 +55,16 @@ object SpaceSaving {
       heap
     }
 
+    /** Lazy deletion leaves stale entries behind; without a bound the heap
+      * grows O(stream length) — an OOM on a long partition. Rebuilding from
+      * the live map once the heap passes 8× capacity keeps it O(capacity),
+      * amortized O(log c) per update. */
+    private def maybeCompact(): Unit =
+      if (heap != null && heap.size > 8 * capacity) {
+        heap = null
+        heapRef
+      }
+
     /** The summary floor: 0 while under capacity, else the min counter —
       * an upper bound on the true count of any ABSENT item. */
     def floor: Long = {
@@ -73,10 +83,12 @@ object SpaceSaving {
       val e = items.get(item)
       if (e != null) {
         e.count += by; e.err += addErr
-        heapRef.enqueue((e.count, item))
+        // the heap exists only once eviction pressure is possible; while
+        // it does, record the bump (lazily invalidating the old entry)
+        if (heap != null) { heap.enqueue((e.count, item)); maybeCompact() }
       } else if (items.size < capacity) {
         items.put(item, new Entry(by, addErr))
-        heapRef.enqueue((by, item))
+        if (heap != null) heap.enqueue((by, item))
       } else {
         // evict the current min; its count is the possible undercount of
         // the replacement (the classic SpaceSaving step)
@@ -92,6 +104,7 @@ object SpaceSaving {
             done = true
           }
         }
+        maybeCompact()
       }
     }
   }
