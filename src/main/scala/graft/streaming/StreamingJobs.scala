@@ -663,6 +663,110 @@ object StreamingJobs {
        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Incremental SCD Type-2 maintenance, STREAMING, HASH-CHECKED
+    * (q_stream_scd2): the batch history build (q_p8,
+    * [[graft.operators.CdcParser.scd2History]]) kept up to date one
+    * micro-batch at a time — the warehouse MERGE a CDC consumer actually
+    * runs, here with explicit parquet-backed state so every step is
+    * engine-visible:
+    *
+    *  - state = the OPEN version of each key (at most one row per key),
+    *    versioned per micro-batch (`open_<batchId>`) so the state side of
+    *    a foreachBatch retry is idempotent (the closed sink is plain
+    *    at-least-once parquet append — exactly-once there needs a
+    *    transactional table format, which is sink policy, not operator
+    *    semantics);
+    *  - per batch: the open versions of TOUCHED keys (semi join on the
+    *    batch's keys — state I/O scales with the batch, not the history)
+    *    are unioned with the batch rows and re-chained per key by
+    *    `sequential_id` (one narrow keyed exchange, the q_p8 shape);
+    *    every row that gained a successor is emitted to the append-only
+    *    CLOSED sink with `valid_to` = successor's `source_ts`; deletes
+    *    close their predecessor and persist nothing;
+    *  - untouched open versions pass through via anti join.
+    *
+    * The final history (closed sink ∪ last open state) is hash-compared
+    * against the SAME DuckDB oracle as the batch build — proving the
+    * incremental maintenance converges to the batch semantics across
+    * micro-batch boundaries. Determinism needs same-key events to arrive
+    * in `sequential_id` order across batches, which the event-time
+    * range-partitioned replay guarantees here (same contract as
+    * [[dedupReplay]]); a closed version is never reopened. */
+  def scd2Stream(parsed: DataFrame, stateDir: String, closedDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = parsed.sparkSession
+    parsed.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val b = batch
+        .withColumn("key", col("trade_id") % 3000)
+        .select(col("key"), col("op"), col("market"), col("trade_price"),
+          col("sequential_id"), col("source_ts"))
+      val prevPath = s"$stateDir/open_${batchId - 1}"
+      val prev =
+        if (batchId == 0) b.limit(0)
+        else spark.read.parquet(prevPath)
+      val bKeys = b.select(col("key")).distinct()
+      val touched = prev.join(bKeys, Seq("key"), "left_semi")
+        .unionByName(b)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("sequential_id"))
+      val chained = touched
+        .withColumn("valid_to", lead(col("source_ts"), 1).over(w))
+      chained.filter(col("valid_to").isNotNull && col("op") =!= "d")
+        .select(col("key"), col("sequential_id"), col("market"),
+          col("trade_price"), col("source_ts").as("valid_from"),
+          col("valid_to"), lit(0L).as("is_current"))
+        .write.mode("append").parquet(closedDir)
+      val stillOpen = chained.filter(col("valid_to").isNull && col("op") =!= "d")
+        .drop("valid_to")
+      val untouched = prev.join(bKeys, Seq("key"), "left_anti")
+      stillOpen.unionByName(untouched)
+        .write.mode("overwrite").parquet(s"$stateDir/open_$batchId")
+      ()
+    }
+  }
+
+  /** Replay [[scd2Stream]] over the sf CDC envelope in event-time order
+    * (5 micro-batches) and return closed ∪ open — checked against the
+    * batch q_p8 oracle ([[graft.operators.CdcParser.scd2HistorySql]]). */
+  def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_scd2")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"
+    val state = s"$tmp/state"; val closed = s"$tmp/closed"
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+    env.repartitionByRange(5, col("src_ms")).select("json")
+      .write.mode("overwrite").text(in)
+    val files = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 1000L); ()
+    }
+    new java.io.File(closed).mkdirs()
+    val q = scd2Stream(readCdcStream(spark, in, maxFilesPerTrigger = 1),
+        state, closed)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val lastOpen = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("open_"))
+      .maxBy(_.getName.stripPrefix("open_").toLong)
+    val open = spark.read.parquet(lastOpen.getPath)
+      .select(col("key"), col("sequential_id"), col("market"),
+        col("trade_price"), col("source_ts").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(1L).as("is_current"))
+    // explicit schema: the closed sink is legitimately EMPTY when no key
+    // ever gained a second version (chains of length 1)
+    val closedDf = spark.read.schema(
+        "key LONG, sequential_id LONG, market STRING, trade_price DOUBLE, " +
+        "valid_from LONG, valid_to LONG, is_current LONG")
+      .parquet(closed)
+    closedDf.unionByName(open)
+      .orderBy(col("key"), col("sequential_id"))
+  }
+
+  val scd2ReplaySql: String = graft.operators.CdcParser.scd2HistorySql
+
   private def windowAggBatch(batch: DataFrame): DataFrame =
     TradeAggregates.windowAggOn(
       batch.select(

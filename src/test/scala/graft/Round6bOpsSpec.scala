@@ -91,7 +91,10 @@ class Round6bOpsSpec extends SparkSpec {
   // ------------------------------------------------------------------- SCD2
 
   test("scd2: current version set == snapshot apply; one current per key max") {
-    val hist = CdcParser.scd2History(spark, sf()).cache()
+    // sf0.01, NOT sf0.001: at sf0.001 every trade_id < 3000, so each key
+    // carries exactly one version and lead() never fires — the multi-
+    // version semantics this test exists for only appear at sf0.01+
+    val hist = CdcParser.scd2History(spark, sf("0.01")).cache()
     // at most one open interval per key
     assert(hist.filter(col("is_current") === 1)
       .groupBy(col("key")).count().filter(col("count") > 1).count() == 0)
@@ -102,7 +105,7 @@ class Round6bOpsSpec extends SparkSpec {
     val cur = hist.filter(col("is_current") === 1)
       .select(col("key"), col("market"), col("trade_price"),
         col("sequential_id"))
-    val snap = CdcParser.snapshotApply(spark, sf())
+    val snap = CdcParser.snapshotApply(spark, sf("0.01"))
       .select(col("key"), col("market"), col("trade_price"),
         col("sequential_id"))
     assert(cur.exceptAll(snap).count() == 0 &&
@@ -112,13 +115,23 @@ class Round6bOpsSpec extends SparkSpec {
   }
 
   test("scd2: every non-delete changelog row becomes exactly one version") {
-    val hist = CdcParser.scd2History(spark, sf())
-    val changelog = CdcParser.cdcParseRoundtrip(spark, sf())
+    val hist = CdcParser.scd2History(spark, sf("0.01"))
+    // multi-version chains closed with real valid_to intervals must exist
+    assert(hist.filter(col("valid_to").isNotNull).count() > 0)
+    val changelog = CdcParser.cdcParseRoundtrip(spark, sf("0.01"))
       .filter(col("op") =!= "d")
     assert(hist.count() == changelog.count())
     // versions are unique per (key, sequential_id)
     assert(hist.groupBy(col("key"), col("sequential_id")).count()
       .filter(col("count") > 1).count() == 0)
+  }
+
+  test("scd2 streaming: incremental maintenance == batch build, 5 micro-batches") {
+    val stream = graft.streaming.StreamingJobs.scd2Replay(spark, sf("0.01"))
+    val batch = CdcParser.scd2History(spark, sf("0.01"))
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "incremental SCD2 diverged from the batch build")
   }
 
   // -------------------------------------------------------------- LM score
@@ -167,12 +180,12 @@ class Round6bOpsSpec extends SparkSpec {
   }
 
   test("pit lookup: unique per probe, every match inside its interval") {
-    val r = CdcParser.pitLookup(spark, sf()).cache()
+    val r = CdcParser.pitLookup(spark, sf("0.01")).cache()
     assert(r.count() > 0)
     assert(r.groupBy(col("trade_id")).count()
       .filter(col("count") > 1).count() == 0)
     // re-join to the history and check interval containment of each match
-    val hist = CdcParser.scd2History(spark, sf())
+    val hist = CdcParser.scd2History(spark, sf("0.01"))
       .select(col("key").as("k2"), col("sequential_id").as("v2"),
         col("valid_from"), col("valid_to"))
     val bad = r.join(hist, col("key") === col("k2") &&
