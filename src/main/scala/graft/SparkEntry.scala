@@ -172,7 +172,12 @@ object SparkEntry {
     // parquet state, hash-checked against the SAME oracle as batch q_p8
     "q_stream_scd2" -> ((s, d) => graft.streaming.StreamingJobs.scd2Replay(s, d)),
     "q_t12_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
-    "q_c13_heavy_hitters" -> ((s, d) => Curation.heavyHitters(s, d))
+    "q_c13_heavy_hitters" -> ((s, d) => Curation.heavyHitters(s, d)),
+    // time-RANGE window frame: trailing-10-minute per-user moving average
+    "q_r21_sliding_window" -> ((s, d) => Relational.slidingTimeWindow(s, d)),
+    // Count-Min point estimates (deterministic cell-wise merge); exact cnt
+    // rides along from the q_c4 twin — rows-only (no CMS in DuckDB)
+    "q_c14_cms_counts" -> ((s, d) => Curation.cmsCounts(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -278,6 +283,7 @@ object SparkEntry {
     "q_p8_scd2" -> CdcParser.scd2HistorySql,
     "q_p9_pit_lookup" -> CdcParser.pitLookupSql,
     "q_stream_scd2" -> graft.streaming.StreamingJobs.scd2ReplaySql,
-    "q_t12_lm_score" -> TextAnalysis.lmScoreSql
+    "q_t12_lm_score" -> TextAnalysis.lmScoreSql,
+    "q_r21_sliding_window" -> Relational.slidingTimeWindowSql
   )
 }

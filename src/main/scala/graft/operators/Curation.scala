@@ -143,6 +143,46 @@ object Curation {
     * over the identical stream, and Round6bOpsSpec pins the sketch bounds
     * (`cnt_est - err <= true <= cnt_est`, heavy-item recall) against the
     * exact counts. */
+  /** q_c14: Count-Min point-frequency estimates over the same bigram
+    * stream, via Spark's built-in `count_min_sketch` aggregate (width
+    * 2e/eps, depth ln(1/(1-conf)) — Cormode/Muthukrishnan). The sketch
+    * merges cell-wise (order-independent addition), so with a fixed seed
+    * the estimates are DETERMINISTIC under any partitioning — unlike
+    * SpaceSaving ([[heavyHitters]]) whose estimates depend on merge order.
+    * No DuckDB CMS exists, so the query stays rows-only; the exact `cnt`
+    * column (the q_c4 twin stream) rides along in the output, and the CMS
+    * overestimate contract `cnt <= cnt_est <= cnt + eps·N` is pinned in
+    * Round6bOpsSpec.
+    *
+    * Scale shape: one pass, one tiny binary partial per partition (the
+    * sketch), merged on the driver; the probe set (exact top-k) is
+    * k rows. The collect is the SKETCH, never the stream. */
+  def cmsCounts(spark: SparkSession, dir: String,
+      eps: Double = 0.001, k: Int = 50): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val skBytes = bigramStream(spark, dir)
+      .agg(expr(s"count_min_sketch(bigram, ${eps}d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val top = bigramStats(spark, dir).limit(k).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+    import spark.implicits._
+    top.toSeq.toDF("bigram", "cnt", "cnt_est")
+      .orderBy(col("cnt").desc, col("bigram"))
+  }
+
+  /** The shared explode of adjacent token pairs behind [[bigramStats]],
+    * [[heavyHitters]] and [[cmsCounts]]. */
+  private def bigramStream(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("bigram", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  ELSE array() END""".stripMargin)))
+
   def heavyHitters(spark: SparkSession, dir: String,
       capacity: Int = 256, k: Int = 50): DataFrame = {
     val ss = udaf(new graft.functions.SpaceSaving.Agg(capacity))

@@ -647,4 +647,38 @@ object Relational {
       |  count(*) AS n_items
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** q_r21: time-RANGE window frame — per-user trailing-10-minute moving
+    * average/count over the event stream (`RANGE BETWEEN 600 PRECEDING AND
+    * CURRENT ROW` on epoch seconds). The frame is VALUE-based, not
+    * row-based: Spark's WindowExec slides both frame bounds monotonically
+    * forward per partition (each row enters/leaves the running aggregate
+    * once — O(n) per partition, not O(n × frame)), after the single hash
+    * exchange on the user key. The moving sum goes through the
+    * DECIMAL(38,6) cast on both engines (G.dsum contract), and the frame
+    * bound arithmetic is integer seconds — no float drift in frame
+    * membership. */
+  def slidingTimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec")).rangeBetween(-600L, 0L)
+    G.eventsRaw(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns DIV 1000000000").as("ts_sec"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .over(w).cast("double") / count(col("value")).over(w))
+          .as("avg_10m"),
+        count(lit(1)).over(w).as("n_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  val slidingTimeWindowSql: String =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+      |    / COUNT(value) OVER w AS avg_10m,
+      |  COUNT(*) OVER w AS n_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+      |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

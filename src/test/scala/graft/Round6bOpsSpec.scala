@@ -167,6 +167,60 @@ class Round6bOpsSpec extends SparkSpec {
     assert(s.getDouble(0) < s.getDouble(1), "degenerate LM score spread")
   }
 
+  test("cms counts: deterministic overestimates within eps*N of exact") {
+    val eps = 0.001
+    val r = Curation.cmsCounts(spark, sf(), eps = eps)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 50)
+    val n = G.table(spark, sf(), "documents")
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .agg(sum(size(col("toks")) - 1)).head().getLong(0)
+    r.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"$k: CMS must never underestimate ($est < $exact)")
+      assert(est <= exact + (eps * n).toLong + 1,
+        s"$k: estimate $est beyond eps*N bound of $exact + ${(eps * n).toLong}")
+    }
+    // fixed seed + cell-wise merge: estimates identical on re-evaluation
+    val r2 = Curation.cmsCounts(spark, sf(), eps = eps)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == r2.toSeq, "CMS estimates must be deterministic")
+  }
+
+  test("plan audit: dynamic partition pruning fires on the partitioned layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = G.events(spark, sf("0.01"))
+    Tables.writePartitioned(ev, tmp, "ts", Seq("user_id"), 1)
+    // dim: a one-month SELECTIVE FILTER arriving through a join, not a
+    // literal on the fact — only DPP can prune the fact scan. The dim must
+    // be a source relation with its own predicate (DPP's insertion rule
+    // requires a selective filter on the build side; a LIMIT does not
+    // qualify).
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("month"))
+    spark.read.parquet(tmp).select(col("month")).distinct()
+      .withColumn("flag", row_number().over(w))
+      .write.mode("overwrite").parquet(s"$tmp-dim")
+    val months = spark.read.parquet(s"$tmp-dim").filter(col("flag") === 1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.read.parquet(tmp)
+        .join(months, Seq("month"))
+        .groupBy(col("month")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val scans = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("graft_dpp")) => s
+      }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.partitionFilters.exists(
+          _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .DynamicPruningExpression]).isDefined)),
+        s"no DynamicPruningExpression in fact partitionFilters: " +
+          scans.map(_.partitionFilters).mkString(" | "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // ------------------------------------------------------------------ plans
 
   test("plan audit: q_p8 scd2 is one keyed exchange + presentation sort") {
