@@ -177,7 +177,13 @@ object SparkEntry {
     "q_r21_sliding_window" -> ((s, d) => Relational.slidingTimeWindow(s, d)),
     // Count-Min point estimates (deterministic cell-wise merge); exact cnt
     // rides along from the q_c4 twin — rows-only (no CMS in DuckDB)
-    "q_c14_cms_counts" -> ((s, d) => Curation.cmsCounts(s, d))
+    "q_c14_cms_counts" -> ((s, d) => Curation.cmsCounts(s, d)),
+    // bloom-filtered join: semi-join reduction before the shuffle; result
+    // is exactly the plain join (bloom false positives die in the join)
+    "q_r22_bloom_join" -> ((s, d) => Relational.bloomJoin(s, d)),
+    // deflate compression-ratio quality gate (Gopher-style); rows-only —
+    // deflate sizes aren't SQL-expressible, monotonicity spec-pinned
+    "q_t13_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,6 +290,7 @@ object SparkEntry {
     "q_p9_pit_lookup" -> CdcParser.pitLookupSql,
     "q_stream_scd2" -> graft.streaming.StreamingJobs.scd2ReplaySql,
     "q_t12_lm_score" -> TextAnalysis.lmScoreSql,
-    "q_r21_sliding_window" -> Relational.slidingTimeWindowSql
+    "q_r21_sliding_window" -> Relational.slidingTimeWindowSql,
+    "q_r22_bloom_join" -> Relational.bloomJoinSql
   )
 }

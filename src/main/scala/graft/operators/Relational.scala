@@ -681,4 +681,46 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
       |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  /** q_r22: bloom-filtered join — the explicit form of the semi-join
+    * reduction Spark's own `InjectRuntimeFilter` applies when thresholds
+    * and plan shape allow. A bloom filter built from the SELECTIVE side's
+    * join keys (urgent orders, ~1/5 of orders) is broadcast and probed at
+    * the fact scan, so most lineitem rows die BEFORE the join's exchange —
+    * at 100 TB that is the difference between shuffling the full fact
+    * table and shuffling the ~20% that can match. False positives
+    * (fpp 1%) pass the bloom but are removed by the real join, so the
+    * result is EXACTLY the plain join's — which is what the DuckDB oracle
+    * runs. The probe is a broadcast-closure UDF because Spark exposes no
+    * public might_contain; it mirrors the internal
+    * `BloomFilterMightContain` runtime-filter probe.
+    *
+    * Build cost: one pass over the dim keys (`stat.bloomFilter` runs a
+    * treeAggregate; the driver holds one ~1 MB sketch, never the keys). */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = G.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val nKeys = math.max(orders.count(), 1000L)
+    val bloom = orders.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((k: Long) => bc.value.mightContain(k))
+    G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      .filter(probe(col("l_orderkey")))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        G.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

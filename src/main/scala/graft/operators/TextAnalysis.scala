@@ -704,4 +704,39 @@ object TextAnalysis {
       |FROM pos LEFT JOIN cab USING (bigram) LEFT JOIN ca USING (hist)
       |CROSS JOIN v
       |GROUP BY pos.doc_id ORDER BY pos.doc_id""".stripMargin
+
+  /** q_t13: compression-ratio quality signal — the Gopher-family filter
+    * (deflate the UTF-8 text, compare sizes): highly repetitive or
+    * boilerplate documents compress far below ~1.0 and get culled; random
+    * or natural text sits higher. A tight per-partition JVM loop over one
+    * shared Deflater (level 6, reset between docs — allocation-free after
+    * the first doc); pure projection shape, shuffle-free, scan-speed at
+    * any scale.
+    *
+    * Rows-only by declared design: the deflate byte count is
+    * deterministic for a given zlib, but not an ANSI-SQL-expressible
+    * value, so there is no DuckDB oracle; Round6bOpsSpec pins the
+    * monotonicity contract (repetitive ≪ shuffled-unique) on planted
+    * docs plus re-evaluation determinism. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = docs(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var gz = 0L
+          while (!deflater.finished()) gz += deflater.deflate(buf)
+          (id, raw.length.toLong, gz,
+            if (raw.length == 0) 0.0 else gz.toDouble / raw.length)
+        }
+      }
+    out.toDF("doc_id", "n_bytes", "n_deflate", "ratio")
+      .orderBy(col("doc_id"))
+  }
 }

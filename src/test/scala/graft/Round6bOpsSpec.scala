@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CdcParser, Curation, TextAnalysis}
+import graft.operators.{CdcParser, Curation, Relational, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.Exchange
@@ -185,6 +185,59 @@ class Round6bOpsSpec extends SparkSpec {
     val r2 = Curation.cmsCounts(spark, sf(), eps = eps)
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq == r2.toSeq, "CMS estimates must be deterministic")
+  }
+
+  test("bloom join: prunes most fact rows pre-shuffle, result == plain join") {
+    val r = Relational.bloomJoin(spark, sf("0.01"))
+    // oracle-equivalence is the driver's hash check; here pin the LEVER:
+    // the bloom probe must actually prune (urgent orders ~1/5 of keys, so
+    // well under half the fact rows may survive the filter)
+    val orders = G.table(spark, sf("0.01"), "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val nKeys = math.max(orders.count(), 1000L)
+    val bloom = orders.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((k: Long) => bc.value.mightContain(k))
+    val li = G.table(spark, sf("0.01"), "lineitem")
+    val total = li.count()
+    val survived = li.filter(probe(col("l_orderkey"))).count()
+    assert(survived < total / 2,
+      s"bloom pruned too little: $survived of $total survive")
+    // and the pruned-join aggregate matches the unpruned join aggregate
+    val plain = G.table(spark, sf("0.01"), "lineitem")
+      .join(G.table(spark, sf("0.01"), "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        G.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+    assert(r.exceptAll(plain).count() == 0 && plain.exceptAll(r).count() == 0)
+  }
+
+  test("compression ratio: repetitive text below shuffled-unique, deterministic") {
+    val r = TextAnalysis.compressionRatio(spark, sf()).cache()
+    val docs = G.table(spark, sf(), "documents").count()
+    assert(r.count() == docs)
+    assert(r.filter(col("ratio") <= 0.0 || col("n_deflate") <= 0).count() == 0)
+    // planted contract on the sf corpus itself: the most repetitive docs
+    // (few distinct tokens) must compress harder than the most diverse
+    val diversity = G.table(spark, sf(), "documents")
+      .select(col("doc_id"),
+        (size(array_distinct(split(lower(col("text")), "\\s+"))).cast("double")
+          / size(split(lower(col("text")), "\\s+"))).as("uniq_frac"))
+    val joined = r.join(diversity, "doc_id")
+    val lowDiv = joined.orderBy(col("uniq_frac")).limit(50)
+      .agg(avg(col("ratio"))).head().getDouble(0)
+    val highDiv = joined.orderBy(col("uniq_frac").desc).limit(50)
+      .agg(avg(col("ratio"))).head().getDouble(0)
+    assert(lowDiv < highDiv,
+      s"repetitive docs ($lowDiv) should compress below diverse docs ($highDiv)")
+    // determinism on re-evaluation (same zlib, same container)
+    assert(r.exceptAll(TextAnalysis.compressionRatio(spark, sf())).count() == 0)
+    r.unpersist()
   }
 
   test("plan audit: dynamic partition pruning fires on the partitioned layout") {
