@@ -183,7 +183,10 @@ object SparkEntry {
     "q_r22_bloom_join" -> ((s, d) => Relational.bloomJoin(s, d)),
     // deflate compression-ratio quality gate (Gopher-style); rows-only —
     // deflate sizes aren't SQL-expressible, monotonicity spec-pinned
-    "q_t13_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d))
+    "q_t13_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
+    // BPE vocabulary induction: 8 merge rounds over the word census,
+    // whole iterative training hash-checked via unrolled-CTE oracle
+    "q_t14_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,6 +294,7 @@ object SparkEntry {
     "q_stream_scd2" -> graft.streaming.StreamingJobs.scd2ReplaySql,
     "q_t12_lm_score" -> TextAnalysis.lmScoreSql,
     "q_r21_sliding_window" -> Relational.slidingTimeWindowSql,
-    "q_r22_bloom_join" -> Relational.bloomJoinSql
+    "q_r22_bloom_join" -> Relational.bloomJoinSql,
+    "q_t14_bpe_train" -> TextAnalysis.bpeTrainSql()
   )
 }

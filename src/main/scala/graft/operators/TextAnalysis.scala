@@ -718,6 +718,114 @@ object TextAnalysis {
     * value, so there is no DuckDB oracle; Round6bOpsSpec pins the
     * monotonicity contract (repetitive ≪ shuffled-unique) on planted
     * docs plus re-evaluation determinism. */
+  /** q_t14: BPE vocabulary induction (Sennrich et al. 2016) at corpus
+    * scale — the tokenizer-training step of a training-data pipeline, run
+    * distributed:
+    *
+    *  - the corpus collapses to its WORD CENSUS first (groupBy token →
+    *    count): every subsequent round works on O(vocab) rows weighted by
+    *    frequency, never the corpus again — the standard trick that makes
+    *    BPE training tractable (pair statistics are identical);
+    *  - each round: explode adjacent symbol pairs, weighted hash-agg, take
+    *    the top pair (count DESC, then lexicographic — the deterministic
+    *    tie-break), apply the merge to every word, repeat. Per round: one
+    *    shuffle of O(distinct pairs), one 1-row collect (the merge RULE —
+    *    the model parameter, not data);
+    *  - words are spelled as space-delimited symbol strings with sentinel
+    *    spaces (` h i </w> `). A merge is applied as TWO passes of literal
+    *    `replace(' l r ', ' lr ')`: one pass misses every second
+    *    occurrence of back-to-back pairs (the shared delimiter space is
+    *    consumed), and a second pass provably catches exactly the
+    *    remainder — equivalent to BPE's simultaneous left-to-right
+    *    non-overlapping merge. Overlapping self-pairs (`a a a`) merge the
+    *    leftmost pair only, matching the reference algorithm. Pinned on
+    *    planted worst cases in Round6bOpsSpec.
+    *
+    * The DuckDB oracle unrolls the SAME rounds (generated from `rounds`
+    * like the k-means/PQ oracles), selecting each round's top pair with a
+    * scalar CTE instead of a collect — the entire iterative training is
+    * hash-checked end to end. */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(lit(" "),
+        concat_ws(" ", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(" </w> ")).as("spelled"))
+    var cur = words.cache()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    try {
+      for (r <- 1 to rounds) {
+        val top = cur
+          .select(col("cnt"),
+            expr("filter(split(spelled, ' '), x -> x != '')").as("syms"))
+          .select(col("cnt"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS l,
+              |              element_at(syms, i + 1) AS r))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pcnt"))
+          .orderBy(col("pcnt").desc, col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r.toLong, s"$l $rr", c))
+        val pat = lit(s" $l $rr "); val rep = lit(s" $l$rr ")
+        val next = cur.select(col("cnt"),
+          replace(replace(col("spelled"), pat, rep), pat, rep).as("spelled"))
+          .cache()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    } finally cur.unpersist()
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "cnt").orderBy(col("round"))
+  }
+
+  /** Unrolled-rounds DuckDB replay of [[bpeTrain]], generated from
+    * `rounds` (the y6/y7 oracle pattern). */
+  def bpeTrainSql(rounds: Int = 8): String = {
+    require(rounds > 0)
+    def round(r: Int): String =
+      s"""g$r AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r,
+         |    CAST(SUM(cnt) AS BIGINT) AS pcnt
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT cnt,
+         |                list_filter(string_split(spelled, ' '),
+         |                            x -> x <> '') AS syms
+         |              FROM s${r - 1}))
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT l, r, pcnt FROM g$r
+         |        ORDER BY pcnt DESC, l, r LIMIT 1),
+         |s$r AS (
+         |  SELECT cnt,
+         |    replace(replace(spelled,
+         |        ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+         |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+         |      AS spelled
+         |  FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
+    val selects = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, l || ' ' || r AS pair, pcnt AS cnt FROM m$r")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH w AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (
+       |  SELECT cnt, ' ' || array_to_string(
+       |      list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+       |    || ' </w> ' AS spelled
+       |  FROM w),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = docs(spark, dir)

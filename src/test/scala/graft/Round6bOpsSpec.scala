@@ -240,6 +240,46 @@ class Round6bOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("bpe: double-replace merge == simultaneous left-to-right BPE merge") {
+    import spark.implicits._
+    // the planted worst cases for the shared-delimiter-space hazard:
+    // back-to-back occurrences (one replace pass misses every second one)
+    // and overlapping self-pairs (only the leftmost may merge)
+    val cases = Seq(
+      (" a b a b a b </w> ", " a b ", " ab ", " ab ab ab </w> "),
+      (" a b a b a b a b </w> ", " a b ", " ab ", " ab ab ab ab </w> "),
+      (" a a a </w> ", " a a ", " aa ", " aa a </w> "),
+      (" b a b a b </w> ", " b a ", " ba ", " ba ba b </w> "),
+      (" a b c a b </w> ", " a b ", " ab ", " ab c ab </w> "),
+      (" x y </w> ", " a b ", " ab ", " x y </w> "))
+    val df = cases.toDF("spelled", "pat", "rep", "expected")
+      .withColumn("got",
+        replace(replace(col("spelled"), col("pat"), col("rep")),
+          col("pat"), col("rep")))
+    val bad = df.filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.map(r =>
+      s"${r.getString(0)} -> ${r.getString(4)} (want ${r.getString(3)})")
+      .mkString("; "))
+  }
+
+  test("bpe: merge counts non-increasing, pairs distinct, census-consistent") {
+    val r = TextAnalysis.bpeTrain(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.length == 8 && r.map(_._1).toSeq == (1L to 8L))
+    // a merge can only create pairs at most as frequent as the pair it
+    // consumed, and existing pairs only lose occurrences — counts are
+    // monotonically non-increasing across rounds
+    val counts = r.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"merge counts increased: ${counts.mkString(",")}")
+    assert(r.map(_._2).distinct.length == 8, "merge rules must be distinct")
+    // round 1's top pair count can never exceed the corpus bigram total
+    val total = G.table(spark, sf(), "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(counts.head <= total * 2, "pair count beyond symbol budget")
+  }
+
   test("plan audit: dynamic partition pruning fires on the partitioned layout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val ev = G.events(spark, sf("0.01"))
