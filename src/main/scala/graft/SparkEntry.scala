@@ -186,7 +186,12 @@ object SparkEntry {
     "q_t13_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
     // BPE vocabulary induction: 8 merge rounds over the word census,
     // whole iterative training hash-checked via unrolled-CTE oracle
-    "q_t14_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d))
+    "q_t14_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    // BPE inference: tokenize the corpus with the trained merges
+    // (broadcast vocab join); per-doc subword counts + fertility
+    "q_t15_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    // corpus drift gate: TVD + chi-square between corpus halves
+    "q_v3_drift" -> ((s, d) => Validation.drift(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,6 +300,8 @@ object SparkEntry {
     "q_t12_lm_score" -> TextAnalysis.lmScoreSql,
     "q_r21_sliding_window" -> Relational.slidingTimeWindowSql,
     "q_r22_bloom_join" -> Relational.bloomJoinSql,
-    "q_t14_bpe_train" -> TextAnalysis.bpeTrainSql()
+    "q_t14_bpe_train" -> TextAnalysis.bpeTrainSql(),
+    "q_t15_bpe_apply" -> TextAnalysis.bpeApplySql(),
+    "q_v3_drift" -> Validation.driftSql
   )
 }

@@ -746,48 +746,114 @@ object TextAnalysis {
     * scalar CTE instead of a collect — the entire iterative training is
     * hash-checked end to end. */
   def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (merges, fin) = bpeRounds(spark, dir, rounds)
+    fin.unpersist()
+    import spark.implicits._
+    merges.toDF("round", "pair", "cnt").orderBy(col("round"))
+  }
+
+  /** The shared training loop behind [[bpeTrain]] (the merge table) and
+    * [[bpeApply]] (the final word spellings). Returns the CACHED final
+    * census — caller unpersists. */
+  private def bpeRounds(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, Long)], DataFrame) = {
     val words = docs(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), concat(lit(" "),
+      .select(col("w"), col("cnt"), concat(lit(" "),
         concat_ws(" ", expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
         lit(" </w> ")).as("spelled"))
     var cur = words.cache()
     val merges = Seq.newBuilder[(Long, String, Long)]
-    try {
-      for (r <- 1 to rounds) {
-        val top = cur
-          .select(col("cnt"),
-            expr("filter(split(spelled, ' '), x -> x != '')").as("syms"))
-          .select(col("cnt"), explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  i -> struct(element_at(syms, i) AS l,
-              |              element_at(syms, i + 1) AS r))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("pcnt"))
-          .orderBy(col("pcnt").desc, col("l"), col("r"))
-          .limit(1).collect()(0)
-        val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r.toLong, s"$l $rr", c))
-        val pat = lit(s" $l $rr "); val rep = lit(s" $l$rr ")
-        val next = cur.select(col("cnt"),
-          replace(replace(col("spelled"), pat, rep), pat, rep).as("spelled"))
-          .cache()
-        next.count()
-        cur.unpersist()
-        cur = next
-      }
-    } finally cur.unpersist()
-    import spark.implicits._
-    merges.result().toDF("round", "pair", "cnt").orderBy(col("round"))
+    for (r <- 1 to rounds) {
+      val top = cur
+        .select(col("cnt"),
+          expr("filter(split(spelled, ' '), x -> x != '')").as("syms"))
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, s"$l $rr", c))
+      val pat = lit(s" $l $rr "); val rep = lit(s" $l$rr ")
+      val next = cur.select(col("w"), col("cnt"),
+        replace(replace(col("spelled"), pat, rep), pat, rep).as("spelled"))
+        .cache()
+      next.count()
+      cur.unpersist()
+      cur = next
+    }
+    (merges.result(), cur)
   }
+
+  /** q_t15: BPE tokenization — the inference half of [[bpeTrain]]: apply
+    * the trained merges to the corpus and report per-document subword
+    * counts and fertility (symbols per whitespace token). The corpus join
+    * is against the FINAL WORD CENSUS spellings (vocabulary-sized,
+    * broadcast), so tokenizing N documents costs one corpus pass plus a
+    * broadcast hash join — the same shape a production tokenizer service
+    * uses (vocab table resident, stream the text through). Hash-checked
+    * via the same unrolled-rounds oracle extended with the apply join. */
+  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (_, fin) = bpeRounds(spark, dir, rounds)
+    try {
+      val vocabSyms = fin.select(col("w"),
+        expr("size(filter(split(spelled, ' '), x -> x != ''))").as("nsym"))
+      docs(spark, dir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(vocabSyms), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("nsym")).as("n_symbols"))
+        .withColumn("fertility",
+          col("n_symbols").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    } finally { fin.unpersist(); () }
+  }
+
+  /** [[bpeApply]]'s oracle: the train rounds plus the corpus join.
+    * Concatenation, not interpolation — see [[bpeTrainSql]]. */
+  def bpeApplySql(rounds: Int = 8): String =
+    bpeRoundsWith(rounds) + "," +
+    s"""
+       |vs AS (SELECT w,
+       |         len(list_filter(string_split(spelled, ' '), x -> x <> ''))
+       |           AS nsym
+       |       FROM s$rounds),
+       |tok AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(SUM(nsym) AS BIGINT) AS n_symbols,
+       |  CAST(CAST(SUM(nsym) AS BIGINT) AS DOUBLE) / count(*) AS fertility
+       |FROM tok JOIN vs USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Unrolled-rounds DuckDB replay of [[bpeTrain]], generated from
     * `rounds` (the y6/y7 oracle pattern). */
   def bpeTrainSql(rounds: Int = 8): String = {
+    val selects = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, l || ' ' || r AS pair, pcnt AS cnt FROM m$r")
+      .mkString("\nUNION ALL\n")
+    // plain concatenation: re-applying stripMargin to the interpolated
+    // rounds prefix would eat the leading pipe of a wrapped `||` operator
+    bpeRoundsWith(rounds) + "\n" + selects + "\nORDER BY round"
+  }
+
+  /** Shared WITH-prefix of the BPE oracles: census, initial spelling, and
+    * `rounds` unrolled (top-pair, merge-apply) steps. */
+  private def bpeRoundsWith(rounds: Int): String = {
     require(rounds > 0)
     def round(r: Int): String =
       s"""g$r AS (
@@ -802,28 +868,23 @@ object TextAnalysis {
          |m$r AS (SELECT l, r, pcnt FROM g$r
          |        ORDER BY pcnt DESC, l, r LIMIT 1),
          |s$r AS (
-         |  SELECT cnt,
+         |  SELECT w, cnt,
          |    replace(replace(spelled,
          |        ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
          |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
          |      AS spelled
          |  FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
-    val selects = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, l || ' ' || r AS pair, pcnt AS cnt FROM m$r")
-      .mkString("\n|UNION ALL\n|")
     s"""WITH w AS (
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
        |    FROM documents)
        |  WHERE len(w) > 0 GROUP BY w),
        |s0 AS (
-       |  SELECT cnt, ' ' || array_to_string(
+       |  SELECT w, cnt, ' ' || array_to_string(
        |      list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
        |    || ' </w> ' AS spelled
        |  FROM w),
-       |${(1 to rounds).map(round).mkString(",\n")}
-       |$selects
-       |ORDER BY round""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
   def compressionRatio(spark: SparkSession, dir: String): DataFrame = {

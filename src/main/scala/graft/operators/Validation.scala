@@ -155,4 +155,67 @@ object Validation {
       |  UNION ALL SELECT 'user_id_nonneg', v_user_id_nonneg
       |  UNION ALL SELECT 'value_nonneg', v_value_nonneg) u
       |ORDER BY rule""".stripMargin
+
+  /** q_v3: distribution-drift gate — compare the token distribution of
+    * two corpus halves (`doc_id % 2`, standing in for "yesterday's shard
+    * vs today's") with total-variation distance and the chi-square
+    * statistic. The alerting pattern behind every data-quality pipeline:
+    * a new ingest whose language/source mix drifted past a threshold gets
+    * quarantined before it trains.
+    *
+    * Shape: one explode → ONE hash-agg keyed by token producing both
+    * halves' counts as conditional sums (no join of two aggregates — the
+    * full-outer-join formulation doubles the shuffle for nothing), then a
+    * scalar roll-up of the per-token terms. log-free distances (TVD, χ²)
+    * hash-match DuckDB through the DECIMAL(38,6) contract; a KL/PSI
+    * variant would need `ln` (the q_t10/q_t12 bit-reproducibility issue)
+    * without changing what the gate detects. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = G.table(spark, dir, "documents")
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val perTok = tok.groupBy(col("tok")).agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = perTok.agg(
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      count(lit(1)).as("vocab_union"))
+    perTok.crossJoin(broadcast(totals))
+      .withColumn("p", col("c0").cast("double") / col("n0"))
+      .withColumn("q", col("c1").cast("double") / col("n1"))
+      .agg(
+        first(col("vocab_union")).as("vocab_union"),
+        first(col("n0")).as("n_tokens_a"),
+        first(col("n1")).as("n_tokens_b"),
+        (G.dsum(abs(col("p") - col("q")), 12) / 2.0).as("tvd"),
+        G.dsum((col("p") - col("q")) * (col("p") - col("q"))
+          / (col("p") + col("q")), 12).as("chi2"))
+  }
+
+  val driftSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id % 2 AS half, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0),
+      |pt AS (
+      |  SELECT tok,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM tok GROUP BY tok),
+      |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+      |             CAST(SUM(c1) AS BIGINT) AS n1,
+      |             count(*) AS vocab_union FROM pt)
+      |SELECT any_value(vocab_union) AS vocab_union,
+      |  any_value(n0) AS n_tokens_a,
+      |  any_value(n1) AS n_tokens_b,
+      |  CAST(SUM(CAST(abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+      |    AS DECIMAL(38,12))) AS DOUBLE) / 2.0 AS tvd,
+      |  CAST(SUM(CAST(
+      |      (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+      |    * (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+      |    / (CAST(c0 AS DOUBLE) / n0 + CAST(c1 AS DOUBLE) / n1)
+      |    AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+      |FROM pt CROSS JOIN t""".stripMargin
 }

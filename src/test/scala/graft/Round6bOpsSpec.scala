@@ -280,6 +280,43 @@ class Round6bOpsSpec extends SparkSpec {
     assert(counts.head <= total * 2, "pair count beyond symbol budget")
   }
 
+  test("bpe apply: every doc tokenized, merges strictly reduce symbol count") {
+    val r = TextAnalysis.bpeApply(spark, sf()).cache()
+    val docs = G.table(spark, sf(), "documents")
+      .filter(size(split(lower(col("text")), "\\s+")) >= 1).count()
+    assert(r.count() == docs)
+    // a word is at least one symbol: n_symbols >= n_tokens, fertility >= 1
+    assert(r.filter(col("n_symbols") < col("n_tokens")).count() == 0)
+    assert(r.filter(col("fertility") < 1.0).count() == 0)
+    // 8 merges must beat the char-level baseline (chars + </w> per word)
+    val baseline = G.table(spark, sf(), "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")) + 1), count(lit(1)))
+      .head()
+    val (baseSyms, nTok) = (baseline.getLong(0), baseline.getLong(1))
+    val gotSyms = r.agg(sum(col("n_symbols"))).head().getLong(0)
+    assert(gotSyms < baseSyms,
+      s"8 merges should compress below char baseline: $gotSyms vs $baseSyms")
+    assert(r.agg(sum(col("n_tokens"))).head().getLong(0) == nTok)
+    r.unpersist()
+  }
+
+  test("drift gate: distances in range; identical halves → zero drift") {
+    val r = graft.operators.Validation.drift(spark, sf()).head()
+    val (tvd, chi2) = (r.getAs[Double]("tvd"), r.getAs[Double]("chi2"))
+    assert(tvd >= 0.0 && tvd <= 1.0, s"tvd out of range: $tvd")
+    assert(chi2 >= 0.0 && chi2 <= 2.0, s"chi2 out of range: $chi2")
+    // planted null case: comparing a corpus half against itself via the
+    // same machinery must report exactly zero drift
+    import spark.implicits._
+    val same = Seq((0L, "a b c a"), (1L, "a b c a")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    same.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val z = graft.operators.Validation.drift(spark, tmp).head()
+    assert(z.getAs[Double]("tvd") == 0.0 && z.getAs[Double]("chi2") == 0.0)
+  }
+
   test("plan audit: dynamic partition pruning fires on the partitioned layout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val ev = G.events(spark, sf("0.01"))
