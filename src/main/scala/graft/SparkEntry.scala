@@ -191,7 +191,14 @@ object SparkEntry {
     // (broadcast vocab join); per-doc subword counts + fertility
     "q_t15_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     // corpus drift gate: TVD + chi-square between corpus halves
-    "q_v3_drift" -> ((s, d) => Validation.drift(s, d))
+    "q_v3_drift" -> ((s, d) => Validation.drift(s, d)),
+    // event funnel: cascading min-aggregates, O(users) joins
+    "q_a14_funnel" -> ((s, d) => DashboardQueries.funnel(s, d)),
+    // ANN recall eval: IVF top-3 vs brute-force top-5 ground truth
+    "q_y10_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // SpaceSaving summary maintained across micro-batches; rows-only
+    // (merge-order-dependent estimates), bounds spec-pinned vs exact
+    "q_stream_hh" -> ((s, d) => graft.streaming.StreamingJobs.heavyHitterReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,6 +309,8 @@ object SparkEntry {
     "q_r22_bloom_join" -> Relational.bloomJoinSql,
     "q_t14_bpe_train" -> TextAnalysis.bpeTrainSql(),
     "q_t15_bpe_apply" -> TextAnalysis.bpeApplySql(),
-    "q_v3_drift" -> Validation.driftSql
+    "q_v3_drift" -> Validation.driftSql,
+    "q_a14_funnel" -> DashboardQueries.funnelSql,
+    "q_y10_ann_recall" -> Similarity.annRecallSql
   )
 }

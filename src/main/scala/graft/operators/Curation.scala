@@ -31,6 +31,10 @@ object Curation {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     G.table(spark, dir, "documents")
 
+  /** (doc_id, text) — replay staging for the streaming heavy hitters. */
+  private[graft] def docTexts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("text"))
+
   /** Deterministic ~7.8% corpus sample: keep documents whose md5(text) starts
     * below 0x14 (20/256 two-hex-digit buckets). Content-addressed sampling is
     * stable under repartitioning, re-runs, and engine swaps, unlike

@@ -20,6 +20,54 @@ import org.apache.spark.sql.functions._
   */
 object DashboardQueries {
 
+  /** q_a14: event funnel — signup → first later view → first later
+    * purchase, per user. Each step is a cascading MIN-aggregate: the step
+    * table is pre-aggregated to O(users) BEFORE the next keyed join, so
+    * every join and exchange carries one row per surviving user, never
+    * events (the window-function formulation would sort whole user
+    * histories instead; the reference dashboard family A4–A8 is where
+    * this analytics shape lives). Left joins keep drop-off visible;
+    * `steps` counts how far each user got. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.eventsRaw(spark, dir).select(col("user_id"),
+      col("event_type"), expr("ts_ns DIV 1000000").as("ts_ms"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts_ms") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_ms") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"),
+        col("t_purchase"),
+        (lit(1L) + when(col("t_view").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("steps"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s1 AS (SELECT user_id, min(ts_ms) AS t_signup FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(ts_ms) AS t_view
+      |       FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts_ms > t_signup
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(ts_ms) AS t_purchase
+      |       FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_ms > t_view
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id, t_signup, t_view, t_purchase,
+      |  CAST(1 + CASE WHEN t_view IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS steps
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** A3: per-minute latency rollup — the AggregatingMergeTree materialized
     * view (`clickhouse/init.sql:81-94`); avg/max/min/count over the latency
     * analogue (props.k), grouped by minute. Spark's partial+final hash agg

@@ -683,6 +683,59 @@ object Similarity {
                    / CAST(size(v) AS DOUBLE)))""").as("rmse"))
       .orderBy(col("vec_id"))
 
+  /** q_y10: ANN quality evaluation — recall of the IVF cell-pruned search
+    * (q_y2, top-3) against the brute-force ground truth (q_y1, top-5), per
+    * query. The eval harness every approximate index needs before it
+    * replaces the exact scan in production: recall is a QUERY, so it runs
+    * on every reindex as part of the pipeline, not as offline tooling.
+    * Shape: both inputs are already O(queries × k); the left join and
+    * per-query aggregate are driver-free and trivially parallel. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val ivf = knnIvf(spark, dir).select(col("query_id"), col("vec_id"))
+    ivf.join(bf, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("k_returned"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+      |bfs AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |bf AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM bfs) WHERE rank <= 5),
+      |ivfs AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM e JOIN q ON e.label = q.qlabel
+      |  WHERE e.vec_id <> q.query_id),
+      |ivf AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM ivfs) WHERE rank <= 3)
+      |SELECT i.query_id, count(*) AS k_returned,
+      |  CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hits,
+      |  CAST(CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS DOUBLE) / count(*) AS recall
+      |FROM ivf i LEFT JOIN bf b
+      |  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+      |GROUP BY i.query_id ORDER BY i.query_id""".stripMargin
+
   val quantizeInt8Sql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |m AS (

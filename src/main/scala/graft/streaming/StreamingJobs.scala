@@ -767,6 +767,81 @@ object StreamingJobs {
 
   val scd2ReplaySql: String = graft.operators.CdcParser.scd2HistorySql
 
+  /** Streaming heavy hitters (q_stream_hh): the SpaceSaving summary
+    * ([[graft.functions.SpaceSaving]]) maintained ACROSS micro-batches —
+    * the continuously-updated "top n-grams this hour" panel. Per batch the
+    * mergeable Aggregator produces one bounded partial (Spark's
+    * partial→final tree within the batch); foreachBatch then merges it
+    * into the persisted summary with the SAME floor-compensated merge the
+    * Aggregator uses between partitions, java-serialized per batch id
+    * (idempotent under foreachBatch retry). State is O(capacity) forever,
+    * regardless of stream length — the property that makes the sketch the
+    * streaming answer while exact counting grows without bound.
+    *
+    * Rows-only by design (like batch q_c13, merge order shapes the
+    * estimates); the SpaceSaving bound contract over the WHOLE stream is
+    * spec-pinned against exact corpus counts in Round6bOpsSpec. */
+  def heavyHitterReplay(spark: SparkSession, dir: String,
+      capacity: Int = 256, k: Int = 50): DataFrame = {
+    import graft.functions.SpaceSaving
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hh")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    new java.io.File(st).mkdirs()
+    graft.operators.Curation.docTexts(spark, dir)
+      .repartitionByRange(4, col("doc_id")).select("text")
+      .write.mode("overwrite").text(in)
+    val files = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 1000L); ()
+    }
+    val agg = new SpaceSaving.Agg(capacity)
+    def stateFile(bid: Long) = new java.io.File(st, s"sk_$bid.bin")
+    def readState(bid: Long): SpaceSaving.State =
+      if (bid < 0 || !stateFile(bid).exists()) new SpaceSaving.State(capacity)
+      else {
+        val ois = new java.io.ObjectInputStream(
+          new java.io.FileInputStream(stateFile(bid)))
+        try ois.readObject().asInstanceOf[SpaceSaving.State] finally ois.close()
+      }
+    val ssUdf = udaf(agg)
+    val stream = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", 1).text(in)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val hh = batch
+        .withColumn("toks", split(lower(col("value")), "\\s+"))
+        .withColumn("bigram", explode(expr(
+          """CASE WHEN size(toks) >= 2
+            |  THEN transform(sequence(1, size(toks) - 1),
+            |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+            |  ELSE array() END""".stripMargin)))
+        .agg(ssUdf(col("bigram")).as("hh"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      val bState = new SpaceSaving.State(capacity)
+      hh.foreach { r =>
+        bState.items.put(r.getString(0),
+          new SpaceSaving.Entry(r.getLong(1), r.getLong(2)))
+      }
+      val merged = agg.merge(readState(bid - 1), bState)
+      val oos = new java.io.ObjectOutputStream(
+        new java.io.FileOutputStream(stateFile(bid)))
+      try oos.writeObject(merged) finally oos.close()
+      ()
+    }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val last = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("sk_"))
+      .map(_.getName.stripPrefix("sk_").stripSuffix(".bin").toLong).max
+    import spark.implicits._
+    agg.finish(readState(last)).take(k)
+      .map(h => (h.bigram, h.cnt_est, h.err))
+      .toDF("bigram", "cnt_est", "err")
+  }
+
   private def windowAggBatch(batch: DataFrame): DataFrame =
     TradeAggregates.windowAggOn(
       batch.select(

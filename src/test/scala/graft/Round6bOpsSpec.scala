@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CdcParser, Curation, Relational, TextAnalysis}
+import graft.operators.{CdcParser, Curation, DashboardQueries, Relational, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.Exchange
@@ -86,6 +86,63 @@ class Round6bOpsSpec extends SparkSpec {
     val reported = sketch.map(_._1).toSet
     val heavy = exact.filter(_._2 > n / 256).keySet
     assert(heavy.subsetOf(reported), s"missed: ${heavy -- reported}")
+  }
+
+  test("streaming heavy hitters: whole-stream bounds hold vs exact counts") {
+    val sketch = graft.streaming.StreamingJobs
+      .heavyHitterReplay(spark, sf(), capacity = 256, k = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = G.table(spark, sf(), "documents")
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("bigram", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  ELSE array() END""".stripMargin)))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (k, est, err) =>
+      val t = exact.getOrElse(k, 0L)
+      assert(t <= est && est - err <= t,
+        s"$k: true $t outside [${est - err}, $est] after streaming merges")
+    }
+    val heavy = exact.filter(_._2 > n / 256).keySet
+    val reported = sketch.map(_._1).toSet
+    assert(heavy.subsetOf(reported), s"missed: ${heavy -- reported}")
+  }
+
+  test("funnel: step times strictly ordered, steps law, signup grounding") {
+    val r = DashboardQueries.funnel(spark, sf("0.01")).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("t_view").isNotNull &&
+      col("t_view") <= col("t_signup")).count() == 0)
+    assert(r.filter(col("t_purchase").isNotNull &&
+      col("t_purchase") <= col("t_view")).count() == 0)
+    // a purchase step requires a view step
+    assert(r.filter(col("t_purchase").isNotNull &&
+      col("t_view").isNull).count() == 0)
+    assert(r.filter(col("steps") =!= (lit(1L)
+      + when(col("t_view").isNotNull, 1L).otherwise(0L)
+      + when(col("t_purchase").isNotNull, 1L).otherwise(0L))).count() == 0)
+    // exactly the signup users enter the funnel
+    val signups = G.eventsRaw(spark, sf("0.01"))
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(r.count() == signups)
+    r.unpersist()
+  }
+
+  test("ann recall: per-query recall in [0,1] over exactly k=3 returned") {
+    val r = graft.operators.Similarity.annRecall(spark, sf()).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getLong(1) == 3L, s"expected 3 returned: $row")
+      val rec = row.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $row")
+      assert(row.getLong(2) <= 3L)
+    }
   }
 
   // ------------------------------------------------------------------- SCD2
