@@ -198,7 +198,10 @@ object SparkEntry {
     "q_y10_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // SpaceSaving summary maintained across micro-batches; rows-only
     // (merge-order-dependent estimates), bounds spec-pinned vs exact
-    "q_stream_hh" -> ((s, d) => graft.streaming.StreamingJobs.heavyHitterReplay(s, d))
+    "q_stream_hh" -> ((s, d) => graft.streaming.StreamingJobs.heavyHitterReplay(s, d)),
+    // PageRank over the near-dup graph: iterative graph analytics, three
+    // damped rounds, decimal-exact contributions (unrolled-CTE oracle)
+    "q_c15_pagerank" -> ((s, d) => Dedup.pageRank(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,6 +314,7 @@ object SparkEntry {
     "q_t15_bpe_apply" -> TextAnalysis.bpeApplySql(),
     "q_v3_drift" -> Validation.driftSql,
     "q_a14_funnel" -> DashboardQueries.funnelSql,
-    "q_y10_ann_recall" -> Similarity.annRecallSql
+    "q_y10_ann_recall" -> Similarity.annRecallSql,
+    "q_c15_pagerank" -> Dedup.pageRankSql
   )
 }

@@ -764,4 +764,69 @@ object Dedup {
       |       ELSE 0.0 END AS dup_frac
       |FROM doc_stats d LEFT JOIN dup ON d.doc_id = dup.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q_c15: PageRank over the near-dup graph — iterative GRAPH ANALYTICS
+    * next to [[dedupClusters]]' connected components: rank documents by
+    * centrality in the q_x3c similarity graph (a high-rank doc is the
+    * "canonical" copy its near-dup cluster orbits; curation keeps it and
+    * drops satellites).
+    *
+    * Fixed `iters` damped rounds (d = 0.85), each ONE keyed join
+    * (contributions along edges) + ONE keyed aggregate (sum at the
+    * destination) — the GraphX/Pregel shape in plain DataFrames, no
+    * driver-side anything except the loop counter. The undirected edge
+    * set means every node has out-degree ≥ 1: no dangling-mass term.
+    * Contribution sums go through DECIMAL(38,12) (G.dsum contract), so
+    * THREE chained float rounds stay bit-identical to DuckDB's unrolled
+    * replay — the same determinism trick as the k-means/PQ oracles.
+    * Edges are cached once and reused by all rounds. */
+  def pageRank(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val pairs = simhashNearDups(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    var ranks = deg.crossJoin(nn)
+      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(G.dsum(col("rank") / col("deg"), 12).as("contrib"))
+      ranks = deg.join(contrib, col("node") === col("dst")).crossJoin(nn)
+        .select(col("node"), col("deg"),
+          (lit(0.15) / col("n") + lit(0.85) * col("contrib")).as("rank"))
+    }
+    ranks.select(col("node").as("doc_id"), col("deg"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unrolled replay of [[pageRank]] (3 rounds), sharing the q_x3c pair
+    * SQL. */
+  val pageRankSql: String = {
+    def round(r: Int): String =
+      s"""c$r AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(CAST(p.rank / p.deg AS DECIMAL(38,12))) AS DOUBLE)
+         |      AS contrib
+         |  FROM e JOIN r${r - 1} p ON e.src = p.node GROUP BY e.dst),
+         |r$r AS (
+         |  SELECT d.node, d.deg,
+         |    CAST(0.15 AS DOUBLE) / nn.n + 0.85 * c.contrib AS rank
+         |  FROM deg d JOIN c$r c USING (node) CROSS JOIN nn)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${simhashNearDupsSql.replace("ORDER BY doc_a, doc_b", "")}) x3c),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) / nn.n AS rank
+       |       FROM deg CROSS JOIN nn),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node AS doc_id, deg, rank FROM r3 ORDER BY doc_id""".stripMargin
+  }
 }

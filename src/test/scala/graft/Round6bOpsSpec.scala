@@ -145,6 +145,21 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: probability mass conserved, ranks positive, floor respected") {
+    val r = graft.operators.Dedup.pageRank(spark, sf()).cache()
+    val n = r.count()
+    assert(n > 0)
+    // no dangling nodes (undirected edges) → Σ rank is invariant at 1
+    val total = r.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"mass not conserved: $total")
+    // every rank at least the teleport floor 0.15/n
+    assert(r.filter(col("rank") < lit(0.15) / lit(n.toDouble) - 1e-12)
+      .count() == 0)
+    assert(r.filter(col("deg") < 1).count() == 0)
+    r.unpersist()
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------------------- SCD2
 
   test("scd2: current version set == snapshot apply; one current per key max") {
