@@ -201,7 +201,10 @@ object SparkEntry {
     "q_stream_hh" -> ((s, d) => graft.streaming.StreamingJobs.heavyHitterReplay(s, d)),
     // PageRank over the near-dup graph: iterative graph analytics, three
     // damped rounds, decimal-exact contributions (unrolled-CTE oracle)
-    "q_c15_pagerank" -> ((s, d) => Dedup.pageRank(s, d))
+    "q_c15_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+    // canonical doc per near-dup cluster: keep the best-quality member
+    // (x3c graph -> c10 components -> t2 quality, composed + hash-checked)
+    "q_c16_canonical" -> ((s, d) => Dedup.canonicalPerCluster(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -315,6 +318,7 @@ object SparkEntry {
     "q_v3_drift" -> Validation.driftSql,
     "q_a14_funnel" -> DashboardQueries.funnelSql,
     "q_y10_ann_recall" -> Similarity.annRecallSql,
-    "q_c15_pagerank" -> Dedup.pageRankSql
+    "q_c15_pagerank" -> Dedup.pageRankSql,
+    "q_c16_canonical" -> Dedup.canonicalPerClusterSql
   )
 }

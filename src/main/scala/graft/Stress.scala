@@ -353,6 +353,35 @@ object Stress {
           .orderBy(col("cnt").desc, col("k")).limit(50)
           .write.mode("overwrite").format("noop").save()
       },
+      // round 6: PageRank rounds on the same adversarial random graph as
+      // cluster_pairs (n/10 edges, avg degree 2) — per round ONE keyed
+      // join + ONE keyed agg, the Pregel shape; the decimal-exact sums
+      // are the oracle-parity cost, as with window_agg_decimal
+      time("pagerank_rounds") {
+        val nEdges = math.min(n / 10, 4000000L)
+        val pairs = spark.range(nEdges).select(
+            pmod(xxhash64(col("id")), lit(nEdges)).as("a"),
+            pmod(xxhash64(col("id") + 31L), lit(nEdges)).as("b"))
+          .filter(col("a") =!= col("b"))
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .cache()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg"))
+        val nn = broadcast(deg.agg(count(lit(1)).as("nN")))
+        var ranks = deg.crossJoin(nn)
+          .select(col("node"), col("deg"), (lit(1.0) / col("nN")).as("rank"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(ranks, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(G.dsum(col("rank") / col("deg"), 12).as("contrib"))
+          ranks = deg.join(contrib, col("node") === col("dst")).crossJoin(nn)
+            .select(col("node"), col("deg"),
+              (lit(0.15) / col("nN") + lit(0.85) * col("contrib")).as("rank"))
+        }
+        ranks.write.mode("overwrite").format("noop").save()
+        edges.unpersist()
+      },
       time("kmeans_argmin_window") {
         import org.apache.spark.sql.expressions.Window
         val nVecs = math.min(n, 500000L)

@@ -526,6 +526,17 @@ object Dedup {
     * graphs independently of the simhash candidate generation. */
   private[graft] def clustersFromPairs(
       pairsDf: org.apache.spark.sql.Dataset[(Long, Long)],
+      maxIter: Int = 20): DataFrame =
+    memberLabels(pairsDf, maxIter)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+      .orderBy(col("cluster_id"))
+
+  /** The per-node labels behind [[clustersFromPairs]] — also the
+    * membership table [[canonicalPerCluster]] selects from. Returned
+    * localCheckpoint-ed: the loop's RDD caches are already freed. */
+  private[graft] def memberLabels(
+      pairsDf: org.apache.spark.sql.Dataset[(Long, Long)],
       maxIter: Int = 20): DataFrame = {
     val spark = pairsDf.sparkSession
     import spark.implicits._
@@ -587,9 +598,6 @@ object Dedup {
       it += 1
     }
     val out = lab.toDF("id", "label")
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
-      .orderBy(col("cluster_id"))
       // pin the result: the RDD caches below are freed on return, and the
       // lazily-evaluated plan must not recompute the iteration
       .localCheckpoint()
@@ -598,7 +606,10 @@ object Dedup {
     out
   }
 
-  val dedupClustersSql: String =
+  /** Shared WITH-prefix of the cluster-family oracles: the recursive
+    * min-label fixpoint over the simhash candidate graph, ending at
+    * `lab(id, label)`. */
+  private val clusterLabWith: String =
     s"""WITH RECURSIVE sigs AS (
        |  SELECT doc_id, simhash30 FROM (${simhash30Sql.replace("ORDER BY doc_id", "")}) t),
        |pairs AS (
@@ -612,9 +623,57 @@ object Dedup {
        |  SELECT src AS id, src AS label FROM edges
        |  UNION
        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
-       |SELECT label AS cluster_id, count(*) AS n_docs, max(id) AS max_doc
-       |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin
+       |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClustersSql: String = clusterLabWith +
+    "\nSELECT label AS cluster_id, count(*) AS n_docs, max(id) AS max_doc" +
+    "\nFROM lab GROUP BY label ORDER BY cluster_id"
+
+  /** q_c16: canonical-document selection — the dedup ENDGAME policy. The
+    * cluster operator says which documents are near-duplicates; this one
+    * decides which single document each cluster KEEPS: the highest
+    * quality-score member (q_t2's scorer), doc_id breaking ties. One
+    * window over the membership table (already hash-clustered by label
+    * from the component loop's output), rank-1 filtered via
+    * WindowGroupLimit; quality joins in at O(members), never the corpus.
+    * Composes three verified operators (x3c graph → c10 components → t2
+    * quality) into the production decision, and the composition itself is
+    * hash-checked end to end. */
+  def canonicalPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = memberLabels(
+      simhashNearDups(spark, dir)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    members.join(quality, col("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cluster_id"), col("n_docs"),
+        col("doc_id").as("canonical_doc"),
+        col("quality_score").as("canonical_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val canonicalPerClusterSql: String = clusterLabWith + "," +
+    s"""
+       |q AS (SELECT doc_id, quality_score FROM (
+       |${TextAnalysis.qualityScoreSql.replace("ORDER BY doc_id", "")}) qq),
+       |j AS (SELECT l.label, l.id AS doc_id, q.quality_score
+       |      FROM lab l JOIN q ON l.id = q.doc_id),
+       |r AS (SELECT label, doc_id, quality_score,
+       |        row_number() OVER (PARTITION BY label
+       |          ORDER BY quality_score DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY label) AS n_docs
+       |      FROM j)
+       |SELECT label AS cluster_id, n_docs, doc_id AS canonical_doc,
+       |  quality_score AS canonical_quality
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** Substring-level exact dedup metric (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better"): per document, the fraction of its

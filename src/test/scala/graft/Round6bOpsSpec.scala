@@ -160,6 +160,25 @@ class Round6bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("canonical selection: consistent with c10 clusters, quality-maximal") {
+    val canon = graft.operators.Dedup.canonicalPerCluster(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val clusters = graft.operators.Dedup.dedupClusters(spark, sf("0.01"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.nonEmpty && canon.length == clusters.size)
+    canon.foreach { case (cid, n, _, _) =>
+      assert(clusters(cid) == n, s"cluster $cid size mismatch")
+    }
+    // the canonical doc's quality is the maximum of its cluster —
+    // re-derive from quality scores of all docs (clusters are small here)
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sf("0.01"))
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    canon.foreach { case (_, _, doc, q) =>
+      assert(math.abs(quality(doc) - q) < 1e-12)
+    }
+  }
+
   // ------------------------------------------------------------------- SCD2
 
   test("scd2: current version set == snapshot apply; one current per key max") {
