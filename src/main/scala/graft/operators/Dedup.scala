@@ -846,18 +846,21 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
-    var ranks = deg.crossJoin(nn)
-      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("rank"))
+      .select(col("src").as("node"), col("deg")).cache()
+    // N is a model scalar (like the BPE merge rule): one count job — its
+    // first action also materializes the edges/deg caches all rounds
+    // reuse — then a literal, instead of four broadcast-subquery jobs
+    val n = deg.count()
+    var ranks = deg
+      .select(col("node"), col("deg"), (lit(1.0) / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(G.dsum(col("rank") / col("deg"), 12).as("contrib"))
-      ranks = deg.join(contrib, col("node") === col("dst")).crossJoin(nn)
+      ranks = deg.join(contrib, col("node") === col("dst"))
         .select(col("node"), col("deg"),
-          (lit(0.15) / col("n") + lit(0.85) * col("contrib")).as("rank"))
+          (lit(0.15) / n + lit(0.85) * col("contrib")).as("rank"))
     }
     ranks.select(col("node").as("doc_id"), col("deg"), col("rank"))
       .orderBy(col("doc_id"))
