@@ -204,7 +204,10 @@ object SparkEntry {
     "q_c15_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     // canonical doc per near-dup cluster: keep the best-quality member
     // (x3c graph -> c10 components -> t2 quality, composed + hash-checked)
-    "q_c16_canonical" -> ((s, d) => Dedup.canonicalPerCluster(s, d))
+    "q_c16_canonical" -> ((s, d) => Dedup.canonicalPerCluster(s, d)),
+    // perceptual-hash near-dup over media blobs (pigeonhole-lossless
+    // 4x12 banding; oracle = all-pairs hamming, the x3c pattern)
+    "q_m6_phash_neardup" -> ((s, d) => Multimodal.phashNearDups(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -319,6 +322,7 @@ object SparkEntry {
     "q_a14_funnel" -> DashboardQueries.funnelSql,
     "q_y10_ann_recall" -> Similarity.annRecallSql,
     "q_c15_pagerank" -> Dedup.pageRankSql,
-    "q_c16_canonical" -> Dedup.canonicalPerClusterSql
+    "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
+    "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql
   )
 }

@@ -192,6 +192,113 @@ object Multimodal {
     * never read — only pruned metadata columns cross the join, so at 100 TB
     * the shuffle carries a few dozen bytes per pair while the binary stays
     * behind in parquet until a downstream stage explicitly selects it. */
+  /** q_m6: perceptual-hash near-dup over the media BLOBS — image dedup's
+    * standard shape (pHash → hamming banding), here over the stubbed
+    * decode's byte stream. The signature is the authentic pHash recipe
+    * applied to bytes instead of DCT coefficients: POSITIONAL downsample
+    * (the blob split into 48 equal segments, each summed) then a median
+    * split (bit b set iff segment b's sum strictly exceeds the 24th-
+    * smallest of the 48 sums). Positional sums depend on where content
+    * sits, so distinct docs get near-independent ~24/48-bit signatures —
+    * a value-histogram variant was measured degenerate here (text-like
+    * byte distributions are all alike ⇒ 37k false pairs at sf0.001).
+    * Banded 4×12 bits; hamming ≤ 1 with 4 bands is pigeonhole-lossless
+    * with margin, so banding is pure candidate pruning and the DuckDB
+    * oracle verifies with the plain all-pairs formulation — the q_x3c
+    * pattern applied to binary columns. Every 9th blob is re-keyed
+    * verbatim (+4000000) so exact-dup pairs provably exist; the sig stage
+    * is the same tight JVM kernel class as MinHash (per-partition loop,
+    * zero shuffle), and only (doc_id, phash) ever reaches an exchange —
+    * at 100 TB of images the blobs stay in the scan stage. */
+  def phashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withMedia(spark, dir)
+      .filter(octet_length(col("media")) >= 1)
+      .select(col("doc_id"), col("media"))
+    val planted = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"), col("media"))
+    val sigs = base.unionByName(planted)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, phash48(bytes)) })
+      .toDF("doc_id", "phash")
+    val banded = Dedup.capBuckets(
+      sigs.select(col("doc_id"), col("phash"),
+        posexplode(expr(
+          """array(phash & 4095,
+            |      shiftright(phash, 12) & 4095,
+            |      shiftright(phash, 24) & 4095,
+            |      shiftright(phash, 36) & 4095)""".stripMargin))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("phash").as("ph_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("phash").as("ph_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 48-bit positional-downsample signature: byte i lands in segment
+    * floor(i*48/n), segments are summed, and bit b is set iff segment b's
+    * sum strictly exceeds the 24th-smallest of the 48 sums (empty
+    * segments count as 0). Integer-exact; mirrored bit-for-bit by the
+    * SQL oracle. */
+  private[graft] def phash48(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val sum = new Array[Long](48)
+    var i = 0
+    while (i < n) { sum((i.toLong * 48 / n).toInt) += (bytes(i) & 0xff); i += 1 }
+    val sorted = sum.clone()
+    java.util.Arrays.sort(sorted)
+    val thr = sorted(23)
+    var h = 0L
+    var b = 0
+    while (b < 48) {
+      if (sum(b) > thr) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  val phashNearDupsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, encode(text) AS media FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id, encode(text) AS media
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |h AS (SELECT doc_id, hex(media) AS hx, octet_length(media) AS n
+      |      FROM m WHERE octet_length(media) >= 1),
+      |u AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h),
+      |v AS (SELECT doc_id, (i * 48) // n AS seg,
+      |        ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT AS bv
+      |      FROM u),
+      |c AS (SELECT doc_id, seg, SUM(bv) AS s FROM v GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT h.doc_id, r.seg, coalesce(c.s, 0) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS seg) r
+      |  LEFT JOIN c ON c.doc_id = h.doc_id AND c.seg = r.seg),
+      |thr AS (
+      |  SELECT doc_id, s AS t FROM (
+      |    SELECT doc_id, s,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY s, seg) AS rn
+      |    FROM fr)
+      |  WHERE rn = 24),
+      |ph AS (SELECT f.doc_id,
+      |         CAST(SUM(CASE WHEN f.s > t.t
+      |                       THEN (CAST(1 AS BIGINT) << f.seg) ELSE 0 END)
+      |           AS BIGINT) AS phash
+      |       FROM fr f JOIN thr t USING (doc_id) GROUP BY f.doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def mediaEmbeddingJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val med = withMedia(spark, dir)

@@ -26,6 +26,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("phash48 kernel: positional, median-balanced, dup-invariant") {
+    val a = "the quick brown fox jumps over the lazy dog, twice over".getBytes("UTF-8")
+    // identical bytes -> identical hash (the planted-dup guarantee)
+    assert(Multimodal.phash48(a) == Multimodal.phash48(a.clone()))
+    // positional sensitivity: same multiset of bytes, different order
+    val rev = a.reverse
+    assert(Multimodal.phash48(a) != Multimodal.phash48(rev),
+      "byte order must matter (a value histogram would collapse here)")
+    // median split keeps the signature balanced: strictly-above-median
+    // bits can never exceed 24 of 48
+    val bits = java.lang.Long.bitCount(Multimodal.phash48(a))
+    assert(bits > 0 && bits <= 24, s"unbalanced signature: $bits bits")
+    // degenerate input: single byte -> exactly one non-empty segment
+    assert(java.lang.Long.bitCount(Multimodal.phash48(Array[Byte](65))) == 1)
+  }
+
+  test("q_m6: banding finds every planted exact-dup pair") {
+    val r = Multimodal.phashNearDups(spark, sf()).collect()
+    val planted = r.filter(row => row.getAs[Long]("doc_b") ==
+      row.getAs[Long]("doc_a") + 4000000L)
+    // every 9th doc_id re-keyed verbatim must surface at hamming 0
+    assert(planted.length == 56, s"expected 56 planted pairs, got ${planted.length}")
+    assert(planted.forall(_.getAs[Long]("hamming") == 0L))
+    assert(r.forall(_.getAs[Long]("hamming") <= 1L))
+  }
+
   test("metadata predicates never read the blob column (column pruning)") {
     val base = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.withMedia(spark, sf()).write.parquet(s"$base/media")
