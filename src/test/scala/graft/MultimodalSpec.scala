@@ -52,6 +52,27 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("hamming") <= 1L))
   }
 
+  test("q_m6: no exchange ever carries the blob (sig computed in scan stage)") {
+    // AQE off so exchanges are directly collectable (Round5OpsSpec pattern)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = Multimodal.phashNearDups(spark, sf())
+        d.collect()
+        d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the banding-join exchange")
+    exchanges.foreach { e =>
+      val binCols = e.output.filter(
+        _.dataType == org.apache.spark.sql.types.BinaryType)
+      assert(binCols.isEmpty,
+        s"binary column crosses an exchange: ${binCols.map(_.name)}")
+    }
+  }
+
   test("metadata predicates never read the blob column (column pruning)") {
     val base = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.withMedia(spark, sf()).write.parquet(s"$base/media")
