@@ -207,7 +207,10 @@ object SparkEntry {
     "q_c16_canonical" -> ((s, d) => Dedup.canonicalPerCluster(s, d)),
     // perceptual-hash near-dup over media blobs (pigeonhole-lossless
     // 4x12 banding; oracle = all-pairs hamming, the x3c pattern)
-    "q_m6_phash_neardup" -> ((s, d) => Multimodal.phashNearDups(s, d))
+    "q_m6_phash_neardup" -> ((s, d) => Multimodal.phashNearDups(s, d)),
+    // greedy sequence packing into fixed-capacity training examples
+    // (capacity-reset recurrence; parallel across bounded shards)
+    "q_c17_seq_pack" -> ((s, d) => Curation.seqPack(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -323,6 +326,7 @@ object SparkEntry {
     "q_y10_ann_recall" -> Similarity.annRecallSql,
     "q_c15_pagerank" -> Dedup.pageRankSql,
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
-    "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql
+    "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql,
+    "q_c17_seq_pack" -> Curation.seqPackSql
   )
 }

@@ -276,6 +276,67 @@ object Curation {
       |  FROM documents) t
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Sequence packing: greedily pack documents (in doc_id order) into
+    * fixed-capacity training examples — the "pack to 2048-token sequences"
+    * step of every pretraining data pipeline. Unlike c7's running-sum
+    * shard assignment (where a doc may straddle a budget boundary),
+    * packing RESETS at each example boundary: a doc never splits, so the
+    * running state is a true sequential recurrence no window frame can
+    * express (the reset makes each row's example depend on every prior
+    * row's placement). Scale shape: the recurrence runs inside bounded
+    * 64-doc shards via flatMapGroups — embarrassingly parallel ACROSS
+    * shards (the 100 TB axis, same reason c7 packs per source), strictly
+    * sequential only within one shard, and the shuffle carries
+    * (doc_id, shard, n_tokens) — never text. A doc longer than the
+    * capacity gets its own (overflowing) example, the standard rule.
+    * Oracle: a per-shard recursive CTE replaying the identical fold. */
+  def seqPack(spark: SparkSession, dir: String, capacity: Long = 512L): DataFrame = {
+    import spark.implicits._
+    val t = docs(spark, dir)
+      .select(col("doc_id"), expr("doc_id DIV 64").as("shard"),
+        expr("size(split(text, '\\\\s+'))").cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+    t.groupByKey(_._2)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val ds = it.toArray.sortBy(_._1)
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Long, Long)](ds.length)
+        var ex = 0L
+        var cur = 0L
+        var i = 0
+        while (i < ds.length) {
+          val (id, _, n) = ds(i)
+          if (i == 0) { cur = n; out += ((id, shard, 0L, 0L, n)) }
+          else if (cur + n > capacity) {
+            ex += 1; cur = n; out += ((id, shard, ex, 0L, n))
+          } else { out += ((id, shard, ex, cur, n)); cur += n }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "shard", "ex_id", "ex_offset", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, doc_id // 64 AS shard,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
+      |    row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |p AS (
+      |  SELECT shard, rn, doc_id, n,
+      |    CAST(0 AS BIGINT) AS ex_id, CAST(0 AS BIGINT) AS ex_offset, n AS cur
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.shard, t.rn, t.doc_id, t.n,
+      |    CASE WHEN p.cur + t.n > 512 THEN p.ex_id + 1 ELSE p.ex_id END,
+      |    CASE WHEN p.cur + t.n > 512 THEN CAST(0 AS BIGINT) ELSE p.cur END,
+      |    CASE WHEN p.cur + t.n > 512 THEN t.n ELSE p.cur + t.n END
+      |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+      |SELECT doc_id, shard, ex_id, ex_offset, n AS n_tokens
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Corpus mix rebalancing: subsample each language down to the smallest
     * language's token total (the "equal mix" target), choosing survivors by
     * content fingerprint — not rand() — so the rebalanced corpus is

@@ -120,6 +120,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("seq packing: lossless, capacity-respecting, offsets are prefix sums") {
+    val cap = 512L
+    val rows = Curation.seqPack(spark, sf(), cap).collect()
+    val total = G.table(spark, sf(), "documents").count()
+    // lossless: every doc packed exactly once
+    assert(rows.length == total)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val byExample = rows.groupBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("ex_id")))
+    byExample.foreach { case ((shard, ex), ds) =>
+      val sorted = ds.sortBy(_.getAs[Long]("doc_id"))
+      // a doc never splits: example total fits the capacity unless the
+      // example is a single over-long doc
+      val tot = sorted.map(_.getAs[Long]("n_tokens")).sum
+      assert(tot <= cap || sorted.length == 1,
+        s"example ($shard,$ex) overflows with ${sorted.length} docs: $tot")
+      // offsets are exact prefix sums of the members in doc_id order
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("ex_offset") == run)
+        run += r.getAs[Long]("n_tokens")
+      }
+    }
+    // ex_ids are contiguous from 0 within each shard
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, ds) =>
+      val exs = ds.map(_.getAs[Long]("ex_id")).distinct.sorted
+      assert(exs.head == 0L && exs.last == exs.length - 1)
+    }
+    // greedy is maximal: a new example only opens when the doc would not fit
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, ds) =>
+      val sorted = ds.sortBy(_.getAs[Long]("doc_id"))
+      sorted.sliding(2).foreach {
+        case Array(prev, curr)
+          if curr.getAs[Long]("ex_id") == prev.getAs[Long]("ex_id") + 1 =>
+          val prevFill = prev.getAs[Long]("ex_offset") +
+            prev.getAs[Long]("n_tokens")
+          assert(prevFill + curr.getAs[Long]("n_tokens") > cap,
+            s"shard $shard opened a new example though the doc fit")
+        case _ =>
+      }
+    }
+  }
+
   test("curation pipeline survivors are en, quality-gated, deduped, sampled") {
     val agg = Curation.curationPipeline(spark, sf()).collect()
     assert(agg.nonEmpty)
