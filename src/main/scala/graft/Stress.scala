@@ -382,6 +382,28 @@ object Stress {
         ranks.write.mode("overwrite").format("noop").save()
         edges.unpersist()
       },
+      // round 6: pHash signature kernel over synthetic blobs (~120 B each)
+      // — the q_m6 scan-stage cost; only (doc_id, phash) leaves the stage
+      time("phash_signatures") {
+        val nDocs = math.min(n, 1000000L)
+        val blobs = spark.range(nDocs).select(col("id").as("doc_id"),
+          encode(concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*),
+            "utf-8").as("media"))
+        graft.operators.Multimodal.phashSigsOn(blobs)
+          .write.mode("overwrite").format("noop").save()
+      },
+      // round 6: greedy sequence packing — tokenize + capacity-reset fold
+      // inside 64-doc shards; parallelism = nDocs/64 groups
+      time("seq_pack") {
+        val nDocs = math.min(n, 8000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+        graft.operators.Curation.seqPackOn(docs, 512L)
+          .write.mode("overwrite").format("noop").save()
+      },
       time("kmeans_argmin_window") {
         import org.apache.spark.sql.expressions.Window
         val nVecs = math.min(n, 500000L)

@@ -290,9 +290,15 @@ object Curation {
     * (doc_id, shard, n_tokens) — never text. A doc longer than the
     * capacity gets its own (overflowing) example, the standard rule.
     * Oracle: a per-shard recursive CTE replaying the identical fold. */
-  def seqPack(spark: SparkSession, dir: String, capacity: Long = 512L): DataFrame = {
+  def seqPack(spark: SparkSession, dir: String, capacity: Long = 512L): DataFrame =
+    seqPackOn(docs(spark, dir), capacity).orderBy(col("doc_id"))
+
+  /** The packing stage on any (doc_id, text) frame — shared by the query
+    * and the Stress ladder. */
+  private[graft] def seqPackOn(docsDf: DataFrame, capacity: Long): DataFrame = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
-    val t = docs(spark, dir)
+    val t = docsDf
       .select(col("doc_id"), expr("doc_id DIV 64").as("shard"),
         expr("size(split(text, '\\\\s+'))").cast("long").as("n_tokens"))
       .as[(Long, Long, Long)]
@@ -315,7 +321,6 @@ object Curation {
         out.iterator
       }
       .toDF("doc_id", "shard", "ex_id", "ex_offset", "n_tokens")
-      .orderBy(col("doc_id"))
   }
 
   val seqPackSql: String =

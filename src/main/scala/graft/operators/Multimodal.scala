@@ -217,10 +217,7 @@ object Multimodal {
       .select(col("doc_id"), col("media"))
     val planted = base.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 4000000).as("doc_id"), col("media"))
-    val sigs = base.unionByName(planted)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(it => it.map { case (id, bytes) => (id, phash48(bytes)) })
-      .toDF("doc_id", "phash")
+    val sigs = phashSigsOn(base.unionByName(planted))
     val banded = Dedup.capBuckets(
       sigs.select(col("doc_id"), col("phash"),
         posexplode(expr(
@@ -241,6 +238,16 @@ object Multimodal {
       .filter(col("hamming") <= 1)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The signature stage on any (doc_id, media) frame — shared by the
+    * query and the Stress ladder. Scan-stage kernel, zero shuffle. */
+  private[graft] def phashSigsOn(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, phash48(bytes)) })
+      .toDF("doc_id", "phash")
   }
 
   /** 48-bit positional-downsample signature: byte i lands in segment
