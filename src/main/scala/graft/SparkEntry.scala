@@ -210,7 +210,10 @@ object SparkEntry {
     "q_m6_phash_neardup" -> ((s, d) => Multimodal.phashNearDups(s, d)),
     // greedy sequence packing into fixed-capacity training examples
     // (capacity-reset recurrence; parallel across bounded shards)
-    "q_c17_seq_pack" -> ((s, d) => Curation.seqPack(s, d))
+    "q_c17_seq_pack" -> ((s, d) => Curation.seqPack(s, d)),
+    // distributed GD training of a linear quality probe (3 unrolled
+    // rounds, one scan-agg each; driver-scalar weights, PageRank pattern)
+    "q_t16_probe_train" -> ((s, d) => TextAnalysis.probeTrain(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -327,6 +330,7 @@ object SparkEntry {
     "q_c15_pagerank" -> Dedup.pageRankSql,
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
     "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql,
-    "q_c17_seq_pack" -> Curation.seqPackSql
+    "q_c17_seq_pack" -> Curation.seqPackSql,
+    "q_t16_probe_train" -> TextAnalysis.probeTrainSql
   )
 }

@@ -887,6 +887,95 @@ object TextAnalysis {
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** q_t16: DISTRIBUTED MODEL TRAINING as a query — fit a linear quality
+    * probe (the "train a quality classifier on corpus features" step of a
+    * curation pipeline) by full-batch gradient descent, 3 unrolled
+    * rounds. Each round is ONE scan-aggregate reducing the corpus to five
+    * scalars (three gradient components, the pre-update squared error,
+    * the count) through DECIMAL(38,12) sums so partial/final order cannot
+    * perturb bits; the updated weight vector is a driver-side O(d) scalar
+    * folded into the next round's projection as literals — the PageRank
+    * scalar-state pattern applied to training. Squared loss on a linear
+    * predictor keeps every step inside +,*,/ (no exp/log), so three
+    * chained rounds stay bit-identical to the unrolled-CTE DuckDB
+    * replay. The label (n_tokens >= 56, the corpus median) is linearly
+    * separable in x1, so the probe demonstrably LEARNS — mse_pre strictly
+    * decreases, spec-pinned. At 100 TB: one corpus scan per round, no
+    * shuffle at all (the aggregate is global), model state never leaves
+    * the driver — the shape distributed GD over a feature store runs. */
+  def probeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eta = 0.5
+    val f = docs(spark, dir).select(
+      (expr("size(split(text, '\\\\s+'))").cast("double") / 100.0).as("x1"),
+      (col("n_chars").cast("double") / 1000.0).as("x2"),
+      when(expr("size(split(text, '\\\\s+'))") >= 56, 1.0).otherwise(0.0)
+        .as("y"))
+    var wb = 0.0; var wt = 0.0; var wc = 0.0
+    val rows = (1 to 3).map { r =>
+      val err = lit(wb) + lit(wt) * col("x1") + lit(wc) * col("x2") - col("y")
+      val a = f.agg(
+        G.dsum(err, 12).as("g0"),
+        G.dsum(err * col("x1"), 12).as("g1"),
+        G.dsum(err * col("x2"), 12).as("g2"),
+        G.dsum(err * err, 12).as("se"),
+        count(lit(1)).as("n")).head()
+      val n = a.getAs[Long]("n").toDouble
+      val mse = a.getAs[Double]("se") / n
+      wb -= eta * (a.getAs[Double]("g0") / n)
+      wt -= eta * (a.getAs[Double]("g1") / n)
+      wc -= eta * (a.getAs[Double]("g2") / n)
+      (r, wb, wt, wc, mse)
+    }
+    spark.createDataset(rows)
+      .toDF("step", "w_bias", "w_tok", "w_chr", "mse_pre")
+  }
+
+  val probeTrainSql: String = {
+    // unrolled rounds: aK aggregates with round K-1's weights, wK folds the
+    // update; written-form arithmetic order matches the Column expressions
+    def err(wb: String, wt: String, wc: String) =
+      s"($wb + $wt * x1 + $wc * x2 - y)"
+    def aggCte(k: Int, wb: String, wt: String, wc: String, from: String) = {
+      val e = err(wb, wt, wc)
+      s"""a$k AS (
+         |  SELECT
+         |    CAST(SUM(CAST($e AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |    CAST(SUM(CAST($e * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST($e * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+         |    CAST(SUM(CAST($e * $e AS DECIMAL(38,12))) AS DOUBLE) AS se,
+         |    COUNT(*) AS n
+         |  FROM $from)""".stripMargin
+    }
+    s"""WITH f AS (
+       |  SELECT
+       |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) / 100.0 AS x1,
+       |    CAST(n_chars AS DOUBLE) / 1000.0 AS x2,
+       |    CASE WHEN len(string_split_regex(text, '\\s+')) >= 56
+       |         THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |${aggCte(1, "0.0", "0.0", "0.0", "f")},
+       |w1 AS (
+       |  SELECT 0.0 - 0.5 * (g0 / n) AS wb, 0.0 - 0.5 * (g1 / n) AS wt,
+       |         0.0 - 0.5 * (g2 / n) AS wc, se / n AS mse FROM a1),
+       |${aggCte(2, "wb", "wt", "wc", "f CROSS JOIN w1")},
+       |w2 AS (
+       |  SELECT w1.wb - 0.5 * (g0 / n) AS wb, w1.wt - 0.5 * (g1 / n) AS wt,
+       |         w1.wc - 0.5 * (g2 / n) AS wc, se / n AS mse
+       |  FROM a2 CROSS JOIN w1),
+       |${aggCte(3, "wb", "wt", "wc", "f CROSS JOIN w2")},
+       |w3 AS (
+       |  SELECT w2.wb - 0.5 * (g0 / n) AS wb, w2.wt - 0.5 * (g1 / n) AS wt,
+       |         w2.wc - 0.5 * (g2 / n) AS wc, se / n AS mse
+       |  FROM a3 CROSS JOIN w2)
+       |SELECT 1 AS step, wb AS w_bias, wt AS w_tok, wc AS w_chr, mse AS mse_pre FROM w1
+       |UNION ALL
+       |SELECT 2, wb, wt, wc, mse FROM w2
+       |UNION ALL
+       |SELECT 3, wb, wt, wc, mse FROM w3
+       |ORDER BY step""".stripMargin
+  }
+
   def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = docs(spark, dir)

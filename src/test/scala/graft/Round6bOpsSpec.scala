@@ -486,6 +486,27 @@ class Round6bOpsSpec extends SparkSpec {
       s"unexpected partitionings: $kinds")
   }
 
+  test("probe training: mse strictly decreases, learns the token direction") {
+    val rows = TextAnalysis.probeTrain(spark, sf()).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 3)
+    val mse = rows.map(_.getAs[Double]("mse_pre"))
+    // GD on a convex quadratic with eta < 2/L: loss strictly decreases
+    assert(mse(0) > mse(1) && mse(1) > mse(2), s"mse not decreasing: ${mse.toSeq}")
+    // the label is (n_tokens >= median): the token weight must be the
+    // strongest learned direction and positive
+    val last = rows.last
+    assert(last.getAs[Double]("w_tok") > 0.0)
+    assert(last.getAs[Double]("w_tok") > last.getAs[Double]("w_chr"))
+    // deterministic: a re-run reproduces identical bits
+    val again = TextAnalysis.probeTrain(spark, sf()).collect()
+      .sortBy(_.getAs[Int]("step"))
+    rows.zip(again).foreach { case (a, b) =>
+      assert(a.getAs[Double]("w_tok") == b.getAs[Double]("w_tok"))
+      assert(a.getAs[Double]("mse_pre") == b.getAs[Double]("mse_pre"))
+    }
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
