@@ -213,7 +213,10 @@ object SparkEntry {
     "q_c17_seq_pack" -> ((s, d) => Curation.seqPack(s, d)),
     // distributed GD training of a linear quality probe (3 unrolled
     // rounds, one scan-agg each; driver-scalar weights, PageRank pattern)
-    "q_t16_probe_train" -> ((s, d) => TextAnalysis.probeTrain(s, d))
+    "q_t16_probe_train" -> ((s, d) => TextAnalysis.probeTrain(s, d)),
+    // probe inference: score + keep/drop decision for every doc with the
+    // q_t16-trained weights (scan-speed projection, O(d) model literals)
+    "q_t17_probe_apply" -> ((s, d) => TextAnalysis.probeApply(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,6 +334,7 @@ object SparkEntry {
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
     "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql,
     "q_c17_seq_pack" -> Curation.seqPackSql,
-    "q_t16_probe_train" -> TextAnalysis.probeTrainSql
+    "q_t16_probe_train" -> TextAnalysis.probeTrainSql,
+    "q_t17_probe_apply" -> TextAnalysis.probeApplySql
   )
 }

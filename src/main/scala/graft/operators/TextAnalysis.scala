@@ -976,6 +976,50 @@ object TextAnalysis {
        |ORDER BY step""".stripMargin
   }
 
+  /** q_t17: probe INFERENCE — score every document with the weights
+    * q_t16 trained (the trajectory recomputes in milliseconds: 3 tiny
+    * aggs) and emit the curation decision. This is the actual "filter the
+    * corpus with the quality classifier" step: one scan, pure projection
+    * with the O(d) model as literals — at 100 TB it runs at scan speed
+    * with nothing broadcast but three doubles. Score arithmetic is the
+    * same written form as training, so per-doc scores hash-match the
+    * oracle's w3-CTE-joined projection bit-for-bit. */
+  def probeApply(spark: SparkSession, dir: String): DataFrame = {
+    val last = probeTrain(spark, dir).collect().maxBy(_.getAs[Int]("step"))
+    val (wb, wt, wc) = (last.getAs[Double]("w_bias"),
+      last.getAs[Double]("w_tok"), last.getAs[Double]("w_chr"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      (expr("size(split(text, '\\\\s+'))").cast("double") / 100.0).as("x1"),
+      (col("n_chars").cast("double") / 1000.0).as("x2"),
+      when(expr("size(split(text, '\\\\s+'))") >= 56, 1L).otherwise(0L)
+        .as("label"))
+      .select(col("doc_id"),
+        (lit(wb) + lit(wt) * col("x1") + lit(wc) * col("x2")).as("score"),
+        col("label"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= 0.5, 1L).otherwise(0L).as("kept"),
+        col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val probeApplySql: String = {
+    val trainCtes = probeTrainSql
+      .stripSuffix("ORDER BY step")
+      .split("\nSELECT 1 AS step")(0) // keep WITH f AS (...) ... w3 AS (...)
+    s"""$trainCtes
+       |SELECT d.doc_id,
+       |  w3.wb + w3.wt * (CAST(len(string_split_regex(d.text, '\\s+')) AS DOUBLE) / 100.0)
+       |        + w3.wc * (CAST(d.n_chars AS DOUBLE) / 1000.0) AS score,
+       |  CASE WHEN w3.wb + w3.wt * (CAST(len(string_split_regex(d.text, '\\s+')) AS DOUBLE) / 100.0)
+       |            + w3.wc * (CAST(d.n_chars AS DOUBLE) / 1000.0) >= 0.5
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept,
+       |  CASE WHEN len(string_split_regex(d.text, '\\s+')) >= 56
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+       |FROM documents d CROSS JOIN w3
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = docs(spark, dir)

@@ -507,6 +507,23 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("probe apply: decision consistent with score, beats majority baseline") {
+    val rows = TextAnalysis.probeApply(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("kept")
+      assert(kept == (if (r.getAs[Double]("score") >= 0.5) 1L else 0L))
+    }
+    val n = rows.length.toDouble
+    val acc = rows.count(r =>
+      r.getAs[Long]("kept") == r.getAs[Long]("label")) / n
+    val majority = math.max(
+      rows.count(_.getAs[Long]("label") == 1L) / n,
+      rows.count(_.getAs[Long]("label") == 0L) / n)
+    // three GD rounds on a separable label must beat predicting the mode
+    assert(acc > majority, s"probe acc $acc <= majority $majority")
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
