@@ -216,7 +216,9 @@ object SparkEntry {
     "q_t16_probe_train" -> ((s, d) => TextAnalysis.probeTrain(s, d)),
     // probe inference: score + keep/drop decision for every doc with the
     // q_t16-trained weights (scan-speed projection, O(d) model literals)
-    "q_t17_probe_apply" -> ((s, d) => TextAnalysis.probeApply(s, d))
+    "q_t17_probe_apply" -> ((s, d) => TextAnalysis.probeApply(s, d)),
+    // MMR diverse top-k selection (greedy, k corpus scans, driver state)
+    "q_y11_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,6 +337,7 @@ object SparkEntry {
     "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql,
     "q_c17_seq_pack" -> Curation.seqPackSql,
     "q_t16_probe_train" -> TextAnalysis.probeTrainSql,
-    "q_t17_probe_apply" -> TextAnalysis.probeApplySql
+    "q_t17_probe_apply" -> TextAnalysis.probeApplySql,
+    "q_y11_mmr_select" -> Similarity.mmrSelectSql
   )
 }

@@ -116,6 +116,89 @@ object Similarity {
       |SELECT query_id, rank, vec_id, sim FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** q_y11: MMR diverse top-k — greedy maximal-marginal-relevance selection
+    * of k=5 vectors for a query (vec_id 0): score = 0.7·rel − 0.3·max
+    * cosine to the already-selected set. This is the "pick a diverse
+    * few-shot / eval subset" op; greedy MMR is inherently sequential in k,
+    * so the round structure is k tiny jobs — each ONE corpus scan scoring
+    * every candidate against the ≤k selected vectors (broadcast, O(k·d)
+    * bytes) and reducing to a single argmax row. The PageRank/t16 driver-
+    * scalar-state pattern again: at 100 TB each round is scan-bound and
+    * nothing shuffles but the top-1 reduction. rel/cosine reuse the exact
+    * arithmetic the y1 oracle proved bit-parity for; max over selected is
+    * exact (no FP accumulation), so the whole greedy trajectory
+    * hash-matches the k-unrolled-CTE DuckDB replay. */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("rel"))
+      .cache()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var sel: Seq[(Long, Seq[Double], Double)] = Nil
+    (1 to k).foreach { r =>
+      val scored =
+        if (sel.isEmpty) cand.withColumn("maxsim", lit(0.0))
+        else {
+          val selDf = broadcast(sel.toDF("sid", "sv", "snrm"))
+          val pen = cand.crossJoin(selDf)
+            .groupBy(col("vec_id"))
+            .agg(max(dot(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+              .as("maxsim"))
+          cand.join(pen, Seq("vec_id"))
+        }
+      val best = scored
+        .filter(!col("vec_id").isInCollection(sel.map(_._1) :+ -1L))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1).head()
+      val id = best.getAs[Long]("vec_id")
+      sel = sel :+ ((id, best.getAs[Seq[Double]]("v").toVector,
+        best.getAs[Double]("nrm")))
+      picks += ((r, id, best.getAs[Double]("rel"), best.getAs[Double]("score")))
+    }
+    cand.unpersist()
+    spark.createDataset(picks.toSeq).toDF("pick", "vec_id", "rel", "score")
+  }
+
+  val mmrSelectSql: String = {
+    // round K: greatest(cos to p1..p_{K-1}) penalty, argmax with vec_id
+    // tiebreak; written-form arithmetic mirrors the Column expressions
+    def cos(a: String, b: String) =
+      s"list_dot_product($a.v, $b.v) / ($a.nrm * $b.nrm)"
+    def roundCte(kk: Int): String = {
+      val prev = (1 until kk).map(i => s"p$i")
+      val pen =
+        if (prev.isEmpty) "0.0"
+        else if (prev.size == 1) cos("c", "p1")
+        else s"greatest(${prev.map(p => cos("c", p)).mkString(", ")})"
+      val joins = prev.map(p => s" CROSS JOIN $p").mkString
+      val excl =
+        if (prev.isEmpty) ""
+        else s"WHERE ${prev.map(p => s"c.vec_id <> $p.vec_id").mkString(" AND ")}\n  "
+      s"""p$kk AS (
+         |  SELECT c.vec_id, c.v, c.nrm, c.rel,
+         |    0.7 * c.rel - 0.3 * ($pen) AS score
+         |  FROM cand c$joins
+         |  ${excl}ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |qv AS (SELECT v, nrm FROM en WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT c.vec_id, c.v, c.nrm,
+       |    list_dot_product(c.v, qv.v) / (c.nrm * qv.nrm) AS rel
+       |  FROM en c CROSS JOIN qv WHERE c.vec_id <> 0),
+       |${(1 to 5).map(roundCte).mkString(",\n")}
+       |${(1 to 5).map(i => s"SELECT $i AS pick, vec_id, rel, score FROM p$i")
+            .mkString("\nUNION ALL\n")}
+       |ORDER BY pick""".stripMargin
+  }
+
   /** Sign-LSH (random-hyperplane) bucketed ANN — the second scale path next
     * to IVF: L tables of b sign-bits each; a pair collides in a table with
     * probability (1 − θ/π)^b, so candidates shrink from O(n²) to the bucket

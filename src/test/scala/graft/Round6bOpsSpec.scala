@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CdcParser, Curation, DashboardQueries, Relational, TextAnalysis}
+import graft.operators.{CdcParser, Curation, DashboardQueries, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.Exchange
@@ -522,6 +522,21 @@ class Round6bOpsSpec extends SparkSpec {
       rows.count(_.getAs[Long]("label") == 0L) / n)
     // three GD rounds on a separable label must beat predicting the mode
     assert(acc > majority, s"probe acc $acc <= majority $majority")
+  }
+
+  test("mmr: picks distinct, greedy scores non-increasing, pick 1 = argmax rel") {
+    val picks = Similarity.mmrSelect(spark, sf()).collect()
+      .sortBy(_.getAs[Int]("pick"))
+    assert(picks.length == 5)
+    assert(picks.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    // adding selected vectors only raises penalties, so the chosen score
+    // cannot increase round over round
+    picks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+    }
+    // round 1 has zero penalty: its pick maximizes pure relevance
+    assert(picks.head.getAs[Double]("rel") ==
+      picks.map(_.getAs[Double]("rel")).max)
   }
 
   test("plan audit: q_t12 never ships raw text through an exchange") {
