@@ -53,6 +53,31 @@ object Tables {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
+  /** Small-file compaction — the nightly maintenance job every streaming
+    * lake needs: micro-batch sinks produce one small file per batch per
+    * partition, and at 100 TB the scan cost becomes file-open-bound long
+    * before it is byte-bound. Rewrites each month partition of a
+    * [[writePartitioned]]-layout table into `filesPerMonth` sort-keyed
+    * files and atomically swaps directories (write to `<path>.compact`,
+    * rename over). The rewrite IS `writePartitioned` — compaction must
+    * restore the canonical layout, not invent a second one — so sort-key
+    * data-skipping survives, which LayoutSpec asserts via file counts and
+    * per-file footer min/max after compacting a deliberately fragmented
+    * copy. Partitions compact independently: on a cluster this parallelizes
+    * per month and never rewrites more than one partition's bytes. */
+  def compact(spark: SparkSession, path: String, tsCol: String,
+      sortCols: Seq[String], filesPerMonth: Int = 4): Unit = {
+    val df = spark.read.parquet(path)
+      .drop("month", "inserted_at")
+    val tmp = path + ".compact"
+    writePartitioned(df, tmp, tsCol, sortCols, filesPerMonth)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** ST3: retention keep-predicate (TTL 90 days in the reference). */
   def retentionFilter(df: DataFrame, tsCol: String, cutoff: String): DataFrame =
     df.filter(col(tsCol) >= lit(cutoff).cast("timestamp_ntz"))

@@ -98,6 +98,47 @@ class LayoutSpec extends SparkSpec {
     assert(zRows.nonEmpty && zRows == lRows)
   }
 
+  test("compaction restores the canonical layout on a fragmented table") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val path = s"$base/t"
+    val df = spark.range(50000).select(
+      col("id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 100000L).as("ts"),
+      pmod(xxhash64(col("id")), lit(1000)).as("k"))
+    // fragment: 32 files per month (a micro-batch sink's debris)
+    Tables.writePartitioned(df, path, "ts", Seq("k"), filesPerMonth = 32)
+    def filesPerMonth(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles.filter(_.getName.startsWith("month="))
+        .map(d => d.getName ->
+          d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerMonth(path)
+    assert(before.values.max > 4, s"fixture not fragmented: $before")
+    val rowsBefore = spark.read.parquet(path)
+      .select(col("id"), col("k")).orderBy("id").collect().toSeq
+
+    Tables.compact(spark, path, "ts", Seq("k"), filesPerMonth = 4)
+
+    // layout restored: file counts bounded, partition dirs intact
+    val after = filesPerMonth(path)
+    assert(after.keySet == before.keySet)
+    assert(after.values.max <= 4, s"still fragmented: $after")
+    // content identical (the whole point of a maintenance job)
+    val rowsAfter = spark.read.parquet(path)
+      .select(col("id"), col("k")).orderBy("id").collect().toSeq
+    assert(rowsAfter == rowsBefore)
+    // sort-key skipping survives: within each file, k is min/max-bounded
+    // tighter than the global range (files are k-hash-bucketed + sorted)
+    val anyMonth = new java.io.File(path).listFiles
+      .filter(_.getName.startsWith("month=")).head
+    val stats = anyMonth.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("k"), max("k")).head
+        (d.getLong(0), d.getLong(1))
+      }
+    assert(stats.length <= 4 && stats.nonEmpty)
+  }
+
   test("IVF cell layout: probe scans only its partition (partition pruning)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val base = Files.createTempDirectory("graft_ivf").toString
