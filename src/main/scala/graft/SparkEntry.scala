@@ -218,7 +218,9 @@ object SparkEntry {
     // q_t16-trained weights (scan-speed projection, O(d) model literals)
     "q_t17_probe_apply" -> ((s, d) => TextAnalysis.probeApply(s, d)),
     // MMR diverse top-k selection (greedy, k corpus scans, driver state)
-    "q_y11_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d))
+    "q_y11_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
+    // dataset version diff: digest-only manifest compare across versions
+    "q_v4_version_diff" -> ((s, d) => Validation.versionDiff(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,6 +340,7 @@ object SparkEntry {
     "q_c17_seq_pack" -> Curation.seqPackSql,
     "q_t16_probe_train" -> TextAnalysis.probeTrainSql,
     "q_t17_probe_apply" -> TextAnalysis.probeApplySql,
-    "q_y11_mmr_select" -> Similarity.mmrSelectSql
+    "q_y11_mmr_select" -> Similarity.mmrSelectSql,
+    "q_v4_version_diff" -> Validation.versionDiffSql
   )
 }

@@ -218,4 +218,60 @@ object Validation {
       |    / (CAST(c0 AS DOUBLE) / n0 + CAST(c1 AS DOUBLE) / n1)
       |    AS DECIMAL(38,12))) AS DOUBLE) AS chi2
       |FROM pt CROSS JOIN t""".stripMargin
+
+  /** q_v4: dataset VERSION DIFF — the manifest-diff step of dataset
+    * versioning (DVC/lakeFS-style): given two corpus versions, report
+    * added / removed / changed / unchanged counts per source. Versions
+    * are compared by content digest, never by payload: the full-outer
+    * join shuffles (doc_id, source, md5) — ~50 bytes/row at any corpus
+    * size — and the text column dies at the scan. The "previous" version
+    * is derived deterministically from the same table (every 13th doc
+    * absent = added since; every 17th digest perturbed = changed; ghost
+    * ids +5000000 = removed), so the oracle replays the derivation
+    * exactly. */
+  def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = G.table(spark, dir, "documents")
+    val cur = d.select(col("doc_id"), col("source"),
+      md5(col("text")).as("dig"))
+    val prev = d.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 === 0, md5(concat(col("text"), lit("v1"))))
+          .otherwise(md5(col("text"))).as("dig"))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          md5(col("text")).as("dig")))
+    cur.select(col("doc_id"), col("source").as("src_c"), col("dig").as("dig_c"))
+      .join(prev.select(col("doc_id"), col("source").as("src_p"),
+        col("dig").as("dig_p")), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_c"), col("src_p")).as("source"),
+        when(col("dig_p").isNull, "added")
+          .when(col("dig_c").isNull, "removed")
+          .when(col("dig_c") =!= col("dig_p"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val versionDiffSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id, source, md5(text) AS dig FROM documents),
+      |prev AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 17 = 0 THEN md5(text || 'v1')
+      |         ELSE md5(text) END AS dig
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 5000000 AS doc_id, source, md5(text) AS dig
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(c.source, p.source) AS source,
+      |    CASE WHEN p.dig IS NULL THEN 'added'
+      |         WHEN c.dig IS NULL THEN 'removed'
+      |         WHEN c.dig <> p.dig THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM cur c FULL OUTER JOIN prev p USING (doc_id))
+      |SELECT source, status, count(*) AS n
+      |FROM j GROUP BY source, status
+      |ORDER BY source, status""".stripMargin
 }

@@ -539,6 +539,19 @@ class Round6bOpsSpec extends SparkSpec {
       picks.map(_.getAs[Double]("rel")).max)
   }
 
+  test("version diff: status counts obey the derivation laws exactly") {
+    val byStatus = graft.operators.Validation.versionDiff(spark, sf())
+      .collect()
+      .groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val ids = G.table(spark, sf(), "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(byStatus("added") == ids.count(_ % 13 == 0))
+    assert(byStatus("removed") == ids.count(_ % 11 == 0))
+    assert(byStatus("changed") == ids.count(i => i % 17 == 0 && i % 13 != 0))
+    assert(byStatus.values.sum == ids.length + ids.count(_ % 11 == 0))
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
