@@ -552,6 +552,26 @@ class Round6bOpsSpec extends SparkSpec {
     assert(byStatus.values.sum == ids.length + ids.count(_ % 11 == 0))
   }
 
+  test("plan audit: c17 packing and v4 diff never ship text through an exchange") {
+    // c17: the groupByKey shuffle moves (doc_id, shard, n_tokens) encoder
+    // rows only — no string type may appear on any exchange
+    val packPlan = executed(Curation.seqPack(spark, sf()))
+    val packEx = packPlan.collect { case e: Exchange => e }
+    assert(packEx.nonEmpty)
+    packEx.foreach { e =>
+      assert(!e.output.exists(a =>
+        a.dataType == org.apache.spark.sql.types.StringType),
+        s"string crosses the packing exchange: ${e.output.map(_.name)}")
+    }
+    // v4: the full-outer manifest join shuffles digests; md5 is 32 chars,
+    // text is unbounded — assert the text column itself never crosses
+    val diffPlan = executed(graft.operators.Validation.versionDiff(spark, sf()))
+    val diffEx = diffPlan.collect { case e: Exchange => e.output.map(_.name) }
+    assert(diffEx.nonEmpty)
+    diffEx.foreach(names =>
+      assert(!names.contains("text"), s"text crosses an exchange: $names"))
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
