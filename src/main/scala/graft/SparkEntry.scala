@@ -220,7 +220,11 @@ object SparkEntry {
     // MMR diverse top-k selection (greedy, k corpus scans, driver state)
     "q_y11_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
     // dataset version diff: digest-only manifest compare across versions
-    "q_v4_version_diff" -> ((s, d) => Validation.versionDiff(s, d))
+    "q_v4_version_diff" -> ((s, d) => Validation.versionDiff(s, d)),
+    // distributed suffix array by prefix doubling (7 fixed rounds) — the
+    // exact-substring-dedup substrate; ranks via sort+zipWithIndex, no
+    // global window
+    "q_x6_suffix_array" -> ((s, d) => Dedup.suffixArray(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,6 +345,7 @@ object SparkEntry {
     "q_t16_probe_train" -> TextAnalysis.probeTrainSql,
     "q_t17_probe_apply" -> TextAnalysis.probeApplySql,
     "q_y11_mmr_select" -> Similarity.mmrSelectSql,
-    "q_v4_version_diff" -> Validation.versionDiffSql
+    "q_v4_version_diff" -> Validation.versionDiffSql,
+    "q_x6_suffix_array" -> Dedup.suffixArraySql
   )
 }

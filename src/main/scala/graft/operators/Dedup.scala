@@ -891,4 +891,105 @@ object Dedup {
        |${(1 to 3).map(round).mkString(",\n")}
        |SELECT node AS doc_id, deg, rank FROM r3 ORDER BY doc_id""".stripMargin
   }
+
+  /** q_x6: distributed SUFFIX ARRAY by prefix doubling — the exact data
+    * structure under exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": their dedup is suffix
+    * array + LCP; q_x5's 8-gram census is the approximate cousin). Token
+    * suffixes of every document, globally sorted.
+    *
+    * Prefix doubling: rank suffixes by their first token, then 7 rounds
+    * of re-ranking by the pair (rank[pos], rank[pos + 2^j]) — after
+    * k = 64 the compared prefix spans 128 ≥ the 100-token max doc length,
+    * so ranks are final and the round count is FIXED (which is what makes
+    * the DuckDB oracle an exact unrolled replay). Positions are
+    * doc_id·256 + offset: the stride must exceed maxlen + max k
+    * (99 + 64 = 163), else pos+64 lands inside the NEXT document's
+    * position range and reads its ranks; with the gap, the missing rank
+    * at pos+k coalesces to -1 = "ends here", sorting shorter prefixes
+    * first — standard SA semantics.
+    *
+    * Scale shape: ranking is NOT a global window (an unpartitioned
+    * dense_rank would sort n rows on one task). Each round ranks the
+    * DISTINCT pair set (shrinking every round) with a distributed range
+    * sort + zipWithIndex, then hash-joins ranks back — 3 keyed/range
+    * exchanges per round over (pos, r1, r2) longs only, never tokens.
+    * 8 fixed rounds at any corpus size; at 100 TB this is the textbook
+    * distributed SA build (the same doubling DC3/psac engines use). */
+  def suffixArray(spark: SparkSession, dir: String): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    // The ROUNDS run on co-partitioned RDDs, not Catalyst — the c10
+    // lesson applies verbatim: a DataFrame loop pays per-round re-planning
+    // + codegen recompilation (~2.5 s/round of fixed overhead measured
+    // there; a Catalyst formulation of THIS loop measured 32 s at sf0.01
+    // vs ~8 s as RDD rounds), while RDD rounds reuse one HashPartitioner
+    // so the doubling join is narrow. Entry and exit are DataFrames.
+    val toks = G.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("off", "tok")))
+      .select((col("doc_id") * 256 + col("off")).as("pos"), col("tok"))
+      .as[(Long, String)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // initial rank: lexicographic token order (distributed sort +
+    // zipWithIndex — dense rank without a single-task global window)
+    val tokRank = toks.map(_._2).distinct().sortBy(identity)
+      .zipWithIndex().map { case (t, i) => (t, i + 1L) }
+    var ranks = toks.map { case (pos, t) => (t, pos) }.join(tokRank)
+      .map { case (_, (pos, r)) => (pos, r) }.partitionBy(part).cache()
+    ranks.count()
+    var prevM = -1L
+    var converged = false
+    // standard prefix-doubling termination: once a doubling round splits
+    // no rank class, every further round is the identity partition — the
+    // remaining oracle rounds replay as no-ops, so stopping early cannot
+    // change the output (the hash compare would catch it if the criterion
+    // were wrong)
+    Seq(1, 2, 4, 8, 16, 32, 64).foreach { k =>
+      if (!converged) {
+        // re-key rank[pos] to pos-k so the join at key p yields
+        // (rank[p], rank[p+k]) — the pair that compares the NEXT k tokens
+        val shifted = ranks.map { case (pos, r) => (pos - k, r) }
+          .partitionBy(part)
+        val pairs = ranks.leftOuterJoin(shifted)
+          .mapValues { case (r1, r2o) => (r1, r2o.getOrElse(-1L)) }
+        val rankMap = pairs.values.distinct().sortBy(identity)
+          .zipWithIndex().map { case (kk, i) => (kk, i + 1L) }.cache()
+        val m = rankMap.count()
+        val next = pairs.map { case (pos, kk) => (kk, pos) }.join(rankMap)
+          .map { case (_, (pos, r)) => (pos, r) }.partitionBy(part).cache()
+        next.count() // materialize: truncate lineage growth across rounds
+        ranks.unpersist()
+        rankMap.unpersist()
+        ranks = next
+        if (m == prevM) converged = true else prevM = m
+      }
+    }
+    val out = ranks.toDF("pos", "r")
+      .select(col("r").as("rank"),
+        expr("pos DIV 256").as("doc_id"), expr("pos % 256").as("off"))
+      .orderBy(col("rank"), col("doc_id"), col("off"))
+    out
+  }
+
+  val suffixArraySql: String = {
+    def round(j: Int, k: Int): String =
+      s"""p$j AS (
+         |  SELECT a.pos, a.r AS r1, coalesce(b.r, -1) AS r2
+         |  FROM r${j - 1} a LEFT JOIN r${j - 1} b ON b.pos = a.pos + $k),
+         |r$j AS (SELECT pos, CAST(dense_rank() OVER (ORDER BY r1, r2) AS BIGINT) AS r
+         |        FROM p$j)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |u AS (SELECT doc_id, unnest(range(0, len(ts))) AS off, ts FROM d),
+       |t AS (SELECT doc_id * 256 + off AS pos,
+       |             ts[CAST(off + 1 AS INT)] AS tok FROM u),
+       |r0 AS (SELECT pos, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
+       |       FROM t),
+       |${Seq(1, 2, 4, 8, 16, 32, 64).zipWithIndex
+           .map { case (k, i) => round(i + 1, k) }.mkString(",\n")}
+       |SELECT r AS rank, pos // 256 AS doc_id, pos % 256 AS off
+       |FROM r7 ORDER BY rank, doc_id, off""".stripMargin
+  }
 }

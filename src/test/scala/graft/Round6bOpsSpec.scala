@@ -572,6 +572,30 @@ class Round6bOpsSpec extends SparkSpec {
       assert(!names.contains("text"), s"text crosses an exchange: $names"))
   }
 
+  test("suffix array: ranks equal dense lexicographic rank of token suffixes") {
+    import scala.math.Ordering.Implicits._
+    val docs = G.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+    val vid = docs.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+    val sufs = docs.flatMap { case (d, ts) =>
+      val ids = ts.map(vid).toList
+      ids.indices.map(o => (d, o.toLong, ids.drop(o)))
+    }
+    val rk = sufs.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val got = graft.operators.Dedup.suffixArray(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("off")) ->
+        r.getAs[Long]("rank")).toMap
+    assert(got.size == sufs.length)
+    sufs.foreach { case (d, o, s) =>
+      assert(got((d, o)) == rk(s), s"suffix ($d,$o)")
+    }
+    // ranks tie exactly when the full token suffixes are equal — the
+    // exact-substring-dedup signal the structure exists to expose
+    assert(got.values.toSeq.distinct.size == sufs.map(_._3).distinct.size)
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
