@@ -224,7 +224,10 @@ object SparkEntry {
     // distributed suffix array by prefix doubling (7 fixed rounds) — the
     // exact-substring-dedup substrate; ranks via sort+zipWithIndex, no
     // global window
-    "q_x6_suffix_array" -> ((s, d) => Dedup.suffixArray(s, d))
+    "q_x6_suffix_array" -> ((s, d) => Dedup.suffixArray(s, d)),
+    // per-doc longest repeated token span: adjacent-SA-class LCP (exact
+    // Lee et al. substring-dedup signal, never all-pairs)
+    "q_x7_repeated_span" -> ((s, d) => Dedup.repeatedSpans(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -346,6 +349,7 @@ object SparkEntry {
     "q_t17_probe_apply" -> TextAnalysis.probeApplySql,
     "q_y11_mmr_select" -> Similarity.mmrSelectSql,
     "q_v4_version_diff" -> Validation.versionDiffSql,
-    "q_x6_suffix_array" -> Dedup.suffixArraySql
+    "q_x6_suffix_array" -> Dedup.suffixArraySql,
+    "q_x7_repeated_span" -> Dedup.repeatedSpansSql
   )
 }

@@ -919,6 +919,19 @@ object Dedup {
   def suffixArray(spark: SparkSession, dir: String): DataFrame = {
     val spk = spark
     import spk.implicits._
+    val out = saRanks(spark, dir).toDF("pos", "r")
+      .select(col("r").as("rank"),
+        expr("pos DIV 256").as("doc_id"), expr("pos % 256").as("off"))
+      .orderBy(col("rank"), col("doc_id"), col("off"))
+    out
+  }
+
+  /** Final suffix ranks (pos, rank) — shared by q_x6 (the array itself)
+    * and q_x7 (adjacent-class LCP spans). */
+  private def saRanks(spark: SparkSession, dir: String)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val spk = spark
+    import spk.implicits._
     // The ROUNDS run on co-partitioned RDDs, not Catalyst — the c10
     // lesson applies verbatim: a DataFrame loop pays per-round re-planning
     // + codegen recompilation (~2.5 s/round of fixed overhead measured
@@ -966,14 +979,12 @@ object Dedup {
         if (m == prevM) converged = true else prevM = m
       }
     }
-    val out = ranks.toDF("pos", "r")
-      .select(col("r").as("rank"),
-        expr("pos DIV 256").as("doc_id"), expr("pos % 256").as("off"))
-      .orderBy(col("rank"), col("doc_id"), col("off"))
-    out
+    ranks
   }
 
-  val suffixArraySql: String = {
+  /** Shared oracle prefix: tokenized gapped positions + the 7 unrolled
+    * dense_rank doubling rounds ending in final ranks `r7`. */
+  private val saCtesSql: String = {
     def round(j: Int, k: Int): String =
       s"""p$j AS (
          |  SELECT a.pos, a.r AS r1, coalesce(b.r, -1) AS r2
@@ -988,8 +999,91 @@ object Dedup {
        |r0 AS (SELECT pos, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
        |       FROM t),
        |${Seq(1, 2, 4, 8, 16, 32, 64).zipWithIndex
-           .map { case (k, i) => round(i + 1, k) }.mkString(",\n")}
+           .map { case (k, i) => round(i + 1, k) }.mkString(",\n")}""".stripMargin
+  }
+
+  val suffixArraySql: String =
+    s"""$saCtesSql
        |SELECT r AS rank, pos // 256 AS doc_id, pos % 256 AS off
        |FROM r7 ORDER BY rank, doc_id, off""".stripMargin
+
+  /** q_x7: per-document LONGEST REPEATED TOKEN SPAN — the length of the
+    * longest token substring of each doc that occurs at least twice in the
+    * corpus (anywhere, including within the same doc). This is Lee et al.'s
+    * exact-substring-dedup signal computed exactly, via the suffix array:
+    * the longest repeated prefix of a suffix is max(LCP with its SA-order
+    * neighbors), and after full doubling a rank class with ≥2 members IS a
+    * set of byte-identical suffixes (span = whole suffix). So only
+    * ADJACENT rank classes ever need comparing — O(distinct suffixes)
+    * bounded-length comparisons, never all-pairs.
+    *
+    * Scale shape: one rank-keyed agg picks a representative per class, one
+    * keyed self-join on r+1 pairs adjacent classes, and the LCP is a
+    * codegen'd zip_with over two ≤100-token slices (null-safe equality +
+    * sentinel false, array_position finds the first mismatch) — no UDF, no
+    * window. The only payload-carrying exchange ships bounded suffix
+    * slices, O(corpus tokens) total, the same order as any tokenizing
+    * scan. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = G.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+    val ranks = {
+      val spk = spark
+      import spk.implicits._
+      saRanks(spark, dir).toDF("pos", "r")
+    }
+    val cls = ranks.groupBy("r")
+      .agg(count(lit(1)).as("cnt"), min("pos").as("rep"))
+      .join(docs, expr("rep DIV 256") === col("doc_id"))
+      .select(col("r"), col("cnt"),
+        slice(col("ts"), (col("rep") % 256 + 1).cast("int"), col("n"))
+          .as("suf"),
+        (col("n") - col("rep") % 256).cast("long").as("slen"))
+    // LCP(class r, class r+1): first position where the null-safe
+    // elementwise equality fails (zip_with pads the shorter side with
+    // nulls, which <=> maps to false; the appended sentinel false bounds
+    // the search when one suffix prefixes the other)
+    val adj = cls.select(col("r"), col("suf").as("sa"))
+      .join(cls.select((col("r") - 1).as("r"), col("suf").as("sb")), "r")
+      .select(col("r"),
+        (array_position(
+          concat(zip_with(col("sa"), col("sb"), (x, y) => x <=> y),
+            array(lit(false))), false) - 1).as("lcp"))
+    val spans = cls
+      .join(adj.withColumnRenamed("lcp", "lcp_dn"), Seq("r"), "left")
+      .join(adj.select((col("r") + 1).as("r"), col("lcp").as("lcp_up")),
+        Seq("r"), "left")
+      .select(col("r"),
+        when(col("cnt") >= 2, col("slen"))
+          .otherwise(greatest(coalesce(col("lcp_dn"), lit(0L)),
+            coalesce(col("lcp_up"), lit(0L)))).as("span"))
+    ranks.join(spans, "r")
+      .groupBy(expr("pos DIV 256").as("doc_id"))
+      .agg(max(col("span")).as("max_dup_span"))
+      .orderBy("doc_id")
   }
+
+  val repeatedSpansSql: String =
+    s"""$saCtesSql,
+       |cls AS (SELECT r, count(*) AS cnt, min(pos) AS rep FROM r7 GROUP BY r),
+       |cl AS (
+       |  SELECT c.r, c.cnt, d.ts[CAST(c.rep % 256 + 1 AS INT):] AS suf,
+       |         len(d.ts) - c.rep % 256 AS slen
+       |  FROM cls c JOIN d ON d.doc_id = c.rep // 256),
+       |adj AS (
+       |  SELECT a.r, CAST(list_position(list_append(
+       |    list_transform(list_zip(a.suf, b.suf),
+       |                   x -> x[1] IS NOT DISTINCT FROM x[2]),
+       |    false), false) - 1 AS BIGINT) AS lcp
+       |  FROM cl a JOIN cl b ON b.r = a.r + 1),
+       |sp AS (
+       |  SELECT c.r, CASE WHEN c.cnt >= 2 THEN CAST(c.slen AS BIGINT)
+       |              ELSE greatest(coalesce(dn.lcp, 0), coalesce(up.lcp, 0))
+       |              END AS span
+       |  FROM cl c LEFT JOIN adj dn ON dn.r = c.r
+       |            LEFT JOIN adj up ON up.r = c.r - 1)
+       |SELECT r7.pos // 256 AS doc_id, max(sp.span) AS max_dup_span
+       |FROM r7 JOIN sp ON sp.r = r7.r
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

@@ -596,6 +596,31 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got.values.toSeq.distinct.size == sufs.map(_._3).distinct.size)
   }
 
+  test("repeated span: equals driver-side sorted-suffix neighbor-LCP truth") {
+    import scala.math.Ordering.Implicits._
+    val docs = G.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toVector)
+    val sufs = docs.flatMap { case (d, ts) =>
+      ts.indices.map(o => (d, ts.drop(o)))
+    }.sortBy(_._2)
+    def lcp(a: Vector[String], b: Vector[String]): Long =
+      a.zip(b).iterator.takeWhile(p => p._1 == p._2).size.toLong
+    // longest repeated prefix of a suffix = max LCP with its sorted
+    // neighbors (equal suffixes are adjacent, giving the full length)
+    val best = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    sufs.indices.foreach { i =>
+      val (d, s) = sufs(i)
+      val up = if (i > 0) lcp(s, sufs(i - 1)._2) else 0L
+      val dn = if (i < sufs.length - 1) lcp(s, sufs(i + 1)._2) else 0L
+      best(d) = math.max(best(d), math.max(up, dn))
+    }
+    val got = graft.operators.Dedup.repeatedSpans(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("max_dup_span")).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (d, _) => assert(got(d) == best(d), s"doc $d") }
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
