@@ -222,8 +222,8 @@ object SparkEntry {
     // dataset version diff: digest-only manifest compare across versions
     "q_v4_version_diff" -> ((s, d) => Validation.versionDiff(s, d)),
     // distributed suffix array by prefix doubling (7 fixed rounds) — the
-    // exact-substring-dedup substrate; ranks via sort+zipWithIndex, no
-    // global window
+    // exact-substring-dedup substrate; ranks via range-sort dense rank,
+    // no global window
     "q_x6_suffix_array" -> ((s, d) => Dedup.suffixArray(s, d)),
     // per-doc longest repeated token span: adjacent-SA-class LCP (exact
     // Lee et al. substring-dedup signal, never all-pairs)

@@ -910,10 +910,10 @@ object Dedup {
     * first — standard SA semantics.
     *
     * Scale shape: ranking is NOT a global window (an unpartitioned
-    * dense_rank would sort n rows on one task). Each round ranks the
-    * DISTINCT pair set (shrinking every round) with a distributed range
-    * sort + zipWithIndex, then hash-joins ranks back — 3 keyed/range
-    * exchanges per round over (pos, r1, r2) longs only, never tokens.
+    * dense_rank would sort n rows on one task). Each round re-ranks pairs
+    * with the distributed denseRank below — one range-sort plus a
+    * per-partition boundary-count collect — then one hash partitionBy:
+    * 2 exchanges per round over (pos, r1, r2) longs only, never tokens.
     * 8 fixed rounds at any corpus size; at 100 TB this is the textbook
     * distributed SA build (the same doubling DC3/psac engines use). */
   def suffixArray(spark: SparkSession, dir: String): DataFrame = {
@@ -924,6 +924,40 @@ object Dedup {
         expr("pos DIV 256").as("doc_id"), expr("pos % 256").as("off"))
       .orderBy(col("rank"), col("doc_id"), col("off"))
     out
+  }
+
+  /** Distributed dense rank with no global window, no distinct, and no
+    * join-back: one range-sort of (key, pos), one per-partition
+    * (distinctCount) collect — RangePartitioner sends EQUAL keys to the
+    * SAME partition, so per-partition distinct counts are disjoint and a
+    * driver prefix sum yields exact global offsets — then one scan
+    * assigning offset + local dense index. Returns ((pos, rank), m).
+    * Two passes read the same sorted shuffle output; no cache needed. */
+  private def denseRank[K](kv: org.apache.spark.rdd.RDD[(K, Long)])(
+      implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K])
+      : (org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
+    val n = kv.context.defaultParallelism
+    val rp = new org.apache.spark.RangePartitioner(n, kv)
+    val sorted = kv.repartitionAndSortWithinPartitions(rp)
+    val counts = sorted.mapPartitionsWithIndex { (i, it) =>
+      var prev: Option[K] = None
+      var cnt = 0L
+      it.foreach { case (k, _) =>
+        if (!prev.contains(k)) { cnt += 1; prev = Some(k) }
+      }
+      Iterator.single((i, cnt))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val m = offsets.last
+    val ranked = sorted.mapPartitionsWithIndex { (i, it) =>
+      var prev: Option[K] = None
+      var r = offsets(i)
+      it.map { case (k, pos) =>
+        if (!prev.contains(k)) { r += 1; prev = Some(k) }
+        (pos, r)
+      }
+    }
+    (ranked, m)
   }
 
   /** Final suffix ranks (pos, rank) — shared by q_x6 (the array itself)
@@ -945,12 +979,11 @@ object Dedup {
       .as[(Long, String)].rdd
     val part = new org.apache.spark.HashPartitioner(
       spark.sparkContext.defaultParallelism)
-    // initial rank: lexicographic token order (distributed sort +
-    // zipWithIndex — dense rank without a single-task global window)
-    val tokRank = toks.map(_._2).distinct().sortBy(identity)
-      .zipWithIndex().map { case (t, i) => (t, i + 1L) }
-    var ranks = toks.map { case (pos, t) => (t, pos) }.join(tokRank)
-      .map { case (_, (pos, r)) => (pos, r) }.partitionBy(part).cache()
+    // initial rank: lexicographic token order via the distributed dense
+    // rank (the tokens themselves die here — every later exchange carries
+    // longs only)
+    var ranks = denseRank(toks.map { case (pos, t) => (t, pos) })._1
+      .partitionBy(part).cache()
     ranks.count()
     var prevM = -1L
     var converged = false
@@ -967,14 +1000,11 @@ object Dedup {
           .partitionBy(part)
         val pairs = ranks.leftOuterJoin(shifted)
           .mapValues { case (r1, r2o) => (r1, r2o.getOrElse(-1L)) }
-        val rankMap = pairs.values.distinct().sortBy(identity)
-          .zipWithIndex().map { case (kk, i) => (kk, i + 1L) }.cache()
-        val m = rankMap.count()
-        val next = pairs.map { case (pos, kk) => (kk, pos) }.join(rankMap)
-          .map { case (_, (pos, r)) => (pos, r) }.partitionBy(part).cache()
+        val (ranked, m) =
+          denseRank(pairs.map { case (pos, kk) => (kk, pos) })
+        val next = ranked.partitionBy(part).cache()
         next.count() // materialize: truncate lineage growth across rounds
         ranks.unpersist()
-        rankMap.unpersist()
         ranks = next
         if (m == prevM) converged = true else prevM = m
       }
