@@ -382,6 +382,19 @@ object Stress {
         ranks.write.mode("overwrite").format("noop").save()
         edges.unpersist()
       },
+      // round 6: suffix-array build by prefix doubling — nDocs = n/10 docs
+      // of 16 tokens (64-word vocab → heavy shared-prefix structure, so
+      // rank classes stay fat for several rounds); converges after the
+      // k=16 round since prefix 32 > doc length, exercising the early stop
+      time("suffix_array") {
+        val nDocs = math.min(n / 10, 2000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+        graft.operators.Dedup.suffixArrayOn(spark, docs)
+          .write.mode("overwrite").format("noop").save()
+      },
       // round 6: pHash signature kernel over synthetic blobs (~120 B each)
       // — the q_m6 scan-stage cost; only (doc_id, phash) leaves the stage
       time("phash_signatures") {

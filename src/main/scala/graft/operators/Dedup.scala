@@ -963,6 +963,21 @@ object Dedup {
   /** Final suffix ranks (pos, rank) — shared by q_x6 (the array itself)
     * and q_x7 (adjacent-class LCP spans). */
   private def saRanks(spark: SparkSession, dir: String)
+      : org.apache.spark.rdd.RDD[(Long, Long)] =
+    saRanksOn(spark, G.table(spark, dir, "documents"))
+
+  /** Stress entry: the SA build over any (doc_id, text) frame. Doc length
+    * must stay under 192 tokens (position stride 256 minus the max shift
+    * 64) — callers with longer docs must chunk first. */
+  private[graft] def suffixArrayOn(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    saRanksOn(spark, docs).toDF("pos", "r")
+  }
+
+  private def saRanksOn(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.rdd.RDD[(Long, Long)] = {
     val spk = spark
     import spk.implicits._
@@ -972,7 +987,7 @@ object Dedup {
     // there; a Catalyst formulation of THIS loop measured 32 s at sf0.01
     // vs ~8 s as RDD rounds), while RDD rounds reuse one HashPartitioner
     // so the doubling join is narrow. Entry and exit are DataFrames.
-    val toks = G.table(spark, dir, "documents")
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\\s+")).as(Seq("off", "tok")))
       .select((col("doc_id") * 256 + col("off")).as("pos"), col("tok"))
