@@ -933,7 +933,7 @@ object Dedup {
     * driver prefix sum yields exact global offsets — then one scan
     * assigning offset + local dense index. Returns ((pos, rank), m).
     * Two passes read the same sorted shuffle output; no cache needed. */
-  private def denseRank[K](kv: org.apache.spark.rdd.RDD[(K, Long)])(
+  private[graft] def denseRank[K](kv: org.apache.spark.rdd.RDD[(K, Long)])(
       implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K])
       : (org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
     val n = kv.context.defaultParallelism

@@ -173,6 +173,23 @@ class PropertySpec extends SparkSpec {
     check(prop, n = 8)
   }
 
+  test("denseRank: dense 1..m, order-preserving, ties share a rank") {
+    val genKeys = Gen.listOfN(300, Gen.choose(-50L, 50L))
+    val prop = Prop.forAll(genKeys) { keys =>
+      val kv = spark.sparkContext
+        .parallelize(keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }, 7)
+      val (ranked, m) = Dedup.denseRank(kv)
+      val got = ranked.collect().toMap // pos -> rank
+      val expect = {
+        val order = keys.distinct.sorted.zipWithIndex
+          .map { case (k, i) => k -> (i + 1L) }.toMap
+        keys.zipWithIndex.map { case (k, i) => i.toLong -> order(k) }.toMap
+      }
+      m == keys.distinct.size && got == expect
+    }
+    check(prop, n = 10)
+  }
+
   test("simhash: identical text → distance 0; distance is symmetric") {
     val genText = Gen.listOfN(12,
       Gen.oneOf("spark", "flink", "query", "table", "scan", "merge", "row"))
