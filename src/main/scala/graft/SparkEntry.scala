@@ -227,7 +227,10 @@ object SparkEntry {
     "q_x6_suffix_array" -> ((s, d) => Dedup.suffixArray(s, d)),
     // per-doc longest repeated token span: adjacent-SA-class LCP (exact
     // Lee et al. substring-dedup signal, never all-pairs)
-    "q_x7_repeated_span" -> ((s, d) => Dedup.repeatedSpans(s, d))
+    "q_x7_repeated_span" -> ((s, d) => Dedup.repeatedSpans(s, d)),
+    // embedding-space coverage of a selected subset: per-vector max cosine
+    // to the broadcast selection, binned (facility-location objective)
+    "q_y12_coverage" -> ((s, d) => Similarity.coverage(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,6 +353,7 @@ object SparkEntry {
     "q_y11_mmr_select" -> Similarity.mmrSelectSql,
     "q_v4_version_diff" -> Validation.versionDiffSql,
     "q_x6_suffix_array" -> Dedup.suffixArraySql,
-    "q_x7_repeated_span" -> Dedup.repeatedSpansSql
+    "q_x7_repeated_span" -> Dedup.repeatedSpansSql,
+    "q_y12_coverage" -> Similarity.coverageSql
   )
 }

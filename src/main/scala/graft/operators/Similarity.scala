@@ -851,4 +851,47 @@ object Similarity {
       |  AND list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q_y12: embedding-space COVERAGE evaluation — how well does a selected
+    * subset represent the corpus? For every corpus vector, its max cosine
+    * similarity to the deterministic selection (vec_id % 37 == 0 — in
+    * production the curated/coreset output, e.g. y11's MMR picks), then a
+    * 0.05-wide-bin histogram of those maxima. The facility-location
+    * objective data-selection methods optimize (Σ max-sim), reported
+    * per-bin with a DECIMAL-exact sum so the oracle matches bit-for-bit.
+    * Selection members cover themselves at sim 1.0 by construction.
+    *
+    * Scale shape: the selection is broadcast (it is the SMALL curated set
+    * by definition); one corpus pass computes |S| dots per vector and the
+    * per-vector max partial-aggregates map-side, so the only keyed
+    * exchange carries (vec_id, max) — O(corpus) rows. The bin agg is
+    * O(bins). For selections too big to broadcast, the y2/y4 IVF/LSH
+    * pruning applies unchanged — max-sim only needs the best candidate. */
+  def coverage(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(spark, dir)
+    val sel = embeddings(spark, dir).filter(col("vec_id") % 37 === 0)
+      .select(col("v").as("sv"), col("nrm").as("snrm"))
+    val best = corpus.crossJoin(broadcast(sel))
+      .withColumn("sim", dot(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"))
+    best
+      .groupBy(floor(col("max_sim") * 20).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_vectors"),
+        G.dsum(col("max_sim"), 12).as("sum_max_sim"))
+      .orderBy(col("bin"))
+  }
+
+  val coverageSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT v AS sv FROM e WHERE vec_id % 37 = 0),
+      |best AS (
+      |  SELECT e.vec_id, max(list_dot_product(e.v, s.sv) /
+      |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))))
+      |    AS max_sim
+      |  FROM e, s GROUP BY e.vec_id)
+      |SELECT CAST(floor(max_sim * 20) AS BIGINT) AS bin,
+      |  count(*) AS n_vectors,
+      |  CAST(SUM(CAST(max_sim AS DECIMAL(38,12))) AS DOUBLE) AS sum_max_sim
+      |FROM best GROUP BY 1 ORDER BY bin""".stripMargin
 }

@@ -621,6 +621,26 @@ class Round6bOpsSpec extends SparkSpec {
     docs.foreach { case (d, _) => assert(got(d) == best(d), s"doc $d") }
   }
 
+  test("coverage: bins partition the corpus and bound their own sums") {
+    val rows = Similarity.coverage(spark, sf()).collect()
+    val nCorpus = G.table(spark, sf(), "embeddings").count()
+    val nSel = G.table(spark, sf(), "embeddings")
+      .filter(col("vec_id") % 37 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nCorpus)
+    // every bin's decimal-exact sum must sit inside the bin's sim range
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val n = r.getAs[Long]("n_vectors")
+      val mean = r.getAs[Double]("sum_max_sim") / n
+      assert(mean >= bin / 20.0 - 1e-9 && mean < (bin + 1) / 20.0 + 1e-9,
+        s"bin $bin mean $mean")
+    }
+    // selection members cover themselves at sim ~1.0 (sqrt(d)*sqrt(d)
+    // rounding can land 1.0-ulp in bin 19), so the top bins hold them all
+    assert(rows.filter(_.getAs[Long]("bin") >= 19)
+      .map(_.getAs[Long]("n_vectors")).sum >= nSel)
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
