@@ -230,7 +230,10 @@ object SparkEntry {
     "q_x7_repeated_span" -> ((s, d) => Dedup.repeatedSpans(s, d)),
     // embedding-space coverage of a selected subset: per-vector max cosine
     // to the broadcast selection, binned (facility-location objective)
-    "q_y12_coverage" -> ((s, d) => Similarity.coverage(s, d))
+    "q_y12_coverage" -> ((s, d) => Similarity.coverage(s, d)),
+    // longest verbatim shared run per (bench, train) pair: diagonal
+    // gram-chaining, the strict end of the decontamination ladder
+    "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,6 +357,7 @@ object SparkEntry {
     "q_v4_version_diff" -> Validation.versionDiffSql,
     "q_x6_suffix_array" -> Dedup.suffixArraySql,
     "q_x7_repeated_span" -> Dedup.repeatedSpansSql,
-    "q_y12_coverage" -> Similarity.coverageSql
+    "q_y12_coverage" -> Similarity.coverageSql,
+    "q_c18_contig_contam" -> Curation.contigContamSql
   )
 }

@@ -612,4 +612,82 @@ object Curation {
       |WHERE len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
       |      len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
       |ORDER BY train_id, bench_id""".stripMargin
+
+  /** c18: CONTIGUOUS contamination spans — for every (bench, train) doc
+    * pair sharing at least one 8-gram, the token length of the longest
+    * VERBATIM shared run. The strict end of the decontamination ladder:
+    * [[decontaminate]] (c6) counts distinct shared grams with no
+    * contiguity, c12 is fuzzy set-overlap; this reports exact contiguous
+    * spans, the unit real eval-leak audits act on. Matched 8-gram offset
+    * pairs chain along DIAGONALS (b_off − t_off constant, consecutive
+    * b_off), so the longest run is a gaps-and-islands count per
+    * (pair, diagonal) plus 7.
+    *
+    * Scale shape: bench grams broadcast (the benchmark side is small by
+    * definition), so the train gram stream joins without shuffling and
+    * only true matches survive to the island windows — which partition by
+    * (bench, train, diag), keyed, never global. O(matches) ≪ O(grams)
+    * past the broadcast join. */
+  def contigContam(spark: SparkSession, dir: String): DataFrame = {
+    val gram8 = (df: DataFrame) => df
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(toks) - 7),
+            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+            |         element_at(toks, i+2), element_at(toks, i+3),
+            |         element_at(toks, i+4), element_at(toks, i+5),
+            |         element_at(toks, i+6), element_at(toks, i+7)))"""
+            .stripMargin)).as(Seq("off", "gram")))
+    val d = docs(spark, dir)
+    val bench = gram8(d.filter(col("doc_id") % 7 === 3))
+      .select(col("doc_id").as("bench_id"), col("off").as("b_off"),
+        col("gram"))
+    val train = gram8(d.filter(col("doc_id") % 7 =!= 3))
+      .select(col("doc_id").as("train_id"), col("off").as("t_off"),
+        col("gram"))
+    val w = Window.partitionBy(col("bench_id"), col("train_id"), col("diag"))
+      .orderBy(col("b_off"))
+    train.join(broadcast(bench), "gram")
+      .select(col("bench_id"), col("train_id"), col("b_off"),
+        (col("b_off") - col("t_off")).as("diag"))
+      .withColumn("island", col("b_off") - row_number().over(w))
+      .groupBy(col("bench_id"), col("train_id"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg((max(col("run")) + 7).as("max_span_tokens"),
+        count(lit(1)).as("n_runs"))
+      .orderBy(col("bench_id"), col("train_id"))
+  }
+
+  val contigContamSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |    i -> {'off': i - 1,
+      |          'gram': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+      |                  ||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]}))
+      |    AS og
+      |  FROM tok WHERE len(t) >= 8),
+      |g AS (SELECT doc_id, og.off AS off, og.gram AS gram FROM g0),
+      |m AS (
+      |  SELECT b.doc_id AS bench_id, tr.doc_id AS train_id, b.off AS b_off,
+      |         b.off - tr.off AS diag
+      |  FROM g b JOIN g tr ON b.gram = tr.gram
+      |  WHERE b.doc_id % 7 = 3 AND tr.doc_id % 7 <> 3),
+      |i AS (
+      |  SELECT bench_id, train_id, diag, b_off,
+      |    b_off - row_number() OVER (
+      |      PARTITION BY bench_id, train_id, diag ORDER BY b_off) AS island
+      |  FROM m),
+      |r AS (
+      |  SELECT bench_id, train_id, diag, island, count(*) AS run
+      |  FROM i GROUP BY 1, 2, 3, 4)
+      |SELECT bench_id, train_id,
+      |  CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
+      |  count(*) AS n_runs
+      |FROM r GROUP BY 1, 2 ORDER BY bench_id, train_id""".stripMargin
 }

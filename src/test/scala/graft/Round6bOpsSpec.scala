@@ -641,6 +641,31 @@ class Round6bOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("n_vectors")).sum >= nSel)
   }
 
+  test("contiguous contamination: equals brute-force longest common run") {
+    val docs = G.table(spark, sf(), "documents")
+      .select(col("doc_id"), lower(col("text")).as("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toVector)
+    val bench = docs.filter(_._1 % 7 == 3)
+    val train = docs.filter(_._1 % 7 != 3)
+    def lcsRun(a: Vector[String], b: Vector[String]): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices if a(i) == b(j)) {
+        var k = 0
+        while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k))
+          k += 1
+        if (k > best) best = k
+      }
+      best
+    }
+    val expect = (for ((bd, bts) <- bench; (td, tts) <- train) yield
+      (bd, td) -> lcsRun(bts, tts)).filter(_._2 >= 8).toMap
+    val got = Curation.contigContam(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("max_span_tokens")).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, l) => assert(got(k) == l.toLong, s"pair $k") }
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
