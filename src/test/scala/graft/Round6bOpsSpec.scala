@@ -666,6 +666,26 @@ class Round6bOpsSpec extends SparkSpec {
     expect.foreach { case (k, l) => assert(got(k) == l.toLong, s"pair $k") }
   }
 
+  test("plan audit: y12 and c18 broadcast their small side; no global window") {
+    // y12: the selection joins as a broadcast, and the only keyed exchange
+    // carries (vec_id, partial max) — the corpus vectors never shuffle
+    val covPlan = executed(Similarity.coverage(spark, sf()))
+    assert(covPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      covPlan.toString.contains("BroadcastExchange"),
+      "y12 selection no longer broadcast")
+    // c18: bench grams broadcast (train grams must not shuffle to find
+    // candidates), and every window partitions by (pair, diag) — a window
+    // with an empty partition spec would be a single-task global sort
+    val c18Plan = executed(Curation.contigContam(spark, sf()))
+    assert(c18Plan.toString.contains("BroadcastHashJoin"),
+      "c18 bench-gram join degraded from broadcast")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = c18Plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "global (unpartitioned) window in c18"))
+  }
+
   test("plan audit: q_t12 never ships raw text through an exchange") {
     val plan = executed(TextAnalysis.lmScore(spark, sf()))
     val exchanged = plan.collect { case e: Exchange => e.output.map(_.name) }
