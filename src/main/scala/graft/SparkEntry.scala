@@ -233,7 +233,10 @@ object SparkEntry {
     "q_y12_coverage" -> ((s, d) => Similarity.coverage(s, d)),
     // longest verbatim shared run per (bench, train) pair: diagonal
     // gram-chaining, the strict end of the decontamination ladder
-    "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d))
+    "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d)),
+    // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
+    // union ranges per doc, digest the cleaned text
+    "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,6 +361,7 @@ object SparkEntry {
     "q_x6_suffix_array" -> Dedup.suffixArraySql,
     "q_x7_repeated_span" -> Dedup.repeatedSpansSql,
     "q_y12_coverage" -> Similarity.coverageSql,
-    "q_c18_contig_contam" -> Curation.contigContamSql
+    "q_c18_contig_contam" -> Curation.contigContamSql,
+    "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.G
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (BASELINE north-star; SURVEY §7.2 step 6) —
@@ -1108,6 +1109,87 @@ object Dedup {
       .agg(max(col("span")).as("max_dup_span"))
       .orderBy("doc_id")
   }
+
+  /** q_x8: exact-substring DEDUP CUT — the ACTION to q_x7's signal, the
+    * Lee et al. operation itself: every occurrence of a duplicated
+    * 16-token span except the corpus-wide first (minimal position) is cut;
+    * overlapping cut ranges union per doc. Output per doc: token count,
+    * cut count, and an md5 digest of the cleaned (kept-tokens) text, so
+    * the oracle verifies the reconstructed output byte-for-byte without
+    * shipping full texts through the compare.
+    *
+    * Span starts are grouped by the md5 of their 16-gram (cross-engine
+    * replayable; production would use the x5 rolling hash), so the keyed
+    * exchange carries (digest, pos) — 40 B/row regardless of doc size.
+    * Range union is a per-doc running max over cut ends (keyed window,
+    * never global); canonical occurrences are never cut as STARTS but may
+    * be clipped by an earlier overlapping cut range, exactly like the
+    * reference byte-range semantics of exact-substring dedup. */
+  def dedupCut(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val toksDf = G.table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+    val pos = toksDf.select(col("doc_id"),
+      posexplode(col("ts")).as(Seq("off", "tok")))
+    val starts = toksDf.select(col("doc_id"),
+      posexplode(expr(
+        s"""CASE WHEN size(ts) >= $K
+           |  THEN transform(sequence(0, size(ts) - $K),
+           |         o -> md5(concat_ws(' ', slice(ts, o + 1, $K))))
+           |  ELSE array() END""".stripMargin)).as(Seq("off", "dig")))
+      .select(col("doc_id"), col("off"),
+        (col("doc_id") * 128 + col("off")).as("pos"), col("dig"))
+    val classes = starts.groupBy("dig")
+      .agg(min("pos").as("min_pos"), count(lit(1)).as("cnt"))
+    val dupStarts = starts.join(classes, "dig")
+      .filter(col("cnt") >= 2 && col("pos") =!= col("min_pos"))
+      .select(col("doc_id"), col("off"), (col("off") + K).as("cut_end"))
+    val w = Window.partitionBy("doc_id").orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos.join(dupStarts, Seq("doc_id", "off"), "left")
+      .withColumn("cov_end", max(col("cut_end")).over(w))
+      .withColumn("covered", coalesce(col("cov_end") > col("off"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_cut"),
+        md5(concat_ws(" ", expr(
+          """transform(filter(array_sort(collect_list(struct(off, covered, tok))),
+            |  s -> NOT s.covered), s -> s.tok)""".stripMargin)))
+          .as("clean_digest"))
+      .orderBy("doc_id")
+  }
+
+  val dedupCutSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |p0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+      |         i -> {'off': i - 1, 'tok': ts[i]})) AS o FROM tok),
+      |pos AS (SELECT doc_id, o.off AS off, o.tok AS tok FROM p0),
+      |st0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 14),
+      |          i -> {'off': i - 1,
+      |                'dig': md5(array_to_string(ts[i:i+15], ' '))})) AS s
+      |        FROM tok WHERE len(ts) >= 16),
+      |st AS (SELECT doc_id, s.off AS off, s.dig AS dig,
+      |              doc_id * 128 + s.off AS pos FROM st0),
+      |cls AS (SELECT dig, min(pos) AS min_pos, count(*) AS cnt
+      |        FROM st GROUP BY dig),
+      |ds AS (SELECT st.doc_id, st.off, st.off + 16 AS cut_end
+      |       FROM st JOIN cls USING (dig)
+      |       WHERE cnt >= 2 AND pos <> min_pos),
+      |mk AS (
+      |  SELECT pos.doc_id, pos.off, pos.tok,
+      |    max(ds.cut_end) OVER (PARTITION BY pos.doc_id ORDER BY pos.off
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov_end
+      |  FROM pos LEFT JOIN ds
+      |    ON ds.doc_id = pos.doc_id AND ds.off = pos.off),
+      |c AS (SELECT doc_id, off, tok,
+      |             coalesce(cov_end > off, false) AS covered FROM mk)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+      |  md5(coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END,
+      |    ' ' ORDER BY off), '')) AS clean_digest
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val repeatedSpansSql: String =
     s"""$saCtesSql,

@@ -666,6 +666,40 @@ class Round6bOpsSpec extends SparkSpec {
     expect.foreach { case (k, l) => assert(got(k) == l.toLong, s"pair $k") }
   }
 
+  test("dedup cut: equals brute-force keep-first span cutting per doc") {
+    val K = 16
+    val docs = G.table(spark, sf(), "documents")
+      .select(col("doc_id"), lower(col("text")).as("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toVector)
+      .sortBy(_._1)
+    val occ = scala.collection.mutable
+      .Map[Seq[String], List[(Long, Int)]]().withDefaultValue(Nil)
+    for ((d, ts) <- docs; o <- 0 to ts.length - K)
+      occ(ts.slice(o, o + K)) :+= ((d, o))
+    val cutStarts = occ.values.filter(_.size >= 2).flatMap { os =>
+      val mn = os.minBy { case (d, o) => d * 128 + o }
+      os.filterNot(_ == mn)
+    }.toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs.map { case (d, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      for (o <- ts.indices if cutStarts((d, o));
+           i <- o until math.min(o + K, ts.length)) covered(i) = true
+      val kept = ts.indices.filterNot(covered).map(ts)
+      d -> ((ts.length.toLong, covered.count(identity).toLong,
+        md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = graft.operators.Dedup.dedupCut(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_cut"), r.getAs[String]("clean_digest")))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (d, e) => assert(got(d) == e, s"doc $d") }
+    // the operation must actually fire on the planted near-dups
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("plan audit: y12 and c18 broadcast their small side; no global window") {
     // y12: the selection joins as a broadcast, and the only keyed exchange
     // carries (vec_id, partial max) — the corpus vectors never shuffle
