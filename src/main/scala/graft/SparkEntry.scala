@@ -194,6 +194,7 @@ object SparkEntry {
     "q_v3_drift" -> ((s, d) => Validation.drift(s, d)),
     // event funnel: cascading min-aggregates, O(users) joins
     "q_a14_funnel" -> ((s, d) => DashboardQueries.funnel(s, d)),
+    "q_a15_retention" -> ((s, d) => DashboardQueries.retention(s, d)),
     // ANN recall eval: IVF top-3 vs brute-force top-5 ground truth
     "q_y10_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // SpaceSaving summary maintained across micro-batches; rows-only
@@ -231,9 +232,11 @@ object SparkEntry {
     // embedding-space coverage of a selected subset: per-vector max cosine
     // to the broadcast selection, binned (facility-location objective)
     "q_y12_coverage" -> ((s, d) => Similarity.coverage(s, d)),
+    "q_y13_int8_search" -> ((s, d) => Similarity.int8Search(s, d)),
     // longest verbatim shared run per (bench, train) pair: diagonal
     // gram-chaining, the strict end of the decontamination ladder
     "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d)),
+    "q_c19_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
     "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
@@ -349,6 +352,7 @@ object SparkEntry {
     "q_t15_bpe_apply" -> TextAnalysis.bpeApplySql(),
     "q_v3_drift" -> Validation.driftSql,
     "q_a14_funnel" -> DashboardQueries.funnelSql,
+    "q_a15_retention" -> DashboardQueries.retentionSql,
     "q_y10_ann_recall" -> Similarity.annRecallSql,
     "q_c15_pagerank" -> Dedup.pageRankSql,
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
@@ -361,7 +365,9 @@ object SparkEntry {
     "q_x6_suffix_array" -> Dedup.suffixArraySql,
     "q_x7_repeated_span" -> Dedup.repeatedSpansSql,
     "q_y12_coverage" -> Similarity.coverageSql,
+    "q_y13_int8_search" -> Similarity.int8SearchSql,
     "q_c18_contig_contam" -> Curation.contigContamSql,
+    "q_c19_temperature_mix" -> Curation.temperatureMixSql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )
 }

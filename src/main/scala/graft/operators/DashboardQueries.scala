@@ -68,6 +68,42 @@ object DashboardQueries {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** q_a15: cohort retention — users bucketed by first-active day, then
+    * counted per (cohort_day, day_offset) they return on. The classic
+    * retention-curve matrix behind every dashboard in the reference's
+    * serving family (A4–A8 panels over `events`).
+    *
+    * Plan shape: ONE exchange keyed by `user_id` (partial `collect_set`
+    * of active days combines map-side, so the shuffle carries one row per
+    * user, each with a calendar-bounded day set), then one exchange keyed
+    * by (cohort_day, day_offset). The textbook formulation — distinct →
+    * window-min per user → join back → count distinct — costs four keyed
+    * exchanges on the full event stream; this one never shuffles events
+    * at all, only per-user summaries, which is the difference between
+    * O(events) and O(users) network at 100 TB. */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    G.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  val retentionSql: String =
+    """WITH peruser AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      |  GROUP BY user_id, day),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM peruser GROUP BY user_id)
+      |SELECT cohort_day, datediff('day', cohort_day, p.day) AS day_offset,
+      |  count(*) AS n_users
+      |FROM peruser p JOIN cohort c USING (user_id)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** A3: per-minute latency rollup — the AggregatingMergeTree materialized
     * view (`clickhouse/init.sql:81-94`); avg/max/min/count over the latency
     * analogue (props.k), grouped by minute. Spark's partial+final hash agg
