@@ -394,6 +394,57 @@ object Curation {
       |WHERE d.bucket < thr.threshold
       |GROUP BY d.lang, thr.threshold ORDER BY d.lang""".stripMargin
 
+  /** q_c19: temperature-based mixture resampling — the multilingual/
+    * multi-source mixing rule (weight ∝ count^α, here α = 0.5) that
+    * upsamples small sources relative to their raw share. Per-source
+    * targets are `ceil(K · √n_s / Σ√n)` capped at n_s, and the documents
+    * kept are the first `target` in content-hash order (md5), so the
+    * sample is stable under repartitioning and re-runs like every other
+    * sampler here.
+    *
+    * Cross-engine exactness: √n is correctly-rounded IEEE on both engines,
+    * and the normalizer Σ√n is summed via DECIMAL(38,9) (G.dsum) so its
+    * value is order-independent — `pow(n, α)` for general α is NOT exactly
+    * rounded and would not replay bit-for-bit, which is why the checked
+    * variant pins α = 0.5. Plan shape: the per-source stats and the scalar
+    * normalizer are broadcast; the only full-corpus work is one window
+    * sort per source on (md5, doc_id) — the same top-k-per-group shape as
+    * sourceCaps, except the k is data-dependent so WindowGroupLimit cannot
+    * pre-prune. */
+  def temperatureMix(spark: SparkSession, dir: String, k: Int = 300): DataFrame = {
+    val d = docs(spark, dir)
+    val stats = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val z = stats.agg(G.dsum(sqrt(col("n").cast("double")), 9).as("zsum"))
+    val t = stats.crossJoin(broadcast(z))
+      .withColumn("share", sqrt(col("n").cast("double")) / col("zsum"))
+      .withColumn("target", least(col("n"), ceil(lit(k.toDouble) * col("share"))))
+      .select(col("source"), col("target"), col("share"))
+    d.select(col("source"), col("doc_id"), col("text"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")), col("doc_id"))))
+      .join(broadcast(t), "source")
+      .filter(col("rk") <= col("target"))
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"),
+        col("target"), col("share"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH stats AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |z AS (SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,9)))
+      |             AS DOUBLE) AS zsum FROM stats),
+      |t AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) / zsum AS share,
+      |        least(n, CAST(ceil(300.0 * sqrt(CAST(n AS DOUBLE)) / zsum)
+      |                 AS BIGINT)) AS target
+      |      FROM stats, z),
+      |r AS (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(text), doc_id) AS rk
+      |      FROM documents)
+      |SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk, t.target, t.share
+      |FROM r JOIN t USING (source) WHERE r.rk <= t.target
+      |ORDER BY r.source, r.rk""".stripMargin
+
   /** The flagship composite: language filter → quality gate → exact
     * content-dedup (keep lowest doc_id per md5 digest) → deterministic 50%
     * hash-sample → per-source corpus stats. This is the whole curation
