@@ -840,6 +840,98 @@ object Similarity {
       |  END AS rmse
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** q_y13: int8-quantized ANN search with exact rescoring — the standard
+    * two-stage memory-compressed retrieval: (1) quantize every vector to
+    * int8 codes (per-vector symmetric scale 127/max_abs, round-half-up,
+    * the exact y5 codec), (2) rank candidates by the INTEGER dot product
+    * of codes rescaled by 1/(scale_c·scale_q) — a 4×-smaller corpus scan
+    * than fp32 and exact integer arithmetic (|code| ≤ 127, so the dot
+    * fits a double with no rounding → bit-reproducible and
+    * oracle-checkable, unlike fp approximations), (3) rescore only the
+    * top-20 survivors per query in full precision and emit the top-5.
+    *
+    * Plan shape: codes computed in ONE corpus pass; queries broadcast;
+    * the candidate ranking window carries only (query_id, vec_id, score)
+    * — column pruning drops the code arrays before the exchange. The
+    * rescore joins the 20·|Q| candidate ids back to the corpus as a
+    * BROADCAST join, so full-precision vectors are fetched for candidates
+    * only and never cross an exchange. At 100 TB this is the shape that
+    * matters: the scan ships int8-sized codes, the shuffle ships scores,
+    * and fp32 vectors move only for the O(k·|Q|) winners. */
+  def int8Search(spark: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(spark, dir)
+      .withColumn("max_abs", expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+      .filter(col("max_abs") =!= 0.0)
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("code",
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS DOUBLE))"))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("scale").as("qscale"),
+        col("code").as("qcode"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_approx").desc, col("vec_id"))
+    val cand = base.select(col("vec_id"), col("scale"), col("code"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qscale"),
+        col("qcode"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim_approx",
+        dot(col("code"), col("qcode")) / (col("scale") * col("qscale")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= 20)
+      .select(col("query_id"), col("vec_id"), col("sim_approx"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    embeddings(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnrm"))),
+        "query_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"),
+        col("sim_approx"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val int8SearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS max_abs
+      |  FROM e),
+      |s AS (
+      |  SELECT vec_id, v, 127.0 / max_abs AS scale,
+      |    list_transform(v, x -> floor(x * (127.0 / max_abs) + 0.5)) AS code
+      |  FROM m WHERE max_abs <> 0),
+      |q AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, code AS qcode
+      |      FROM s WHERE vec_id < 10),
+      |approx AS (
+      |  SELECT q.query_id, s.vec_id,
+      |    list_dot_product(s.code, q.qcode) / (s.scale * q.qscale) AS sim_approx
+      |  FROM s, q WHERE s.vec_id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, sim_approx FROM (
+      |    SELECT query_id, vec_id, sim_approx,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sim_approx DESC, vec_id) AS crank
+      |    FROM approx) WHERE crank <= 20),
+      |rescored AS (
+      |  SELECT c.query_id, c.vec_id, c.sim_approx,
+      |    list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM cand c JOIN e ON c.vec_id = e.vec_id
+      |              JOIN q ON c.query_id = q.query_id)
+      |SELECT query_id, rank, vec_id, sim, sim_approx FROM (
+      |  SELECT query_id, vec_id, sim, sim_approx,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, vec_id) AS rank
+      |  FROM rescored) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val embeddingNearDupsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |           WHERE vec_id < 300)

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Curation, DashboardQueries, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Round-6 fourth wave: cohort retention, temperature-based mixture
+  * resampling, and int8-quantized ANN search with exact rescoring —
+  * algebraic laws on the real tables plus the scale-critical plan shapes
+  * (per-user-summary shuffles only; no vector array ever crosses a shuffle
+  * exchange), in the Round5OpsSpec style.
+  */
+class Round6cOpsSpec extends SparkSpec {
+
+  private def executed(df: => DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try { val d = df; d.collect(); d.queryExecution.executedPlan }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // ------------------------------------------------------------- retention
+
+  test("retention: offset-0 diagonal counts every user exactly once") {
+    val ret = DashboardQueries.retention(spark, sf()).cache()
+    try {
+      val day0 = ret.filter(col("day_offset") === 0L)
+        .agg(sum(col("n_users"))).collect()(0).getLong(0)
+      val users = G.events(spark, sf()).select(col("user_id"))
+        .distinct().count()
+      assert(day0 == users,
+        s"offset-0 total $day0 != distinct users $users")
+      // nobody can be active before their cohort day
+      assert(ret.filter(col("day_offset") < 0L).count() == 0)
+      // a cohort's returning count never exceeds its day-0 size
+      val viol = ret.as("r")
+        .join(ret.filter(col("day_offset") === 0L)
+          .select(col("cohort_day"), col("n_users").as("size0")), "cohort_day")
+        .filter(col("n_users") > col("size0")).count()
+      assert(viol == 0, "retention count above cohort size")
+    } finally ret.unpersist()
+  }
+
+  test("retention plan: shuffles carry per-user summaries, not events") {
+    // two hash exchanges (user_id, then cohort/offset) + the output sort's
+    // range exchange — the 4-exchange distinct/window/join formulation
+    // must not creep back in
+    val plan = executed(DashboardQueries.retention(spark, sf()))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3, s"expected <=3 exchanges, got:\n$plan")
+  }
+
+  // -------------------------------------------------------- temperatureMix
+
+  test("temperatureMix: targets honor the sqrt-weight allocation and caps") {
+    val out = Curation.temperatureMix(spark, sf(), k = 300).cache()
+    try {
+      val bySource = out.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"), max(col("target")).as("target"),
+          max(col("share")).as("share"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      val n = G.table(spark, sf(), "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      bySource.foreach { case (src, kept, target, share) =>
+        assert(kept == target, s"$src kept $kept != target $target")
+        assert(target == math.min(n(src), math.ceil(300.0 * share).toLong),
+          s"$src target law broken")
+      }
+      // shares form a (decimal-rounded) probability vector
+      val shareSum = bySource.map(_._4).sum
+      assert(math.abs(shareSum - 1.0) < 1e-6, s"share sum $shareSum")
+      // temperature flattening: every source's keep-rate is >= the raw
+      // uniform rate K/N that proportional sampling would give it, iff its
+      // share exceeds its raw frequency (small sources are upsampled)
+      val total = n.values.sum.toDouble
+      bySource.foreach { case (src, kept, _, share) =>
+        if (n(src).toDouble / total < share)
+          assert(kept.toDouble / n(src) >= 300.0 / total - 1e-9,
+            s"$src small source not upsampled")
+      }
+      // selection is content-addressed: stable under re-run
+      val again = Curation.temperatureMix(spark, sf(), k = 300)
+      assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------------------ int8Search
+
+  test("int8Search: exact-rescored top-5 is dominated by brute-force top-5") {
+    val approx = Similarity.int8Search(spark, sf())
+      .select(col("query_id"), col("rank"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.knnBruteForce(spark, sf())
+      .select(col("query_id"), col("rank"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(approx.nonEmpty && approx.size == exact.size)
+    approx.foreach { case ((q, rk), sim) =>
+      // at every rank, rescored-from-candidates sim <= true kth-best sim
+      assert(sim <= exact((q, rk)) + 1e-12,
+        s"query $q rank $rk: approx $sim beats exact ${exact((q, rk))}")
+    }
+    // and the quantized candidate stage keeps recall high on this corpus
+    val hits = approx.keys.count { case (q, rk) =>
+      math.abs(approx((q, rk)) - exact((q, rk))) < 1e-12 }
+    assert(hits >= (approx.size * 0.8).toInt,
+      s"recall@5 too low: $hits/${approx.size}")
+  }
+
+  test("int8Search plan: no vector array crosses a shuffle exchange") {
+    // codes/vectors live scan-side or in tiny broadcasts; every shuffle
+    // (candidate-ranking window, final sort) ships scalar scores only
+    val plan = executed(Similarity.int8Search(spark, sf()))
+    val shuffled = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffled.nonEmpty)
+    shuffled.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"array-typed ${arrays.map(_.name).mkString(",")} crossed a shuffle")
+    }
+  }
+}
