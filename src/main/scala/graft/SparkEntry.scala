@@ -195,6 +195,7 @@ object SparkEntry {
     // event funnel: cascading min-aggregates, O(users) joins
     "q_a14_funnel" -> ((s, d) => DashboardQueries.funnel(s, d)),
     "q_a15_retention" -> ((s, d) => DashboardQueries.retention(s, d)),
+    "q_a16_transitions" -> ((s, d) => DashboardQueries.transitions(s, d)),
     // ANN recall eval: IVF top-3 vs brute-force top-5 ground truth
     "q_y10_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // SpaceSaving summary maintained across micro-batches; rows-only
@@ -237,6 +238,8 @@ object SparkEntry {
     // gram-chaining, the strict end of the decontamination ladder
     "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d)),
     "q_c19_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
+    "q_g1_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    "q_x9_edit_verify" -> ((s, d) => Dedup.editVerify(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
     "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
@@ -353,6 +356,7 @@ object SparkEntry {
     "q_v3_drift" -> Validation.driftSql,
     "q_a14_funnel" -> DashboardQueries.funnelSql,
     "q_a15_retention" -> DashboardQueries.retentionSql,
+    "q_a16_transitions" -> DashboardQueries.transitionsSql,
     "q_y10_ann_recall" -> Similarity.annRecallSql,
     "q_c15_pagerank" -> Dedup.pageRankSql,
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
@@ -368,6 +372,8 @@ object SparkEntry {
     "q_y13_int8_search" -> Similarity.int8SearchSql,
     "q_c18_contig_contam" -> Curation.contigContamSql,
     "q_c19_temperature_mix" -> Curation.temperatureMixSql,
+    "q_g1_triangles" -> Graph.trianglesSql,
+    "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )
 }

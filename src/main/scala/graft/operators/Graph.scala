@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.G
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relation-derived graphs — the family
+  * the near-dup clustering (Dedup.dedupClusters), PageRank (Dedup.pageRank)
+  * and canonical-doc selection started; this file holds the operators whose
+  * input graph is built from the relational tables rather than dedup pairs.
+  *
+  * Everything is expressed as joins + aggregations so Catalyst plans the
+  * shuffles: no vertex-program framework, no driver-side adjacency, and
+  * every intermediate keyed by a vertex or edge id.
+  */
+object Graph {
+
+  /** q_g1: per-node triangle count + local clustering coefficient over the
+    * co-purchase graph (two parts are adjacent iff some order contains
+    * both). Triangle counting is THE canonical "Spark has no operator for
+    * this" graph kernel; the scalable formulation is degree-ordered edge
+    * orientation (each edge points from its (degree, id)-smaller endpoint
+    * to the larger), which makes every triangle countable exactly once at
+    * its minimum-degree vertex and bounds per-vertex wedge fan-out by
+    * O(√E) instead of the max raw degree — the difference between a
+    * power-law hub exploding the wedge join and a plan that survives it.
+    *
+    * Plan: one self-join on l_orderkey builds candidate pairs (quadratic
+    * in basket size, which TPC-H bounds at 7 lines/order; a real basket
+    * graph would cap/salt hot orders first — Skew.capBuckets is that
+    * lever), one distinct, two broadcast-sized degree joins, then the
+    * wedge self-join and the closing-edge join, both keyed. Per-node
+    * counts explode each triangle to its three corners — O(3·triangles)
+    * rows, never materializing adjacency lists.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // bulk lines only (quantity >= 30): the unfiltered co-purchase graph is
+    // near-complete at TPC-H's 2000-parts-per-60k-lines density (41 M wedges
+    // at sf0.1 — measured), which tests nothing but join throughput; the
+    // scoped graph keeps ~200k edges / 63k triangles at sf0.1. The filter
+    // pushes into the parquet scan.
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    // edges feeds deg + oriented, oriented feeds both sides of the wedge
+    // join and the closing-edge join: cache both (the LSH-bucket-frame
+    // pattern — Bench/Verify clearCache() between queries) or every reuse
+    // re-runs the basket self-join from the scan.
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().cache()
+
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"),
+        when(lower, col("dv")).otherwise(col("du")).as("ddst"))
+      .cache()
+
+    val wedges = oriented.select(col("src"), col("dst").as("v"),
+        col("ddst").as("dv2"))
+      .join(oriented.select(col("src"), col("dst").as("w"),
+        col("ddst").as("dw2")), "src")
+      .filter(col("dv2") < col("dw2") ||
+        (col("dv2") === col("dw2") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("src").as("ta"), col("v").as("tb"), col("w").as("tc"))
+
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+      .join(deg, "n")
+      .withColumn("cc",
+        lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)))
+      .select(col("n").as("part_id"), col("deg"), col("n_tri"), col("cc"))
+      .orderBy(col("part_id"))
+  }
+
+  val trianglesSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_quantity >= 30),
+      |edges AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      |  GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+      |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+      |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ddst
+      |  FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+      |wedges AS (
+      |  SELECT o1.src, o1.dst AS v, o2.dst AS w
+      |  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+      |  WHERE (o1.ddst, o1.dst) < (o2.ddst, o2.dst)),
+      |tri AS (
+      |  SELECT wg.src AS ta, wg.v AS tb, wg.w AS tc
+      |  FROM wedges wg JOIN oriented o ON wg.v = o.src AND wg.w = o.dst),
+      |pern AS (
+      |  SELECT n, count(*) AS n_tri FROM (
+      |    SELECT ta AS n FROM tri UNION ALL SELECT tb AS n FROM tri
+      |    UNION ALL SELECT tc AS n FROM tri)
+      |  GROUP BY n)
+      |SELECT p.n AS part_id, d.deg, p.n_tri,
+      |  2.0 * p.n_tri / (d.deg * (d.deg - 1)) AS cc
+      |FROM pern p JOIN deg d ON p.n = d.n
+      |ORDER BY part_id""".stripMargin
+}
