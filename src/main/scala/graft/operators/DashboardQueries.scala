@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.G
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Serving-layer analytics (SURVEY §2.3 A3–A8, §2.2 P6, §2.10 O1–O4) — the
@@ -103,6 +104,54 @@ object DashboardQueries {
       |FROM peruser p JOIN cohort c USING (user_id)
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** q_a16: event-transition matrix — per-user Markov transitions between
+    * consecutive event types, with each from-state's outgoing share. The
+    * "what do users do next" companion to the funnel (a14) and retention
+    * (a15): one window exchange keyed by user (lag over event-time order,
+    * deterministic event_id tiebreak), one hash-agg keyed by the
+    * (from, to) pair, and a broadcast-sized per-from normalizer join.
+    * Nothing global: at 100 TB the sort is per-user partition-local after
+    * the one keyed exchange, and the transition matrix itself is
+    * |event_types|² rows. Share = pair count / from-state total, computed
+    * as exact BIGINT-to-DOUBLE division (single op, bit-reproducible). */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    // order by the RAW nanosecond epoch: G.events truncates ns → µs, which
+    // could order same-µs neighbors differently than DuckDB's full-precision
+    // timestamps; ts_ns ↔ epoch_ns(ts) is exact on both engines
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val pairs = G.eventsRaw(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .withColumn("share", col("n").cast("double") / col("from_total"))
+      .select(col("from_type"), col("to_type"), col("n"), col("share"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |tot AS (SELECT from_type, sum(n) AS from_total FROM pairs
+      |        GROUP BY from_type)
+      |SELECT p.from_type, p.to_type, p.n,
+      |  CAST(p.n AS DOUBLE) / from_total AS share
+      |FROM pairs p JOIN tot USING (from_type)
+      |ORDER BY p.from_type, p.to_type""".stripMargin
 
   /** A3: per-minute latency rollup — the AggregatingMergeTree materialized
     * view (`clickhouse/init.sql:81-94`); avg/max/min/count over the latency
