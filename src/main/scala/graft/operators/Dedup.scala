@@ -483,6 +483,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q_x9: edit-distance verification kernel — exact Levenshtein over
+    * 200-char prefixes for the bounded candidate window (doc_id < 100,
+    * the same scoped-verify contract as x4's Jaccard kernel). This is the
+    * final arbiter a near-dup pipeline runs AFTER banding (x2/x3) has cut
+    * candidates to O(dups): character-level DP is O(|a|·|b|) per pair, so
+    * it must only ever see bounded prefixes of bounded candidate sets —
+    * which is exactly how it's scoped here, and why the full corpus never
+    * reaches it. `sim = 1 − dist/200` is a single exact division;
+    * `levenshtein` has identical unit-cost semantics on both engines. */
+  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+    val pre = G.table(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+    val a = pre.select(col("doc_id").as("doc_a"), col("p").as("pa"))
+    val b = pre.select(col("doc_id").as("doc_b"), col("p").as("pb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= 80)
+      .withColumn("sim", lit(1.0) - col("dist").cast("double") / 200.0)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val editVerifySql: String =
+    """WITH p AS (
+      |  SELECT doc_id, substr(text, 1, 200) AS p FROM documents
+      |  WHERE doc_id < 100)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist,
+      |  CAST(1.0 AS DOUBLE) - CAST(levenshtein(a.p, b.p) AS DOUBLE) / 200.0
+      |    AS sim
+      |FROM p a JOIN p b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 80
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val jaccard3gramPairsSql: String =
     """WITH g AS (
       |  SELECT doc_id, list_distinct(list_transform(range(0, length(text)-2),

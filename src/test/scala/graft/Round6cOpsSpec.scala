@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, DashboardQueries, Similarity}
+import graft.operators.{Curation, DashboardQueries, Dedup, Graph, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -108,6 +108,93 @@ class Round6cOpsSpec extends SparkSpec {
       math.abs(approx((q, rk)) - exact((q, rk))) < 1e-12 }
     assert(hits >= (approx.size * 0.8).toInt,
       s"recall@5 too low: $hits/${approx.size}")
+  }
+
+  // -------------------------------------------------------------- triangles
+
+  test("triangles: degree-oriented count agrees with brute force") {
+    val out = Graph.triangles(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent brute force from the same edge definition
+    val li = G.table(spark, sf(), "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val triPerNode = collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u) if w > v && adj(v).contains(w)) {
+      triPerNode(u) += 1; triPerNode(v) += 1; triPerNode(w) += 1
+    }
+    val got = out.map(r => r._1 -> r._3).toMap
+    assert(got == triPerNode.toMap, "per-node triangle counts differ")
+    out.foreach { case (n, deg, tri, cc) =>
+      assert(deg == adj(n).size, s"degree mismatch at $n")
+      assert(math.abs(cc - 2.0 * tri / (deg * (deg - 1.0))) < 1e-12)
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+  }
+
+  // ------------------------------------------------------------ transitions
+
+  test("transitions: counts conserve events and shares normalize") {
+    val out = DashboardQueries.transitions(spark, sf()).cache()
+    try {
+      val ev = G.eventsRaw(spark, sf())
+      val totalN = out.agg(sum(col("n"))).collect()(0).getLong(0)
+      val nEvents = ev.count()
+      val nUsers = ev.select(col("user_id")).distinct().count()
+      // each user with k events contributes exactly k-1 transitions
+      assert(totalN == nEvents - nUsers,
+        s"$totalN transitions != $nEvents events - $nUsers users")
+      val rowShares = out.groupBy(col("from_type"))
+        .agg(sum(col("share")).as("s")).collect()
+      rowShares.foreach(r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+          s"${r.getString(0)} shares sum to ${r.getDouble(1)}"))
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------------------- editVerify
+
+  test("editVerify: matches an independent Levenshtein brute force") {
+    val out = Dedup.editVerify(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty, "no candidate pairs under the edit threshold")
+    out.foreach { case ((a, b), (d, s)) =>
+      assert(a < b && d >= 0 && d <= 80)
+      assert(math.abs(s - (1.0 - d / 200.0)) < 1e-12)
+    }
+    // reference DP, no engine involved
+    def lev(x: String, y: String): Int = {
+      var prev = Array.tabulate(y.length + 1)(identity)
+      for (i <- 1 to x.length) {
+        val cur = new Array[Int](y.length + 1)
+        cur(0) = i
+        for (j <- 1 to y.length)
+          cur(j) = math.min(math.min(cur(j - 1), prev(j)) + 1,
+            prev(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(y.length)
+    }
+    val pre = G.table(spark, sf(), "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), substring(col("text"), 1, 200))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val expect = (for {
+      i <- pre.indices; j <- i + 1 until pre.length
+      d = lev(pre(i)._2, pre(j)._2) if d <= 80
+    } yield (pre(i)._1, pre(j)._1) -> d).toMap
+    assert(out.keySet == expect.keySet, "pair sets differ from brute force")
+    expect.foreach { case (k, d) =>
+      assert(out(k)._1 == d, s"$k: engine ${out(k)._1} != reference $d")
+    }
   }
 
   test("int8Search plan: no vector array crosses a shuffle exchange") {
