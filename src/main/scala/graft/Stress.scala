@@ -382,6 +382,22 @@ object Stress {
         ranks.write.mode("overwrite").format("noop").save()
         edges.unpersist()
       },
+      // round 6: degree-oriented triangle counting — nBaskets = n/40
+      // baskets of 6 items over a 3·nBaskets key space: the part space must
+      // scale LINEARLY with baskets or the graph saturates toward complete
+      // (first cut used nBaskets/50 parts → ~1e9 wedges at 100k baskets,
+      // 68 s; with 3× parts the same volume runs in seconds and 2× baskets
+      // ≈ 2× edges, so the ladder ratio measures the algorithm, not
+      // density collapse)
+      time("triangles") {
+        val nBaskets = math.min(n / 40, 1000000L)
+        val nParts = nBaskets * 3L
+        val baskets = spark.range(nBaskets * 6).select(
+          (col("id") / 6L).cast("long").as("ok"),
+          pmod(xxhash64(col("id") * 7L), lit(nParts)).as("pk"))
+        graft.operators.Graph.trianglesFromBaskets(baskets)
+          .write.mode("overwrite").format("noop").save()
+      },
       // round 6: suffix-array build by prefix doubling — nDocs = n/10 docs
       // of 16 tokens (64-word vocab → heavy shared-prefix structure, so
       // rank classes stay fat for several rounds); converges after the

@@ -39,9 +39,15 @@ object Graph {
     // at sf0.1 — measured), which tests nothing but join throughput; the
     // scoped graph keeps ~200k edges / 63k triangles at sf0.1. The filter
     // pushes into the parquet scan.
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    trianglesFromBaskets(
+      G.table(spark, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+  }
+
+  /** Core kernel on a (ok, pk) basket frame — shared by the q_g1 query and
+    * the graft.Stress `triangles` ladder stage. */
+  private[graft] def trianglesFromBaskets(li: DataFrame): DataFrame = {
     val a = li.select(col("ok"), col("pk").as("u"))
     val b = li.select(col("ok"), col("pk").as("v"))
     // edges feeds deg + oriented, oriented feeds both sides of the wedge
