@@ -223,6 +223,7 @@ object SparkEntry {
     "q_y11_mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
     // dataset version diff: digest-only manifest compare across versions
     "q_v4_version_diff" -> ((s, d) => Validation.versionDiff(s, d)),
+    "q_v5_freshness" -> ((s, d) => Validation.freshness(s, d)),
     // distributed suffix array by prefix doubling (7 fixed rounds) — the
     // exact-substring-dedup substrate; ranks via range-sort dense rank,
     // no global window
@@ -234,11 +235,13 @@ object SparkEntry {
     // to the broadcast selection, binned (facility-location objective)
     "q_y12_coverage" -> ((s, d) => Similarity.coverage(s, d)),
     "q_y13_int8_search" -> ((s, d) => Similarity.int8Search(s, d)),
+    "q_y14_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     // longest verbatim shared run per (bench, train) pair: diagonal
     // gram-chaining, the strict end of the decontamination ladder
     "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d)),
     "q_c19_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
     "q_g1_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    "q_g2_also_bought" -> ((s, d) => Graph.alsoBought(s, d)),
     "q_x9_edit_verify" -> ((s, d) => Dedup.editVerify(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
@@ -366,13 +369,16 @@ object SparkEntry {
     "q_t17_probe_apply" -> TextAnalysis.probeApplySql,
     "q_y11_mmr_select" -> Similarity.mmrSelectSql,
     "q_v4_version_diff" -> Validation.versionDiffSql,
+    "q_v5_freshness" -> Validation.freshnessSql,
     "q_x6_suffix_array" -> Dedup.suffixArraySql,
     "q_x7_repeated_span" -> Dedup.repeatedSpansSql,
     "q_y12_coverage" -> Similarity.coverageSql,
     "q_y13_int8_search" -> Similarity.int8SearchSql,
+    "q_y14_silhouette" -> Similarity.silhouetteSql,
     "q_c18_contig_contam" -> Curation.contigContamSql,
     "q_c19_temperature_mix" -> Curation.temperatureMixSql,
     "q_g1_triangles" -> Graph.trianglesSql,
+    "q_g2_also_bought" -> Graph.alsoBoughtSql,
     "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )

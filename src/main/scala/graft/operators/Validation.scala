@@ -229,6 +229,62 @@ object Validation {
     * absent = added since; every 17th digest perturbed = changed; ghost
     * ids +5000000 = removed), so the oracle replays the derivation
     * exactly. */
+  /** q_v5: freshness / completeness gate — per-day arrival counts judged
+    * against their own trailing-7-day history: a day is flagged `low` when
+    * it lands under half the trailing mean, and `gap_before` when calendar
+    * days are missing in front of it. The partition-completeness check
+    * every ingestion pipeline runs before publishing a snapshot.
+    *
+    * The heavy lifting is ONE hash-agg keyed by day (events never leave
+    * the scan unaggregated); the trailing window is global-ordered but
+    * runs over O(days) aggregate rows — bounded by the calendar, like the
+    * o3 minute series, so the single-partition window is a non-issue at
+    * any corpus size. Trailing stats use exact BIGINT sum/count division
+    * (no avg(double) order-dependence). */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = G.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    byDay
+      .withColumn("trail_sum", sum(col("cnt")).over(w))
+      .withColumn("trail_n", count(col("cnt")).over(w))
+      .withColumn("prev_day", lag(col("day"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("trail_avg",
+        col("trail_sum").cast("double") / col("trail_n"))
+      .withColumn("is_low",
+        when(col("trail_n") >= 3 &&
+          col("cnt").cast("double") < col("trail_avg") * 0.5, 1L)
+          .otherwise(0L))
+      .withColumn("gap_before",
+        when(col("prev_day").isNotNull &&
+          datediff(col("day"), col("prev_day")) > 1, 1L).otherwise(0L))
+      .select(col("day"), col("cnt"), col("trail_avg"), col("is_low"),
+        col("gap_before"))
+      .orderBy(col("day"))
+  }
+
+  val freshnessSql: String =
+    """WITH byday AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events
+      |  GROUP BY day),
+      |win AS (
+      |  SELECT day, cnt,
+      |    sum(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |      AS trail_sum,
+      |    count(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |      AS trail_n,
+      |    lag(day) OVER (ORDER BY day) AS prev_day
+      |  FROM byday)
+      |SELECT day, cnt, CAST(trail_sum AS DOUBLE) / trail_n AS trail_avg,
+      |  CASE WHEN trail_n >= 3 AND CAST(cnt AS DOUBLE)
+      |         < CAST(trail_sum AS DOUBLE) / trail_n * 0.5
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_low,
+      |  CASE WHEN prev_day IS NOT NULL AND datediff('day', prev_day, day) > 1
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS gap_before
+      |FROM win ORDER BY day""".stripMargin
+
   def versionDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = G.table(spark, dir, "documents")
     val cur = d.select(col("doc_id"), col("source"),
