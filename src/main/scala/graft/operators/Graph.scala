@@ -92,6 +92,66 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
+  /** q_g2: common-neighbor similarity ("customers who bought X also
+    * bought Y") — for part pairs sharing ≥ 3 co-purchase neighbors, the
+    * common-neighbor count and neighborhood Jaccard
+    * `common / (deg_u + deg_v − common)`, top-100 by strength. The
+    * link-prediction / recommendation kernel over the same bulk
+    * co-purchase graph as q_g1.
+    *
+    * Enumerating common neighbors IS the wedge set, so the cost is the
+    * inherent Σ C(deg, 2); what keeps it scalable is that the wedge join
+    * output never materializes adjacency lists (two long columns per row),
+    * partial aggregation combines wedge counts map-side before the one
+    * keyed exchange on the pair, and the top-100 runs as
+    * TakeOrderedAndProject (per-partition heap + driver merge), never a
+    * global sort. Degree lookups broadcast (O(nodes) rows). */
+  def alsoBought(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.select(col("u").as("c"), col("v").as("n"))
+      .union(edges.select(col("v").as("c"), col("u").as("n"))).cache()
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    adj.select(col("c"), col("n").as("x"))
+      .join(adj.select(col("c"), col("n").as("y")), "c")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 3)
+      .join(broadcast(deg.select(col("c").as("x"), col("deg").as("dx"))), "x")
+      .join(broadcast(deg.select(col("c").as("y"), col("deg").as("dy"))), "y")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("dx") + col("dy") - col("common")))
+      .select(col("x").as("part_a"), col("y").as("part_b"), col("common"),
+        col("jaccard"))
+      .orderBy(col("common").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val alsoBoughtSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_quantity >= 30),
+      |edges AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |adj AS (
+      |  SELECT u AS c, v AS n FROM edges
+      |  UNION ALL SELECT v AS c, u AS n FROM edges),
+      |deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+      |pairs AS (
+      |  SELECT a1.n AS x, a2.n AS y, count(*) AS common
+      |  FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n
+      |  GROUP BY x, y HAVING count(*) >= 3)
+      |SELECT p.x AS part_a, p.y AS part_b, p.common,
+      |  CAST(p.common AS DOUBLE) / (dx.deg + dy.deg - p.common) AS jaccard
+      |FROM pairs p JOIN deg dx ON p.x = dx.c JOIN deg dy ON p.y = dy.c
+      |ORDER BY p.common DESC, part_a, part_b
+      |LIMIT 100""".stripMargin
+
   val trianglesSql: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |            WHERE l_quantity >= 30),
