@@ -932,6 +932,68 @@ object Similarity {
       |  FROM rescored) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q_y14: per-cluster mean silhouette over a bounded evaluation sample
+    * (vec_id < 500) — the clustering-quality gate for the `label`
+    * assignment the IVF/SemDeDup family keys on: a(i) = mean cosine
+    * distance to own cluster, b(i) = min over other clusters of the mean
+    * distance, s(i) = (b−a)/max(a,b), reported as per-label averages.
+    *
+    * The evaluation is all-pairs BY DESIGN and therefore bounded to the
+    * sample (the x4/x9 scoped-verify contract): silhouette is a quality
+    * metric you compute on a few hundred vectors per snapshot, not a
+    * corpus pass. Every mean is an exact DECIMAL(38,9) sum over
+    * deterministic pairwise distances divided by an exact count, so the
+    * whole metric replays bit-for-bit in DuckDB; b(i) is a MIN (no FP
+    * accumulation). Sample singletons (label with one member) drop out of
+    * the inner own-join on both engines identically. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val s = embeddings(spark, dir).filter(col("vec_id") < 500)
+    val a = s.select(col("vec_id").as("ida"), col("label").as("la"),
+      col("v").as("va"), col("nrm").as("nra"))
+    val b = s.select(col("vec_id").as("idb"), col("label").as("lb"),
+      col("v").as("vb"), col("nrm").as("nrb"))
+    val perLabel = a.crossJoin(b).filter(col("ida") =!= col("idb"))
+      .withColumn("dist",
+        lit(1.0) - dot(col("va"), col("vb")) / (col("nra") * col("nrb")))
+      .groupBy(col("ida"), col("la"), col("lb"))
+      .agg((G.dsum(col("dist"), 9) / count(lit(1))).as("mdist"))
+    val own = perLabel.filter(col("la") === col("lb"))
+      .select(col("ida"), col("la"), col("mdist").as("a_i"))
+    val other = perLabel.filter(col("la") =!= col("lb"))
+      .groupBy(col("ida")).agg(min(col("mdist")).as("b_i"))
+    own.join(other, "ida")
+      .withColumn("s",
+        (col("b_i") - col("a_i")) / greatest(col("a_i"), col("b_i")))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (G.dsum(col("s"), 9) / count(lit(1))).as("avg_sil"))
+      .orderBy(col("label"))
+  }
+
+  val silhouetteSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id < 500),
+      |m AS (SELECT vec_id, label, v,
+      |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |d AS (
+      |  SELECT a.vec_id AS ida, a.label AS la, b.label AS lb,
+      |    CAST(1.0 AS DOUBLE) -
+      |      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS dist
+      |  FROM m a JOIN m b ON a.vec_id <> b.vec_id),
+      |perlabel AS (
+      |  SELECT ida, la, lb,
+      |    CAST(SUM(CAST(dist AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mdist
+      |  FROM d GROUP BY ida, la, lb),
+      |own AS (SELECT ida, la, mdist AS a_i FROM perlabel WHERE la = lb),
+      |other AS (SELECT ida, min(mdist) AS b_i FROM perlabel
+      |          WHERE la <> lb GROUP BY ida),
+      |sil AS (
+      |  SELECT o.la, (t.b_i - o.a_i) / greatest(o.a_i, t.b_i) AS s
+      |  FROM own o JOIN other t USING (ida))
+      |SELECT la AS label, count(*) AS n_vecs,
+      |  CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_sil
+      |FROM sil GROUP BY la ORDER BY label""".stripMargin
+
   val embeddingNearDupsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |           WHERE vec_id < 300)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, DashboardQueries, Dedup, Graph, Similarity}
+import graft.operators.{Curation, DashboardQueries, Dedup, Graph, Similarity, Validation}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -194,6 +194,108 @@ class Round6cOpsSpec extends SparkSpec {
     assert(out.keySet == expect.keySet, "pair sets differ from brute force")
     expect.foreach { case (k, d) =>
       assert(out(k)._1 == d, s"$k: engine ${out(k)._1} != reference $d")
+    }
+  }
+
+  // -------------------------------------------------------------- freshness
+
+  test("freshness: day counts conserve events; trailing stats recompute") {
+    val out = Validation.freshness(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3),
+        r.getLong(4)))
+    val total = out.map(_._2).sum
+    assert(total == G.events(spark, sf()).count(), "day counts lose events")
+    // reference trailing mean over the previous <=7 rows
+    val cnts = out.map(_._2)
+    out.zipWithIndex.foreach { case ((day, cnt, avg, low, gap), i) =>
+      val win = cnts.slice(math.max(0, i - 7), i)
+      if (win.isEmpty) assert(avg.isEmpty)
+      else {
+        val expect = win.sum.toDouble / win.size
+        assert(math.abs(avg.get - expect) < 1e-12, s"$day trailing mean")
+        val expLow = if (win.size >= 3 && cnt < expect * 0.5) 1L else 0L
+        assert(low == expLow, s"$day low flag")
+      }
+      if (i > 0) {
+        val expGap =
+          if (out(i - 1)._1.until(day, java.time.temporal.ChronoUnit.DAYS) > 1)
+            1L else 0L
+        assert(gap == expGap, s"$day gap flag")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- alsoBought
+
+  test("alsoBought: common-neighbor counts match brute force") {
+    val out = Graph.alsoBought(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.length <= 100)
+    val li = G.table(spark, sf(), "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    out.foreach { case (x, y, common, jac) =>
+      val inter = adj(x).intersect(adj(y)).size
+      assert(inter == common, s"($x,$y) common $common != $inter")
+      val expJac = common.toDouble / (adj(x).size + adj(y).size - common)
+      assert(math.abs(jac - expJac) < 1e-12)
+    }
+    // top-100 is genuinely the strongest: min reported common >= the
+    // 100th-largest brute-force common count
+    val allCommon = (for {
+      x <- adj.keys; y <- adj(x).flatMap(adj(_)) if x < y
+    } yield adj(x).intersect(adj(y)).size).toSeq.filter(_ >= 3)
+      .sorted(Ordering[Int].reverse)
+    if (allCommon.size >= 100)
+      assert(out.map(_._3).min >= allCommon(99))
+  }
+
+  // ------------------------------------------------------------- silhouette
+
+  test("silhouette: per-label averages match a plain-double reference") {
+    val out = Similarity.silhouette(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, s) =>
+      assert(n > 0 && s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+    val vecs = G.table(spark, sf(), "embeddings")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      1.0 - d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = collection.mutable.Map.empty[Int, List[Double]]
+      .withDefaultValue(Nil)
+    vecs.foreach { case (id, la, va) =>
+      val mean = vecs.filter(o => o._1 != id)
+        .groupBy(_._2)
+        .map { case (lb, os) =>
+          lb -> os.map(o => cosDist(va, o._3)).sum / os.size }
+      if (mean.contains(la) && mean.size > 1) {
+        val ai = mean(la)
+        val bi = mean.filter(_._1 != la).values.min
+        byLabel(la) = ((bi - ai) / math.max(ai, bi)) :: byLabel(la)
+      }
+    }
+    val expect = byLabel.map { case (l, ss) => l -> (ss.sum / ss.size) }
+    assert(out.map(_._1).toSet == expect.keySet)
+    out.foreach { case (l, n, s) =>
+      assert(n == byLabel(l).size)
+      assert(math.abs(s - expect(l)) < 1e-9, s"label $l: $s vs ${expect(l)}")
     }
   }
 
