@@ -242,6 +242,7 @@ object SparkEntry {
     "q_c19_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
     "q_g1_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "q_g2_also_bought" -> ((s, d) => Graph.alsoBought(s, d)),
+    "q_g3_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
     "q_x9_edit_verify" -> ((s, d) => Dedup.editVerify(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
@@ -379,6 +380,7 @@ object SparkEntry {
     "q_c19_temperature_mix" -> Curation.temperatureMixSql,
     "q_g1_triangles" -> Graph.trianglesSql,
     "q_g2_also_bought" -> Graph.alsoBoughtSql,
+    "q_g3_label_prop" -> Graph.labelPropSql,
     "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )

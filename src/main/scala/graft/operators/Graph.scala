@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.G
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over relation-derived graphs — the family
@@ -151,6 +152,73 @@ object Graph {
       |FROM pairs p JOIN deg dx ON p.x = dx.c JOIN deg dy ON p.y = dy.c
       |ORDER BY p.common DESC, part_a, part_b
       |LIMIT 100""".stripMargin
+
+  /** q_g3: community detection by synchronous label propagation — 3
+    * deterministic rounds over the bulk co-purchase graph: every node
+    * starts as its own label, then adopts the most frequent label among
+    * its neighbors, ties broken by smallest label. The semi-synchronous
+    * update with a total-order tie-break makes classic LPA (normally
+    * randomized and order-dependent) bit-reproducible, the same move that
+    * made the k-means build (y6) and PageRank (c15) oracle-checkable.
+    *
+    * Per round: one keyed join (adjacency ⋈ labels, both sides hashed on
+    * node), one (node, label) hash-agg with map-side partials, and one
+    * row_number window keyed by node — nothing global, state is one long
+    * per node. Rounds are data-independent (fixed 3), so the oracle
+    * replays them as unrolled CTEs. Output is the community-size
+    * histogram. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.select(col("u").as("c"), col("v").as("nb"))
+      .union(edges.select(col("v").as("c"), col("u").as("nb"))).cache()
+    val w = Window.partitionBy(col("c"))
+      .orderBy(col("cnt").desc, col("lbl"))
+    var labels = adj.select(col("c").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+    for (_ <- 1 to 3) {
+      labels = adj
+        .join(labels.select(col("n").as("nb"), col("lbl")), "nb")
+        .groupBy(col("c"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c").as("n"), col("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("community"))
+  }
+
+  val labelPropSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT c AS n, lbl FROM (
+         |    SELECT a.c, p.lbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY a.c
+         |        ORDER BY count(*) DESC, p.lbl) AS rk
+         |    FROM adj a JOIN $prev p ON a.nb = p.n
+         |    GROUP BY a.c, p.lbl) t
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_quantity >= 30),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS (
+       |  SELECT u AS c, v AS nb FROM edges
+       |  UNION ALL SELECT v AS c, u AS nb FROM edges),
+       |l0 AS (SELECT DISTINCT c AS n, c AS lbl FROM adj),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT lbl AS community, count(*) AS n_members
+       |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+  }
 
   val trianglesSql: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem

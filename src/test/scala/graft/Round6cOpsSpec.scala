@@ -258,6 +258,35 @@ class Round6cOpsSpec extends SparkSpec {
       assert(out.map(_._3).min >= allCommon(99))
   }
 
+  // -------------------------------------------------------------- labelProp
+
+  test("labelProp: 3 synchronous rounds match a reference implementation") {
+    val out = Graph.labelProp(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = G.table(spark, sf(), "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    val expect = labels.values.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    assert(out == expect, "community histogram differs from reference")
+    assert(out.values.sum == adj.size.toLong, "nodes lost or duplicated")
+  }
+
   // ------------------------------------------------------------- silhouette
 
   test("silhouette: per-label averages match a plain-double reference") {
