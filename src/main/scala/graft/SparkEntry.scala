@@ -240,6 +240,7 @@ object SparkEntry {
     // gram-chaining, the strict end of the decontamination ladder
     "q_c18_contig_contam" -> ((s, d) => Curation.contigContam(s, d)),
     "q_c19_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
+    "q_c20_quality_deciles" -> ((s, d) => Curation.qualityDeciles(s, d)),
     "q_g1_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "q_g2_also_bought" -> ((s, d) => Graph.alsoBought(s, d)),
     "q_g3_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
@@ -378,6 +379,7 @@ object SparkEntry {
     "q_y14_silhouette" -> Similarity.silhouetteSql,
     "q_c18_contig_contam" -> Curation.contigContamSql,
     "q_c19_temperature_mix" -> Curation.temperatureMixSql,
+    "q_c20_quality_deciles" -> Curation.qualityDecilesSql,
     "q_g1_triangles" -> Graph.trianglesSql,
     "q_g2_also_bought" -> Graph.alsoBoughtSql,
     "q_g3_label_prop" -> Graph.labelPropSql,

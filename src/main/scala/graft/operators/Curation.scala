@@ -445,6 +445,54 @@ object Curation {
       |FROM r JOIN t USING (source) WHERE r.rk <= t.target
       |ORDER BY r.source, r.rk""".stripMargin
 
+  /** q_c20: quality-decile report — documents bucketed into deciles of the
+    * t2 quality score, with per-decile stats. The scalable shape for "keep
+    * the top 30% by quality": decile BOUNDARIES come from one global
+    * order-statistic aggregate (percentile_disc, the exact a10 path —
+    * switchable to approx_percentile at corpus scale), get broadcast as a
+    * single row, and every document is assigned by nine comparisons in a
+    * codegen'd projection. No ntile, no global sort of the corpus — the
+    * only full-data pass after scoring is one hash-agg keyed by decile.
+    * Ties land in the lower decile (strict >), identical in DuckDB. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .createOrReplaceTempView("q_scored_docs")
+    val bs = (1 to 9).map(i =>
+      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY quality_score) AS b$i")
+      .mkString(", ")
+    val cases = (1 to 9).map(i =>
+      s"CASE WHEN quality_score > b$i THEN 1 ELSE 0 END").mkString(" + ")
+    spark.sql(
+      s"""WITH b AS (SELECT $bs FROM q_scored_docs)
+         |SELECT decile, count(*) AS n_docs,
+         |  min(quality_score) AS min_score, max(quality_score) AS max_score,
+         |  CAST(SUM(CAST(quality_score AS DECIMAL(38,9))) AS DOUBLE)
+         |    / count(*) AS avg_score
+         |FROM (
+         |  SELECT quality_score, 1 + $cases AS decile
+         |  FROM q_scored_docs CROSS JOIN b) t
+         |GROUP BY decile ORDER BY decile""".stripMargin)
+  }
+
+  val qualityDecilesSql: String = {
+    val scored = TextAnalysis.qualityScoreSql.stripSuffix("ORDER BY doc_id")
+    val bs = (1 to 9).map(i =>
+      s"quantile_disc(quality_score, 0.$i) AS b$i").mkString(", ")
+    val cases = (1 to 9).map(i =>
+      s"CASE WHEN quality_score > b$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH q AS ($scored),
+       |b AS (SELECT $bs FROM q)
+       |SELECT decile, count(*) AS n_docs,
+       |  min(quality_score) AS min_score, max(quality_score) AS max_score,
+       |  CAST(SUM(CAST(quality_score AS DECIMAL(38,9))) AS DOUBLE)
+       |    / count(*) AS avg_score
+       |FROM (
+       |  SELECT quality_score, 1 + $cases AS decile
+       |  FROM q CROSS JOIN b) t
+       |GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   /** The flagship composite: language filter → quality gate → exact
     * content-dedup (keep lowest doc_id per md5 digest) → deterministic 50%
     * hash-sample → per-source corpus stats. This is the whole curation

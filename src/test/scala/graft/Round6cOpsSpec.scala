@@ -258,6 +258,25 @@ class Round6cOpsSpec extends SparkSpec {
       assert(out.map(_._3).min >= allCommon(99))
   }
 
+  // --------------------------------------------------------- qualityDeciles
+
+  test("qualityDeciles: partition the corpus with strictly rising buckets") {
+    val rows = Curation.qualityDeciles(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = G.table(spark, sf(), "documents").count()
+    assert(rows.map(_._2).sum == total, "deciles lose documents")
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 10))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // strict > assignment puts ties in the lower bucket, so score ranges
+    // must be strictly separated across deciles
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((_, _, _, hiMax), (_, _, loMin, _)) =>
+        assert(loMin > hiMax, s"decile ranges overlap: $loMin <= $hiMax")
+      case _ =>
+    }
+    rows.foreach { case (_, _, mn, mx) => assert(mn <= mx) }
+  }
+
   // -------------------------------------------------------------- labelProp
 
   test("labelProp: 3 synchronous rounds match a reference implementation") {
