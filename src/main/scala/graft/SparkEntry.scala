@@ -154,6 +154,10 @@ object SparkEntry {
     "q_r20_salted_join" -> ((s, d) => Relational.saltedSupplierRevenue(s, d)),
     // stream-stream event-time interval join (trades x quotes), replayed
     "q_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteJoinReplay(s, d)),
+    // stream-static broadcast enrichment join, replayed + hash-checked
+    "q_stream_enrich" -> ((s, d) => graft.streaming.StreamingJobs.enrichReplay(s, d)),
+    // CSV/JSON/ORC interchange round-trip, hash-checked vs the parquet
+    "q_src_roundtrip" -> ((s, d) => graft.sources.Formats.roundTrip(s, d)),
     // z-order (Morton) clustering value, the ST2 sort key in 2-D
     "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d)),
     // data-quality gates: per-column profile + named constraint rules
@@ -345,6 +349,8 @@ object SparkEntry {
     "q_y9_semdedup" -> Similarity.semDedupSql(),
     "q_r20_salted_join" -> Relational.saltedSupplierRevenueSql,
     "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql,
+    "q_stream_enrich" -> graft.streaming.StreamingJobs.enrichReplaySql,
+    "q_src_roundtrip" -> graft.sources.Formats.roundTripSql,
     "q_st5_zorder" -> Tables.zorderStatsSql,
     "q_v1_profile" -> Validation.profileSql,
     "q_v2_constraints" -> Validation.constraintsSql,

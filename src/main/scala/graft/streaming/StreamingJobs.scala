@@ -635,6 +635,52 @@ object StreamingJobs {
        |ORDER BY t.trade_id, quote_id""".stripMargin
   }
 
+  /** Stream–static enrichment, HASH-CHECKED (q_stream_enrich): the
+    * [[enrichStream]] broadcast join replayed through the file-stream
+    * source and read back against a DuckDB join over the parse oracle.
+    * The dimension here is per-market reference data computed batch-side
+    * (total trades + first-seen timestamp — the "market metadata" table a
+    * real deployment keeps beside the stream); the stream side never
+    * shuffles (dim broadcast, stateless join, no state store), so the
+    * replay's cost is the source scan + sink write. Replayed over several
+    * micro-batches (the default maxFilesPerTrigger) to exercise the
+    * per-batch dimension re-resolution path, not a single-batch join. */
+  def enrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_e")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
+      .write.mode("overwrite").text(in)
+    val dim = graft.operators.CdcParser.cdcParseRoundtrip(spark, dir)
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("market_trades"),
+        min(col("source_ts")).as("market_first_ts"))
+    val enriched = enrichStream(readCdcStream(spark, in), dim)
+      .select(col("trade_id"), col("market"), col("trade_price"),
+        col("market_trades"), col("market_first_ts"))
+    val q = enriched.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out).orderBy(col("trade_id"))
+  }
+
+  /** Parse oracle joined to the same per-market dim, grouped from itself. */
+  val enrichReplaySql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed),
+       |dim AS (SELECT market, count(*) AS market_trades,
+       |               min(source_ts) AS market_first_ts
+       |        FROM parsed GROUP BY market)
+       |SELECT p.trade_id, p.market, p.trade_price,
+       |  d.market_trades, d.market_first_ts
+       |FROM parsed p LEFT JOIN dim d ON p.market = d.market
+       |ORDER BY p.trade_id""".stripMargin
+  }
+
   /** DuckDB replay of [[fanOutReplay]]: the q_p1 parse SQL feeding the q_a1
     * window-aggregation SQL under the stream's column mapping (market →
     * user_id, ask_bid → event_type, trade_price → value, trade_volume → k).
