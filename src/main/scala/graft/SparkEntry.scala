@@ -249,6 +249,8 @@ object SparkEntry {
     "q_g2_also_bought" -> ((s, d) => Graph.alsoBought(s, d)),
     "q_g3_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
     "q_x9_edit_verify" -> ((s, d) => Dedup.editVerify(s, d)),
+    // MinHash estimator calibration: signature agreement vs exact Jaccard
+    "q_x10_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
     "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
@@ -390,6 +392,7 @@ object SparkEntry {
     "q_g2_also_bought" -> Graph.alsoBoughtSql,
     "q_g3_label_prop" -> Graph.labelPropSql,
     "q_x9_edit_verify" -> Dedup.editVerifySql,
+    "q_x10_minhash_accuracy" -> Dedup.minhashAccuracySql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )
 }

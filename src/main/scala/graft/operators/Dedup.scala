@@ -300,7 +300,15 @@ object Dedup {
     * 16×4 mod-P band buckets, all in one tight JVM pass. Shared by the
     * checked self-join twin ([[minhashLshPairsChecked]]) and the asymmetric
     * fuzzy decontamination (Curation.fuzzyDecontaminate). */
-  private[operators] def minhashPolyStage(df: DataFrame): DataFrame = {
+  private[operators] def minhashPolyStage(df: DataFrame): DataFrame =
+    minhashSigStage(df).drop("sig")
+
+  /** [[minhashPolyStage]] plus the raw 64-long signature column — the
+    * estimator-accuracy eval (q_x10) compares per-pair signature
+    * agreement against exact shingle Jaccard, so it needs `sig` itself,
+    * not just the banded buckets. Serializer pruning drops the column
+    * for callers that immediately `drop("sig")`. */
+  private[operators] def minhashSigStage(df: DataFrame): DataFrame = {
     val spark2 = df.sparkSession
     import spark2.implicits._
     df.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -327,10 +335,10 @@ object Dedup {
               while (j < 4) { a = (a * 31 + sig(b * 4 + j)) % P; j += 1 }
               a
             }
-            Some((id, sh, buckets))
+            Some((id, sh, sig, buckets))
           }
         }
-      }.toDF("doc_id", "shingles", "buckets")
+      }.toDF("doc_id", "shingles", "sig", "buckets")
   }
 
   def minhashLshPairsChecked(spark: SparkSession, dir: String): DataFrame = {
@@ -362,6 +370,84 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q_x10: MinHash ESTIMATOR ACCURACY — the sketch-calibration eval every
+    * production dedup deployment needs before trusting a threshold: over
+    * the banded candidate pairs (base corpus + the planted near-dup
+    * perturbations, same population as the checked LSH twin), compare the
+    * signature estimate P̂(J) = |{i : sigA_i = sigB_i}| / 64 against the
+    * exact shingle Jaccard, aggregated per exact-Jaccard decile into
+    * (pair count, mean estimate, mean exact, mean absolute error). The
+    * theory says MAE ≈ sqrt(J(1−J)/64) ≤ 0.0625 — the output lets a user
+    * verify that and pick a banding threshold with known risk.
+    *
+    * Scale shape: identical to the checked LSH pipeline (signatures in one
+    * JVM pass, bucket-equality joins, capBuckets) plus one per-pair O(64)
+    * codegen'd zip_with — the decile rollup partial-aggregates map-side, so
+    * the final exchange carries ≤10 rows. Estimates are exact doubles
+    * (count / 2^6), so the decimal-summed means replay bit-identically in
+    * the DuckDB oracle. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
+    val docs = minhashSigStage(base.union(perturbed)).cache()
+    val banded = capBuckets(
+      docs.select(col("doc_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000)
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sides = docs.select(col("doc_id"), col("shingles"), col("sig"))
+    pairs
+      .join(sides.toDF("doc_a", "sh_a", "sig_a"), Seq("doc_a"))
+      .join(sides.toDF("doc_b", "sh_b", "sig_b"), Seq("doc_b"))
+      .select(
+        expr("""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                |         0, (s, t) -> s + t) / CAST(64 AS DOUBLE)""".stripMargin)
+          .as("est"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("exact"))
+      .groupBy(least(floor(col("exact") * 10), lit(9.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(G.davg(col("est")), 4).as("avg_est"),
+        round(G.davg(col("exact")), 4).as("avg_exact"),
+        round(G.davg(abs(col("est") - col("exact"))), 4).as("mae"))
+      .orderBy("bin")
+  }
+
+  val minhashAccuracySql: String = minhashChainSql(
+    """
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin) + """,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |pe AS (
+      |  SELECT
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN x.s[CAST(i AS INT)] = y.s[CAST(i AS INT)]
+      |           THEN 1 ELSE 0 END)) / CAST(64 AS DOUBLE) AS est,
+      |    len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.shingles, y.shingles))) AS exact
+      |  FROM pairs p
+      |  JOIN sig x ON x.doc_id = p.doc_a
+      |  JOIN sig y ON y.doc_id = p.doc_b)
+      |SELECT CAST(LEAST(floor(exact * 10), 9.0) AS BIGINT) AS bin,
+      |  count(*) AS n_pairs,
+      |  round(CAST(SUM(CAST(est AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_est,
+      |  round(CAST(SUM(CAST(exact AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_exact,
+      |  round(CAST(SUM(CAST(abs(est - exact) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS mae
+      |FROM pe GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** The DuckDB replay of [[minhashPolyStage]] (shingle → mod-P signature →
     * band buckets) over a caller-supplied `all_docs`(doc_id, text) CTE body;
