@@ -158,6 +158,8 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, d) => graft.streaming.StreamingJobs.enrichReplay(s, d)),
     // CSV/JSON/ORC interchange round-trip, hash-checked vs the parquet
     "q_src_roundtrip" -> ((s, d) => graft.sources.Formats.roundTrip(s, d)),
+    // stream-stream LEFT OUTER interval join: watermark-expiry null rows
+    "q_stream_outer" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteOuterReplay(s, d)),
     // z-order (Morton) clustering value, the ST2 sort key in 2-D
     "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d)),
     // data-quality gates: per-column profile + named constraint rules
@@ -353,6 +355,7 @@ object SparkEntry {
     "q_stream_join" -> graft.streaming.StreamingJobs.tradeQuoteJoinSql,
     "q_stream_enrich" -> graft.streaming.StreamingJobs.enrichReplaySql,
     "q_src_roundtrip" -> graft.sources.Formats.roundTripSql,
+    "q_stream_outer" -> graft.streaming.StreamingJobs.tradeQuoteOuterSql,
     "q_st5_zorder" -> Tables.zorderStatsSql,
     "q_v1_profile" -> Validation.profileSql,
     "q_v2_constraints" -> Validation.constraintsSql,

@@ -635,6 +635,74 @@ object StreamingJobs {
        |ORDER BY t.trade_id, quote_id""".stripMargin
   }
 
+  /** Stream–stream LEFT OUTER interval join — the missing-quote audit:
+    * every BID trade, with its in-window ASK quotes when they exist and
+    * NULL quote columns when none arrived. Outer results cannot emit
+    * eagerly (a match may still arrive), so unmatched rows are held in
+    * the state store and emitted only once BOTH watermarks pass the
+    * join interval — the state-expiry semantic the inner join never
+    * exercises. Same bounded-state argument as [[tradeQuoteJoin]]:
+    * state is O(events per watermark horizon). */
+  def tradeQuoteOuterJoin(parsed: DataFrame): DataFrame = {
+    val trades = parsed.filter(col("ask_bid") === "BID")
+      .select(col("market"), col("trade_id"), col("trade_price"),
+        col("source_ts").as("t_ms"),
+        timestamp_millis(col("source_ts")).as("t_ts"))
+      .withWatermark("t_ts", "10 minutes")
+    val quotes = parsed.filter(col("ask_bid") === "ASK")
+      .select(col("market").as("q_market"), col("trade_id").as("quote_id"),
+        col("trade_price").as("quote_price"),
+        col("source_ts").as("q_ms"),
+        timestamp_millis(col("source_ts")).as("q_ts"))
+      .withWatermark("q_ts", "10 minutes")
+    trades.join(quotes,
+      col("market") === col("q_market") &&
+        col("q_ts") >= col("t_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("q_ts") <= col("t_ts"),
+      "leftOuter")
+      .select(col("market"), col("trade_id"), col("quote_id"),
+        col("trade_price"), col("quote_price"),
+        (col("t_ms") - col("q_ms")).as("lag_ms"))
+  }
+
+  /** Left-outer stream–stream join, HASH-CHECKED (q_stream_outer): the
+    * sentinel-terminated envelope replay (the sentinel batch pushes the
+    * final watermark 2 days past every real trade, so every buffered
+    * unmatched BID is flushed as a NULL row before the stream ends — the
+    * same trick the window/session replays use to close their state). */
+  def tradeQuoteOuterReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_oj")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    writeEnvelopeWithSentinel(spark, dir, in)
+    val joined = tradeQuoteOuterJoin(readCdcStream(spark, in))
+    val q = joined.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("market") =!= "ZSENTINEL")
+      .orderBy(col("trade_id"), col("quote_id"))
+  }
+
+  val tradeQuoteOuterSql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed)
+       |SELECT t.market, t.trade_id, q.trade_id AS quote_id,
+       |  t.trade_price, q.trade_price AS quote_price,
+       |  t.source_ts - q.source_ts AS lag_ms
+       |FROM parsed t LEFT JOIN parsed q
+       |  ON t.market = q.market
+       | AND q.ask_bid = 'ASK'
+       | AND q.source_ts >= t.source_ts - 3600000
+       | AND q.source_ts <= t.source_ts
+       |WHERE t.ask_bid = 'BID'
+       |ORDER BY t.trade_id, quote_id""".stripMargin
+  }
+
   /** Stream–static enrichment, HASH-CHECKED (q_stream_enrich): the
     * [[enrichStream]] broadcast join replayed through the file-stream
     * source and read back against a DuckDB join over the parse oracle.
