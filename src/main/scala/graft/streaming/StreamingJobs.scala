@@ -543,26 +543,56 @@ object StreamingJobs {
   // this object and a val here would capture null at init time.
   def windowAggReplaySql: String = fanOutReplaySql
 
-  /** Shared by [[sessionReplay]] and [[windowAggReplay]]: the envelope
-    * stream plus one ZSENTINEL trade two days past its end, written so the
-    * sentinel is the last micro-batch and the final watermark closes every
-    * real window/session. */
+  /** Shared by [[sessionReplay]], [[windowAggReplay]] and
+    * [[tradeQuoteOuterReplay]]: the envelope stream plus ZSENTINEL trades
+    * past its end, written so the sentinels are the last micro-batches and
+    * the final watermark closes every real window/session.
+    *
+    * `sentinels`: stateful operators that EMIT on state eviction (outer
+    * join null rows) need a batch to run AFTER the watermark has already
+    * advanced past every real event — one sentinel only advances the
+    * watermark at the end of its own batch. Two sentinels in two separate
+    * micro-batches (staggered modtimes; pair with maxFilesPerTrigger=1)
+    * give that trailing batch. `parts`: range-partition the envelope text
+    * by event time into that many files with ascending modtimes (the
+    * [[dedupReplay]] pattern), so a one-file-per-trigger replay advances
+    * in EVENT-TIME ORDER — unordered multi-batch input would be dropped as
+    * late once the first batch's watermark passes it. A replay-fixture
+    * granularity knob, not a scale choice (0 = keep the write's natural
+    * partitioning; single-batch callers). */
   private def writeEnvelopeWithSentinel(spark: SparkSession, dir: String,
-      in: String): Unit = {
+      in: String, sentinels: Int = 1, parts: Int = 0): Unit = {
     val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
-    env.select("json").write.mode("overwrite").text(in)
+    val t0 = System.currentTimeMillis() - 3600000L
+    if (parts > 0) {
+      env.repartitionByRange(parts, col("src_ms")).select("json")
+        .write.mode("overwrite").text(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(t0 + i * 1000L); ()
+        }
+    } else env.select("json").write.mode("overwrite").text(in)
     val maxTs = env.agg(max(col("src_ms"))).head().getLong(0)
-    val sentinelTs = maxTs + 2L * 86400000L
-    val sentinel =
-      s"""{"payload": {"before": null, "after": {"trade_id": 999999999, """ +
-        s""""market": "ZSENTINEL", "trade_price": "1.0", "trade_volume": "1", """ +
-        s""""ask_bid": "ASK", "sequential_id": 999999999000}, """ +
-        s""""source": {"ts_ms": $sentinelTs, "db": "crypto_db", "table": "crypto_trades"}, """ +
-        s""""op": "c", "ts_ms": $sentinelTs}}"""
-    val sentinelFile = new java.io.File(in, "z-sentinel.txt")
-    java.nio.file.Files.write(sentinelFile.toPath,
-      (sentinel + "\n").getBytes("UTF-8"))
-    sentinelFile.setLastModified(System.currentTimeMillis() + 60000L)
+    // alternate ASK/BID: a query with per-side watermark branches (the
+    // stream-stream joins split on ask_bid) takes the MIN across branches,
+    // so a one-sided sentinel would leave the other branch's watermark at
+    // the last real event and hold its final rows in state forever
+    (1 to sentinels).foreach { i =>
+      val sentinelTs = maxTs + i * 2L * 86400000L
+      val side = if (i % 2 == 1) "ASK" else "BID"
+      val sentinel =
+        s"""{"payload": {"before": null, "after": {"trade_id": ${999999990 + i}, """ +
+          s""""market": "ZSENTINEL", "trade_price": "1.0", "trade_volume": "1", """ +
+          s""""ask_bid": "$side", "sequential_id": ${999999990000L + i}}, """ +
+          s""""source": {"ts_ms": $sentinelTs, "db": "crypto_db", "table": "crypto_trades"}, """ +
+          s""""op": "c", "ts_ms": $sentinelTs}}"""
+      val sentinelFile = new java.io.File(in, s"z-sentinel-$i.txt")
+      java.nio.file.Files.write(sentinelFile.toPath,
+        (sentinel + "\n").getBytes("UTF-8"))
+      sentinelFile.setLastModified(
+        System.currentTimeMillis() + 7200000L + i * 60000L)
+    }
     ()
   }
 
@@ -673,8 +703,13 @@ object StreamingJobs {
   def tradeQuoteOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_oj")
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    writeEnvelopeWithSentinel(spark, dir, in)
-    val joined = tradeQuoteOuterJoin(readCdcStream(spark, in))
+    // outer-join null rows emit on state EVICTION, which happens in a batch
+    // run after the watermark already passed the row — so: two sentinels,
+    // each in its own trailing micro-batch (maxFilesPerTrigger=1), and a
+    // bounded input file count so the batch count stays small
+    writeEnvelopeWithSentinel(spark, dir, in, sentinels = 2, parts = 6)
+    val joined = tradeQuoteOuterJoin(
+      readCdcStream(spark, in, maxFilesPerTrigger = 1))
     val q = joined.writeStream
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())

@@ -11,29 +11,44 @@ object G {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Load `events` with its TIMESTAMP(NANOS) column normalized.
+  /** Load `events` with its timestamp column normalized to TIMESTAMP_NTZ.
     *
-    * Spark 4 rejects parquet nanosecond timestamps outright
-    * (PARQUET_TYPE_ILLEGAL); the only supported path is the legacy flag that
-    * surfaces them as raw nanos `Long`. We convert ns → µs with integer
-    * division (a double division would lose precision at ~1.7e18) and expose
-    * the column as TIMESTAMP_NTZ — wall-clock semantics, matching what DuckDB
-    * sees, independent of the session timezone at parquet-write time.
-    * The conf is runtime-settable, so this works under a driver-owned session.
+    * The driver's generator has shipped `ts` two ways across testdata
+    * versions: TIMESTAMP(NANOS) (which Spark 4 only reads via the legacy
+    * nanos-as-`Long` flag — we then divide ns → µs with integer division,
+    * since a double division would lose precision at ~1.7e18) and plain
+    * TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Adapt on the
+    * observed schema so both vintages load identically: wall-clock NTZ
+    * semantics, matching what DuckDB sees, independent of session timezone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos vintage
+        df.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   /** Load `events` keeping the raw nanosecond epoch as `ts_ns: Long`
     * (plus all other columns) — for operators that do epoch-millis
-    * arithmetic, like the reference (`CdcEventParser.java:66-90`). */
+    * arithmetic, like the reference (`CdcEventParser.java:66-90`).
+    * On the micros-vintage testdata the nanos are reconstructed as
+    * `unix_micros * 1000` (sub-µs digits are zero in that vintage, so the
+    * round-trip is exact). */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumnRenamed("ts", "ts_ns")
+      case _ =>
+        df.withColumn("ts",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumnRenamed("ts", "ts_ns")
+    }
   }
 
   /** When false, `dsum`/`davg` fall back to plain double aggregation —
