@@ -67,8 +67,17 @@ object Bench {
       .mode("overwrite").format("noop").save()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // builder-local iteration aid: SPARK_GRAFT_ONLY=q_x6,q_x7 benches a
+    // subset (full-name or stripped); the driver never sets it
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").flatMap(s => Seq(s, s"q_$s")).toSet)
+      .getOrElse(Set.empty)
+
     def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only.contains(name) }
+        .map { case (name, fn) =>
+
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
@@ -125,9 +134,11 @@ object Bench {
         }
       }
     }
-    Files.write(hist, java.util.Arrays.asList(line),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    if (only.isEmpty) { // subset runs must not pollute the history/regression baseline
+      Files.write(hist, java.util.Arrays.asList(line),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      Files.writeString(Paths.get("bench.json"), line + "\n")
+    }
     spark.stop()
     // bare final stdout line (after spark.stop so no INFO logs follow it)
     println(shortLine)

@@ -1119,17 +1119,43 @@ object Dedup {
     // initial rank: lexicographic token order via the distributed dense
     // rank (the tokens themselves die here — every later exchange carries
     // longs only)
-    var ranks = denseRank(toks.map { case (pos, t) => (t, pos) })._1
-      .partitionBy(part).cache()
-    ranks.count()
-    var prevM = -1L
-    var converged = false
-    // standard prefix-doubling termination: once a doubling round splits
-    // no rank class, every further round is the identity partition — the
-    // remaining oracle rounds replay as no-ops, so stopping early cannot
-    // change the output (the hash compare would catch it if the criterion
-    // were wrong)
-    Seq(1, 2, 4, 8, 16, 32, 64).foreach { k =>
+    val (r0, m0) = denseRank(toks.map { case (pos, t) => (t, pos) })
+    var ranks = r0.partitionBy(part).cache()
+    // n = suffix-position count, fixed across rounds; once a round's
+    // distinct-class count m hits n every class is a singleton and all
+    // later rounds are the identity — exit without the extra no-op round
+    // the m==prevM criterion needs
+    val n = ranks.count()
+    var prevM = m0
+    var converged = m0 == n
+    // quad-seed round: rank by (r[p], r[p+1], r[p+2], r[p+3]) — the
+    // lexicographic 4-token prefix order — replacing the k=1 and k=2
+    // doubling rounds (two sorts, two joins) with one sort and three
+    // narrow co-partitioned joins; identical order semantics (missing
+    // positions coalesce to -1 = "ends here", sorting shorter first)
+    if (!converged) {
+      def shift(d: Int) = ranks.map { case (pos, r) => (pos - d, r) }
+        .partitionBy(part)
+      val quads = ranks.leftOuterJoin(shift(1)).leftOuterJoin(shift(2))
+        .leftOuterJoin(shift(3))
+        .mapValues { case (((r1, r2), r3), r4) =>
+          (r1, r2.getOrElse(-1L), r3.getOrElse(-1L), r4.getOrElse(-1L))
+        }
+      val (ranked, m) = denseRank(quads.map { case (pos, kk) => (kk, pos) })
+      val next = ranked.partitionBy(part).cache()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      converged = m == n || m == prevM
+      prevM = m
+    }
+    // standard prefix-doubling from the 4-token seed: after the k=64
+    // round the compared prefix spans 128 ≥ the 100-token max doc length.
+    // Termination: once a doubling round splits no rank class, every
+    // further round is the identity partition — the remaining oracle
+    // rounds replay as no-ops, so stopping early cannot change the output
+    // (the hash compare would catch it if the criterion were wrong)
+    Seq(4, 8, 16, 32, 64).foreach { k =>
       if (!converged) {
         // re-key rank[pos] to pos-k so the join at key p yields
         // (rank[p], rank[p+k]) — the pair that compares the NEXT k tokens
@@ -1143,7 +1169,8 @@ object Dedup {
         next.count() // materialize: truncate lineage growth across rounds
         ranks.unpersist()
         ranks = next
-        if (m == prevM) converged = true else prevM = m
+        converged = m == prevM || m == n
+        prevM = m
       }
     }
     ranks

@@ -703,13 +703,14 @@ object StreamingJobs {
   def tradeQuoteOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_oj")
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    // outer-join null rows emit on state EVICTION, which happens in a batch
-    // run after the watermark already passed the row — so: two sentinels,
-    // each in its own trailing micro-batch (maxFilesPerTrigger=1), and a
-    // bounded input file count so the batch count stays small
-    writeEnvelopeWithSentinel(spark, dir, in, sentinels = 2, parts = 6)
-    val joined = tradeQuoteOuterJoin(
-      readCdcStream(spark, in, maxFilesPerTrigger = 1))
+    // outer-join null rows emit on state EVICTION, and this query splits
+    // the watermark across two branches (BID trades / ASK quotes) whose
+    // MIN gates eviction — so the replay needs sentinels on BOTH sides
+    // (one ASK + one BID) to push both branch watermarks past every real
+    // event; the trailing no-data micro-batch then flushes every buffered
+    // unmatched BID as its null row
+    writeEnvelopeWithSentinel(spark, dir, in, sentinels = 2)
+    val joined = tradeQuoteOuterJoin(readCdcStream(spark, in))
     val q = joined.writeStream
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
