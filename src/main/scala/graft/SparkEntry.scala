@@ -202,6 +202,7 @@ object SparkEntry {
     "q_a14_funnel" -> ((s, d) => DashboardQueries.funnel(s, d)),
     "q_a15_retention" -> ((s, d) => DashboardQueries.retention(s, d)),
     "q_a16_transitions" -> ((s, d) => DashboardQueries.transitions(s, d)),
+    "q_a17_peak_concurrency" -> ((s, d) => DashboardQueries.peakConcurrency(s, d)),
     // ANN recall eval: IVF top-3 vs brute-force top-5 ground truth
     "q_y10_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // SpaceSaving summary maintained across micro-batches; rows-only
@@ -216,6 +217,7 @@ object SparkEntry {
     // perceptual-hash near-dup over media blobs (pigeonhole-lossless
     // 4x12 banding; oracle = all-pairs hamming, the x3c pattern)
     "q_m6_phash_neardup" -> ((s, d) => Multimodal.phashNearDups(s, d)),
+    "q_m7_chunk_dedup" -> ((s, d) => Multimodal.chunkDedup(s, d)),
     // greedy sequence packing into fixed-capacity training examples
     // (capacity-reset recurrence; parallel across bounded shards)
     "q_c17_seq_pack" -> ((s, d) => Curation.seqPack(s, d)),
@@ -250,6 +252,7 @@ object SparkEntry {
     "q_g1_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "q_g2_also_bought" -> ((s, d) => Graph.alsoBought(s, d)),
     "q_g3_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
+    "q_g4_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "q_x9_edit_verify" -> ((s, d) => Dedup.editVerify(s, d)),
     // MinHash estimator calibration: signature agreement vs exact Jaccard
     "q_x10_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
@@ -373,10 +376,12 @@ object SparkEntry {
     "q_a14_funnel" -> DashboardQueries.funnelSql,
     "q_a15_retention" -> DashboardQueries.retentionSql,
     "q_a16_transitions" -> DashboardQueries.transitionsSql,
+    "q_a17_peak_concurrency" -> DashboardQueries.peakConcurrencySql,
     "q_y10_ann_recall" -> Similarity.annRecallSql,
     "q_c15_pagerank" -> Dedup.pageRankSql,
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
     "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql,
+    "q_m7_chunk_dedup" -> Multimodal.chunkDedupSql,
     "q_c17_seq_pack" -> Curation.seqPackSql,
     "q_t16_probe_train" -> TextAnalysis.probeTrainSql,
     "q_t17_probe_apply" -> TextAnalysis.probeApplySql,
@@ -394,6 +399,7 @@ object SparkEntry {
     "q_g1_triangles" -> Graph.trianglesSql,
     "q_g2_also_bought" -> Graph.alsoBoughtSql,
     "q_g3_label_prop" -> Graph.labelPropSql,
+    "q_g4_kcore" -> Graph.kcoreSql,
     "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x10_minhash_accuracy" -> Dedup.minhashAccuracySql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql

@@ -105,6 +105,66 @@ object DashboardQueries {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q_a17: PEAK CONCURRENCY by sweep-line — treating each event as a
+    * session of `props.k` minutes, the maximum number of simultaneously
+    * open sessions per event type and the earliest instant it is reached.
+    * The interval-overlap kernel done the scalable way: ±1 boundary points
+    * and a running sum — one union projection, one window keyed by type,
+    * one agg — instead of the O(n²) interval self-join a naive overlap
+    * count would plan. Ends sort before starts at the same instant
+    * (delta ascending), so touching sessions never count as concurrent.
+    * All arithmetic on epoch-millis longs: cross-engine exact, and the
+    * within-tie cumsum multiset {base+1..base+m} makes max/argmin
+    * order-independent. At 100 TB the sort is per-type partition-local
+    * after one keyed exchange; a single global type with billions of
+    * boundaries would shard by time range first (the same two-level
+    * sweep the minute-rollup family uses). */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.eventsRaw(spark, dir)
+      .withColumn("k", G.propsK(col("props")))
+      .select(col("event_type"), expr("ts_ns DIV 1000000").as("s"),
+        (expr("ts_ns DIV 1000000") + col("k") * 60000L).as("e"))
+    val pts = ev.select(col("event_type"), col("s").as("t"),
+        lit(1L).as("delta"))
+      .union(ev.select(col("event_type"), col("e").as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pts.withColumn("conc", sum(col("delta")).over(w))
+    val peak = cum.groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak"))
+    cum.join(broadcast(peak), "event_type")
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("t")).as("peak_at_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val peakConcurrencySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000000 AS s,
+      |    epoch_ns(ts) // 1000000
+      |      + CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+      |        * 60000 AS e
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, s AS t, CAST(1 AS BIGINT) AS delta FROM ev
+      |  UNION ALL
+      |  SELECT event_type, e AS t, CAST(-1 AS BIGINT) AS delta FROM ev),
+      |cum AS (
+      |  SELECT event_type, t,
+      |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM pts),
+      |pk AS (SELECT event_type, CAST(max(conc) AS BIGINT) AS peak FROM cum
+      |       GROUP BY event_type)
+      |SELECT c.event_type, p.peak, min(c.t) AS peak_at_ms
+      |FROM cum c JOIN pk p ON c.event_type = p.event_type
+      |  AND c.conc = p.peak
+      |GROUP BY c.event_type, p.peak
+      |ORDER BY c.event_type""".stripMargin
+
   /** q_a16: event-transition matrix — per-user Markov transitions between
     * consecutive event types, with each from-state's outgoing share. The
     * "what do users do next" companion to the funnel (a14) and retention

@@ -342,4 +342,66 @@ object Multimodal {
       |FROM med JOIN e ON med.doc_id = e.vec_id
       |GROUP BY med.format, e.label
       |ORDER BY med.format, e.label""".stripMargin
+
+  /** q_m7: CONTENT-ADDRESSED CHUNK DEDUP over the binary column — the
+    * storage-layer view of media duplication: each blob splits into fixed
+    * 64-byte chunks, chunks are content-hashed, and per source the report
+    * is (chunks stored naively, chunks a content-addressed store keeps,
+    * bytes saved). The blob-level analogue of x1's exact row dedup, and
+    * what a 100 TB media lake actually does before any perceptual pass
+    * (m6): dedup identical chunks first, cheap and exact.
+    *
+    * Plan shape: chunk indices come from `sequence()` + explode — a scan-
+    * stage projection; only (source, chunk_hash) reaches the exchange,
+    * never blob bytes, so the shuffle is O(chunks · 32B digest) regardless
+    * of media size. Two hash-aggs (distinct-within-source, then rollup).
+    * Fixed-size chunking is the deliberate stub for content-defined
+    * (rolling-hash) boundaries — the plumbing (chunk → digest → keyed
+    * dedup) is identical; a CDC chunker swaps in at the `pos` column. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = withMedia(spark, dir)
+      .filter(octet_length(col("media")) >= 1)
+      .select(col("source"), col("media"),
+        explode(sequence(lit(0),
+          ((octet_length(col("media")) - 1) / 64).cast("int"))).as("ci"))
+      .select(col("source"),
+        md5(expr("substring(media, ci * 64 + 1, 64)")).as("h"),
+        least(octet_length(col("media")) - col("ci") * 64, lit(64))
+          .as("clen"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("uniq_chunks"),
+        sum(col("clen")).cast("long").as("raw_bytes"))
+      .join(
+        chunks.groupBy(col("source"), col("h"))
+          .agg(min(col("clen")).as("kept_len"))
+          .groupBy(col("source"))
+          .agg(sum(col("kept_len")).cast("long").as("stored_bytes")),
+        Seq("source"))
+      .withColumn("saved_bytes", col("raw_bytes") - col("stored_bytes"))
+      .orderBy(col("source"))
+  }
+
+  val chunkDedupSql: String =
+    """WITH chunks AS (
+      |  SELECT source,
+      |    md5(substring(text, ci * 64 + 1, 64)) AS h,
+      |    least(strlen(text) - ci * 64, 64) AS clen
+      |  FROM (SELECT source, text,
+      |          unnest(range(0, (strlen(text) - 1) // 64 + 1)) AS ci
+      |        FROM documents WHERE strlen(text) >= 1)),
+      |per AS (
+      |  SELECT source, count(*) AS n_chunks,
+      |    count(DISTINCT h) AS uniq_chunks,
+      |    CAST(sum(clen) AS BIGINT) AS raw_bytes
+      |  FROM chunks GROUP BY source),
+      |kept AS (
+      |  SELECT source, CAST(sum(kept_len) AS BIGINT) AS stored_bytes
+      |  FROM (SELECT source, h, min(clen) AS kept_len
+      |        FROM chunks GROUP BY source, h)
+      |  GROUP BY source)
+      |SELECT p.source, p.n_chunks, p.uniq_chunks, p.raw_bytes,
+      |  k.stored_bytes, p.raw_bytes - k.stored_bytes AS saved_bytes
+      |FROM per p JOIN kept k USING (source)
+      |ORDER BY p.source""".stripMargin
 }
