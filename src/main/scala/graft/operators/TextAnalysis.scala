@@ -1041,4 +1041,76 @@ object TextAnalysis {
     out.toDF("doc_id", "n_bytes", "n_deflate", "ratio")
       .orderBy(col("doc_id"))
   }
+
+  /** q_t18: VOCABULARY GROWTH CURVE (Heaps' law empirics) — cumulative
+    * corpus tokens vs cumulative distinct vocabulary at ten corpus
+    * prefixes, plus the type-token ratio per decile. The corpus-health
+    * panel every tokenizer/dedup decision reads: a flattening curve means
+    * dedup is safe, a linear one means the corpus keeps injecting novel
+    * vocabulary.
+    *
+    * The scalable formulation is ONE pass, not ten prefix scans: each
+    * token's contribution to the vocabulary curve is exactly its FIRST
+    * occurrence (min bucket), so one explode + a token-keyed min-agg + a
+    * bucket histogram + an O(10) running sum reproduce all ten prefix
+    * measurements. Buckets come from doc_id value ranges against
+    * broadcast min/max scalars — scan-local arithmetic, no global
+    * row-number sort (dense ids documented; ragged ids only skew bucket
+    * SIZES, never correctness). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = G.table(spark, dir, "documents")
+    val ids = d.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span")).head()
+    val (lo, span) = (ids.getLong(0), ids.getLong(1))
+    val toks = d.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(((col("doc_id") - lo) * 10L / span).cast("int").as("bucket"),
+        col("tok"))
+    val tokCnt = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newVocab = toks.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // left join + 0-fill: a bucket can add tokens yet no NEW vocabulary
+    // (synthetic corpora saturate the type inventory in the first slice)
+    tokCnt.join(newVocab, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .select((col("bucket") + 1).as("decile"),
+        col("cum_tokens"), col("cum_vocab"),
+        (col("cum_vocab").cast("double") / col("cum_tokens")).as("ttr"))
+      .orderBy(col("decile"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH ids AS (
+      |  SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span
+      |  FROM documents),
+      |toks AS (
+      |  SELECT CAST((doc_id - lo) * 10 // span AS INT) AS bucket,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents CROSS JOIN ids),
+      |tok2 AS (SELECT bucket, tok FROM toks WHERE tok <> ''),
+      |cnt AS (SELECT bucket, count(*) AS n_tokens FROM tok2 GROUP BY bucket),
+      |nv AS (
+      |  SELECT bucket, count(*) AS n_new FROM (
+      |    SELECT tok, min(bucket) AS bucket FROM tok2 GROUP BY tok)
+      |  GROUP BY bucket),
+      |cum AS (
+      |  SELECT c.bucket,
+      |    sum(c.n_tokens) OVER (ORDER BY c.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+      |    sum(coalesce(v.n_new, 0)) OVER (ORDER BY c.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+      |  FROM cnt c LEFT JOIN nv v USING (bucket))
+      |SELECT bucket + 1 AS decile,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+      |  CAST(cum_vocab AS DOUBLE) / cum_tokens AS ttr
+      |FROM cum ORDER BY decile""".stripMargin
 }

@@ -330,4 +330,51 @@ object Validation {
       |SELECT source, status, count(*) AS n
       |FROM j GROUP BY source, status
       |ORDER BY source, status""".stripMargin
+
+  /** q_v6: ROBUST OUTLIER DAYS — median/MAD anomaly flags on the daily
+    * arrival counts (the robust companion to v5's trailing-mean gate: a
+    * burst day cannot drag the baseline toward itself the way a mean
+    * does). med = discrete median of per-day counts, MAD = discrete
+    * median of |cnt − med|, flag = deviation > 3·MAD (the standard
+    * robust z cutoff). Everything stays in BIGINT order statistics
+    * (percentile_disc, the a10/c20 exact path) — no floats anywhere, so
+    * the oracle comparison is trivially bit-exact. One day-keyed
+    * hash-agg over the events (the only O(n) stage), then O(days)
+    * scalars; at 100 TB the day table is ~365 rows per year regardless
+    * of volume. */
+  def outlierDays(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = G.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    byDay.createOrReplaceTempView("v6_by_day")
+    val med = spark.sql(
+      """SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+        |  AS med FROM v6_by_day""".stripMargin).head().getLong(0)
+    val mad = byDay
+      .agg(expr(s"CAST(percentile_disc(0.5) WITHIN GROUP" +
+        s" (ORDER BY abs(cnt - ${med}L)) AS BIGINT)").as("mad"))
+      .head().getLong(0)
+    byDay
+      .withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+      .withColumn("dev", abs(col("cnt") - lit(med)))
+      .withColumn("is_outlier",
+        when(col("dev") > lit(3L) * lit(mad), 1L).otherwise(0L))
+      .select(col("day"), col("cnt"), col("med"), col("mad"), col("dev"),
+        col("is_outlier"))
+      .orderBy(col("day"))
+  }
+
+  val outlierDaysSql: String =
+    """WITH byday AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events
+      |  GROUP BY day),
+      |m AS (SELECT CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS med FROM byday),
+      |md AS (SELECT CAST(quantile_disc(abs(cnt - med), 0.5) AS BIGINT) AS mad
+      |       FROM byday CROSS JOIN m)
+      |SELECT day, cnt, med, mad, abs(cnt - med) AS dev,
+      |  CASE WHEN abs(cnt - med) > 3 * mad
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_outlier
+      |FROM byday CROSS JOIN m CROSS JOIN md
+      |ORDER BY day""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DashboardQueries, Graph, Multimodal}
+import graft.operators.{DashboardQueries, Graph, Multimodal, TextAnalysis, Validation}
 import org.apache.spark.sql.functions._
 
 /** Round-7 operators. */
@@ -14,6 +14,35 @@ class Round7OpsSpec extends SparkSpec {
     // saved_bytes is exactly the raw/stored gap
     assert(r.filter(col("saved_bytes") =!=
       col("raw_bytes") - col("stored_bytes")).count() == 0)
+    r.unpersist()
+    ()
+  }
+
+  test("vocab growth: cumulative curves are monotone and the last point is the corpus total") {
+    val r = TextAnalysis.vocabGrowth(spark, sf("0.01")).cache()
+    val rows = r.orderBy(col("decile")).collect()
+    assert(rows.length == 10)
+    // monotone non-decreasing cumulatives, decile 10 == whole-corpus totals
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a.getLong(1) <= b.getLong(1) && a.getLong(2) <= b.getLong(2) })
+    val toks = G.table(spark, sf("0.01"), "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    assert(rows.last.getLong(1) == toks.count())
+    assert(rows.last.getLong(2) == toks.distinct().count())
+    r.unpersist()
+    ()
+  }
+
+  test("outlier days: deviation threshold is exactly 3 MAD, flags match recompute") {
+    val r = Validation.outlierDays(spark, sf("0.01")).cache()
+    assert(r.count() > 0)
+    assert(r.filter((col("dev") > lit(3) * col("mad")) =!=
+      (col("is_outlier") === 1L)).count() == 0)
+    // med/mad constant across rows; median really is an observed count
+    assert(r.select(col("med")).distinct().count() == 1)
+    val med = r.head().getLong(2)
+    assert(r.filter(col("cnt") === med).count() >= 1)
     r.unpersist()
     ()
   }
