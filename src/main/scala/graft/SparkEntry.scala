@@ -218,6 +218,8 @@ object SparkEntry {
     // 4x12 banding; oracle = all-pairs hamming, the x3c pattern)
     "q_m6_phash_neardup" -> ((s, d) => Multimodal.phashNearDups(s, d)),
     "q_m7_chunk_dedup" -> ((s, d) => Multimodal.chunkDedup(s, d)),
+    "q_a18_ohlc" -> ((s, d) => DashboardQueries.ohlcCandles(s, d)),
+    "q_c21_dataset_card" -> ((s, d) => Curation.datasetCard(s, d)),
     "q_t18_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q_v6_outlier_days" -> ((s, d) => Validation.outlierDays(s, d)),
     // greedy sequence packing into fixed-capacity training examples
@@ -384,6 +386,8 @@ object SparkEntry {
     "q_c16_canonical" -> Dedup.canonicalPerClusterSql,
     "q_m6_phash_neardup" -> Multimodal.phashNearDupsSql,
     "q_m7_chunk_dedup" -> Multimodal.chunkDedupSql,
+    "q_a18_ohlc" -> DashboardQueries.ohlcCandlesSql,
+    "q_c21_dataset_card" -> Curation.datasetCardSql,
     "q_t18_vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "q_v6_outlier_days" -> Validation.outlierDaysSql,
     "q_c17_seq_pack" -> Curation.seqPackSql,

@@ -789,4 +789,79 @@ object Curation {
       |  CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
       |  count(*) AS n_runs
       |FROM r GROUP BY 1, 2 ORDER BY bench_id, train_id""".stripMargin
+
+  /** q_c21: per-source DATASET CARD — the one-row-per-source report every
+    * corpus release ships: volume (docs, tokens), exact-dup rate (docs
+    * minus distinct text digests), dominant language with its share, and
+    * the DECIMAL-exact mean quality score. Pure composition of the
+    * engine's own primitives in ONE pass per input (token explode feeds a
+    * source-keyed agg; digests aggregate as count(distinct md5); the
+    * language mode is a tiny per-(source, lang) agg + deterministic
+    * (cnt desc, lang) pick; quality joins the t2 scorer). Everything
+    * integer or single-division exact — the card is hash-reproducible,
+    * which is the point: a release artifact you can diff. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = G.table(spark, dir, "documents")
+    val base = d.select(col("source"), col("lang"), col("doc_id"),
+      md5(col("text")).as("dig"),
+      size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_toks"))
+    val vol = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      (count(lit(1)) - countDistinct(col("dig"))).as("dup_docs"))
+    val langW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(langW))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("cnt").as("top_lang_docs"))
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val avgQ = base.select(col("source"), col("doc_id"))
+      .join(quality, "doc_id")
+      .groupBy(col("source"))
+      .agg(G.davg(col("quality_score")).as("avg_quality"))
+    vol.join(topLang, "source").join(avgQ, "source")
+      .withColumn("top_lang_share",
+        col("top_lang_docs").cast("double") / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_docs"), col("top_lang"), col("top_lang_share"),
+        col("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang, doc_id, md5(text) AS dig,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '')) AS n_toks
+       |  FROM documents),
+       |vol AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    count(*) - count(DISTINCT dig) AS dup_docs
+       |  FROM base GROUP BY source),
+       |lc AS (
+       |  SELECT source, lang, count(*) AS cnt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY count(*) DESC, lang) AS rn
+       |  FROM base GROUP BY source, lang),
+       |tl AS (SELECT source, lang AS top_lang, cnt AS top_lang_docs
+       |       FROM lc WHERE rn = 1),
+       |q AS (SELECT doc_id, quality_score FROM (
+       |${graft.operators.TextAnalysis.qualityScoreSql
+             .replace("ORDER BY doc_id", "")}) qq),
+       |aq AS (
+       |  SELECT b.source,
+       |    CAST(SUM(CAST(q.quality_score AS DECIMAL(38,6))) AS DOUBLE)
+       |      / COUNT(q.quality_score) AS avg_quality
+       |  FROM base b JOIN q ON b.doc_id = q.doc_id GROUP BY b.source)
+       |SELECT v.source, v.n_docs, v.n_tokens, v.dup_docs, t.top_lang,
+       |  CAST(t.top_lang_docs AS DOUBLE) / v.n_docs AS top_lang_share,
+       |  aq.avg_quality
+       |FROM vol v JOIN tl t USING (source) JOIN aq USING (source)
+       |ORDER BY v.source""".stripMargin
 }

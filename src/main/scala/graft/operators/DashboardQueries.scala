@@ -165,6 +165,63 @@ object DashboardQueries {
       |GROUP BY c.event_type, p.peak
       |ORDER BY c.event_type""".stripMargin
 
+  /** q_a18: OHLC CANDLES — 15-minute open/high/low/close/volume bars per
+    * market over the parsed trade stream, the serving query behind every
+    * trading dashboard the reference's Grafana panels orbit
+    * (`cdc-pipeline.json` price panels). ONE aggregate: open/close are
+    * `min_by`/`max_by` with the (source_ts, trade_id) struct as the total
+    * order (tie-free, so cross-engine deterministic); high/low/volume are
+    * plain min/max/DECIMAL-exact sum; candle id is epoch-ms integer
+    * arithmetic. Partial aggregation combines map-side — at 100 TB this
+    * is a single keyed exchange of candle-sized partials, the textbook
+    * Spark agg shape (the oracle replays the same picks with row_number
+    * windows; DuckDB's arg_min can't take a composite key). */
+  def ohlcCandles(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.operators.CdcParser.cdcParseRoundtrip(spark, dir)
+      .filter(col("ask_bid").isin("BID", "ASK"))
+      .select(col("market"), col("trade_id"), col("trade_price"),
+        col("trade_volume"), col("source_ts"),
+        (col("source_ts") - pmod(col("source_ts"), lit(900000L)))
+          .as("candle_ms"))
+    t.groupBy(col("market"), col("candle_ms"))
+      .agg(
+        min_by(col("trade_price"), struct(col("source_ts"), col("trade_id")))
+          .as("open"),
+        max(col("trade_price")).as("high"),
+        min(col("trade_price")).as("low"),
+        max_by(col("trade_price"), struct(col("source_ts"), col("trade_id")))
+          .as("close"),
+        G.dsum(col("trade_volume")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy(col("market"), col("candle_ms"))
+  }
+
+  val ohlcCandlesSql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH t AS (
+       |  SELECT market, trade_id, trade_price, trade_volume, source_ts,
+       |    source_ts - source_ts % 900000 AS candle_ms
+       |  FROM ($parsed) p
+       |  WHERE ask_bid IN ('BID', 'ASK')),
+       |r AS (
+       |  SELECT market, candle_ms, trade_price, trade_volume,
+       |    row_number() OVER (PARTITION BY market, candle_ms
+       |      ORDER BY source_ts, trade_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY market, candle_ms
+       |      ORDER BY source_ts DESC, trade_id DESC) AS rn_d
+       |  FROM t)
+       |SELECT market, candle_ms,
+       |  max(CASE WHEN rn_a = 1 THEN trade_price END) AS open,
+       |  max(trade_price) AS high,
+       |  min(trade_price) AS low,
+       |  max(CASE WHEN rn_d = 1 THEN trade_price END) AS close,
+       |  CAST(SUM(CAST(trade_volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+       |  count(*) AS n_trades
+       |FROM r GROUP BY market, candle_ms
+       |ORDER BY market, candle_ms""".stripMargin
+  }
+
   /** q_a16: event-transition matrix — per-user Markov transitions between
     * consecutive event types, with each from-state's outgoing share. The
     * "what do users do next" companion to the funnel (a14) and retention

@@ -177,17 +177,19 @@ object Graph {
       .select(col("u"), col("v")).distinct()
     val adj = edges.select(col("u").as("c"), col("v").as("nb"))
       .union(edges.select(col("v").as("c"), col("u").as("nb"))).cache()
-    val w = Window.partitionBy(col("c"))
-      .orderBy(col("cnt").desc, col("lbl"))
     var labels = adj.select(col("c").as("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
     for (_ <- 1 to 3) {
+      // argmax by (cnt desc, lbl asc) as ONE aggregate: max of the
+      // (cnt, -lbl) struct — same winner as the row_number formulation
+      // the oracle replays, but with map-side partial combine instead of
+      // a per-node sort window (one fewer wide sort per round)
       labels = adj
         .join(labels.select(col("n").as("nb"), col("lbl")), "nb")
         .groupBy(col("c"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("c").as("n"), col("lbl"))
+        .groupBy(col("c"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("top"))
+        .select(col("c").as("n"), (-col("top.neg")).as("lbl"))
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
