@@ -240,9 +240,19 @@ object Graph {
     kcoreRounds(spark, dir, 4)
 
   /** Bounded-round body; Round7OpsSpec runs rounds and rounds+1 and
-    * asserts equality — the proof that the bound reaches the fixpoint. */
+    * asserts equality — the proof that the bound reaches the fixpoint.
+    *
+    * The rounds run on co-partitioned RDDs, not Catalyst (the c10/x6
+    * lesson: a DataFrame loop pays per-round re-planning + codegen
+    * recompilation — the first cut of THIS loop measured 7.4 s at sf0.1
+    * vs ~3 s as RDD rounds). One HashPartitioner is built once; adjacency
+    * is cached twice, keyed by each endpoint, so every round is two
+    * NARROW joins against the alive set plus ONE reduceByKey shuffle of
+    * (node, 1) longs. Entry and exit are DataFrames. */
   private[graft] def kcoreRounds(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
+    val spk = spark
+    import spk.implicits._
     val li = G.table(spark, dir, "lineitem")
       .filter(col("l_quantity") >= 30)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -250,18 +260,29 @@ object Graph {
     val b = li.select(col("ok"), col("pk").as("v"))
     val edges = a.join(b, "ok").filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-    val adj = edges.select(col("u").as("c"), col("v").as("nb"))
-      .union(edges.select(col("v").as("c"), col("u").as("nb"))).cache()
-    var alive = adj.select(col("c"), lit(0L).as("core_deg")).distinct()
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // adjacency keyed by the DEGREE-COUNTING endpoint (c) and by the
+    // NEIGHBOR endpoint (nb): both sides of every round's joins are then
+    // already on `part`, so only the per-round degree reduce shuffles
+    val adjN = edges.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) } // (nb, c)
+      .partitionBy(part).cache()
+    var alive = adjN.mapValues(_ => 1L).reduceByKey(part, _ + _).cache()
+    alive.count()
     for (_ <- 1 to rounds) {
-      alive = adj
-        .join(alive.select(col("c").as("nb")), Seq("nb"), "leftsemi")
-        .join(alive.select(col("c")), Seq("c"), "leftsemi")
-        .groupBy(col("c")).agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= 10)
+      val next = adjN.join(alive) // neighbor alive?  (narrow)
+        .map { case (_, (c, _)) => (c, 1L) }
+        .reduceByKey(part, _ + _) // degree within alive  (1 shuffle)
+        .join(alive)              // center alive?  (narrow)
+        .filter { case (_, (deg, _)) => deg >= 10 }
+        .mapValues { case (deg, _) => deg }
+        .cache()
+      next.count()
+      alive.unpersist()
+      alive = next
     }
-    alive.select(col("c").as("part_id"), col("core_deg"))
-      .orderBy(col("part_id"))
+    alive.toDF("part_id", "core_deg").orderBy(col("part_id"))
   }
 
   val kcoreSql: String = {
