@@ -172,10 +172,13 @@ object DashboardQueries {
     * `min_by`/`max_by` with the (source_ts, trade_id) struct as the total
     * order (tie-free, so cross-engine deterministic); high/low/volume are
     * plain min/max/DECIMAL-exact sum; candle id is epoch-ms integer
-    * arithmetic. Partial aggregation combines map-side — at 100 TB this
-    * is a single keyed exchange of candle-sized partials, the textbook
-    * Spark agg shape (the oracle replays the same picks with row_number
-    * windows; DuckDB's arg_min can't take a composite key). */
+    * arithmetic. The struct-ordered extremes make Spark pick SORT-based
+    * aggregation (struct buffers aren't hash-agg types), but the partial
+    * still combines map-side — at 100 TB the single keyed exchange
+    * carries candle-sized partials, and the local sort is per-partition,
+    * pinned by the Round7OpsSpec plan audit (the oracle replays the same
+    * picks with row_number windows; DuckDB's arg_min can't take a
+    * composite key). */
   def ohlcCandles(spark: SparkSession, dir: String): DataFrame = {
     val t = graft.operators.CdcParser.cdcParseRoundtrip(spark, dir)
       .filter(col("ask_bid").isin("BID", "ASK"))

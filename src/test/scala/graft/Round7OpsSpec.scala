@@ -1,10 +1,53 @@
 package graft
 
 import graft.operators.{DashboardQueries, Graph, Multimodal, TextAnalysis, Validation}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.functions._
 
 /** Round-7 operators. */
 class Round7OpsSpec extends SparkSpec {
+
+  private def executed(df: => org.apache.spark.sql.DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try { val d = df; d.collect(); d.queryExecution.executedPlan }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("plan audit: q_a18 OHLC is one keyed agg exchange + presentation sort") {
+    val plan = executed(DashboardQueries.ohlcCandles(spark, sf()))
+    val exchanges = plan.collect { case e: Exchange => e }
+    // hash (candle agg) + range (orderBy); the struct-ordered
+    // min_by/max_by force SORT-based aggregation, but the partial still
+    // combines map-side before the single keyed exchange — pin that
+    assert(exchanges.length == 2,
+      s"expected hash + range exchanges only, got:\n$plan")
+    val kinds = exchanges.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(kinds.exists(_.contains("Hash")) && kinds.exists(_.contains("Range")),
+      s"unexpected partitionings: $kinds")
+    val s = plan.toString
+    assert(s.contains("partial_min_by"), s"no map-side partial agg:\n$s")
+    assert(s.split("SortAggregate|HashAggregate").length - 1 >= 2)
+  }
+
+  test("plan audit: q_m7 blob bytes never cross an exchange") {
+    val plan = executed(Multimodal.chunkDedup(spark, sf()))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n == "media" || n == "text"),
+        s"blob column shuffled: $names")
+    }
+  }
+
+  test("plan audit: q_a17 peak join is broadcast, no sort-merge join") {
+    val planStr = executed(DashboardQueries.peakConcurrency(spark, sf())).toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"peak lookup not broadcast:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin"),
+      s"unexpected sort-merge join:\n$planStr")
+  }
 
   test("chunk dedup: stored never exceeds raw, savings exist where chunks repeat") {
     val r = Multimodal.chunkDedup(spark, sf("0.01")).cache()
