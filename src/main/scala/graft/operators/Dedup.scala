@@ -1346,4 +1346,67 @@ object Dedup {
        |SELECT r7.pos // 256 AS doc_id, max(sp.span) AS max_dup_span
        |FROM r7 JOIN sp ON sp.r = r7.r
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** q_x11: CONTAINMENT detection — the asymmetric near-dup signal
+    * Jaccard misses: |A∩B| / |A| over distinct 8-token shingle sets,
+    * which fires when a short document is swallowed whole by a longer
+    * one even though their symmetric similarity is low (the quote/
+    * boilerplate/excerpt case every dedup policy needs a direction for).
+    * Pairs come from the shingle inverted index (one self-join on the
+    * gram hash, `capBuckets` guarding hot shingles exactly as x2/y4 —
+    * the cap is non-binding at test SF, so the uncapped oracle replays
+    * identically), never all-pairs; the gram exchange carries
+    * (hash, doc_id) longs only. Ordered pairs: containment of A in B
+    * and B in A are different rows when both clear τ = 0.5. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOn(G.table(spark, dir, "documents"))
+
+  /** Kernel on any (doc_id, text) frame — the spec runs it on planted
+    * excerpt/duplicate fixtures. */
+  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 7)," +
+          " i -> xxhash64(concat_ws(' ', slice(t, i, 8))))")).as("gh"))
+      .distinct()
+    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val capped = capBuckets(g, Seq("gh"), maxBucketSize = 100000).cache()
+    val pairs = capped.select(col("gh"), col("doc_id").as("contained_doc"))
+      .join(capped.select(col("gh"), col("doc_id").as("container_doc")), "gh")
+      .filter(col("contained_doc") =!= col("container_doc"))
+      .groupBy(col("contained_doc"), col("container_doc"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.select(col("doc_id").as("contained_doc"),
+        col("n_grams")), "contained_doc")
+      .withColumn("containment",
+        col("common").cast("double") / col("n_grams"))
+      .filter(col("containment") >= 0.5)
+      .select(col("contained_doc"), col("container_doc"), col("n_grams"),
+        col("common"), col("containment"))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  val containmentSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+      |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+      |         ||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) AS gram
+      |  FROM tok WHERE len(t) >= 8)),
+      |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+      |    count(*) AS common
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.contained_doc, p.container_doc, s.n_grams, p.common,
+      |  CAST(p.common AS DOUBLE) / s.n_grams AS containment
+      |FROM pairs p JOIN sz s ON p.contained_doc = s.doc_id
+      |WHERE CAST(p.common AS DOUBLE) / s.n_grams >= 0.5
+      |ORDER BY p.contained_doc, p.container_doc""".stripMargin
 }

@@ -109,6 +109,29 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("containment: bounded to (0.5, 1], asymmetric on a planted excerpt") {
+    val r = graft.operators.Dedup.containment(spark, sf("0.01")).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("containment") < 0.5 || col("containment") > 1.0)
+      .count() == 0)
+    r.unpersist()
+    // planted: doc 2 is a verbatim excerpt of doc 1 (first 10 of 20
+    // tokens), doc 3 is unrelated. Excerpt⊂original = 1.0 exactly;
+    // original⊄excerpt (13 grams, 3 shared = 0.23 < τ); no cross rows.
+    import spark.implicits._
+    val toks = (1 to 20).map(i => s"w$i")
+    val planted = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.take(10).mkString(" ")),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val p = graft.operators.Dedup.containmentOn(planted).collect()
+    assert(p.length == 1, s"expected only excerpt⊂original: ${p.toSeq}")
+    assert(p(0).getLong(0) == 2L && p(0).getLong(1) == 1L &&
+      p(0).getDouble(4) == 1.0)
+    ()
+  }
+
   test("k-core: bounded 4-round peel reaches the true fixpoint (round 5 is a no-op)") {
     val r4 = Graph.kcoreRounds(spark, sf("0.01"), 4).cache()
     val r5 = Graph.kcoreRounds(spark, sf("0.01"), 5)
