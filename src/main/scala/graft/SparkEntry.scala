@@ -261,6 +261,7 @@ object SparkEntry {
     // MinHash estimator calibration: signature agreement vs exact Jaccard
     "q_x10_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_x11_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "q_y15_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
     "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
@@ -412,6 +413,7 @@ object SparkEntry {
     "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x10_minhash_accuracy" -> Dedup.minhashAccuracySql,
     "q_x11_containment" -> Dedup.containmentSql,
+    "q_y15_probe_sweep" -> Similarity.probeSweepSql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )
 }

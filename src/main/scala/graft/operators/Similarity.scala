@@ -393,7 +393,14 @@ object Similarity {
     * stage): returns the final per-vector assignment
     * (vec_id, cid, dist2, v). */
   private def ivfAssign(spark: SparkSession, dir: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    ivfAssignCent(spark, dir, k, iters)._1
+
+  /** [[ivfAssign]] plus the centroid frame that produced the final
+    * assignment — the probe sweep (q_y15) needs the same centroids to
+    * route queries that routed the corpus. */
+  private def ivfAssignCent(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
@@ -422,7 +429,106 @@ object Similarity {
           .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
             .as("c"))
     }
-    assign
+    (assign, cent)
+  }
+
+  /** q_y15: IVF PROBE SWEEP — recall@5 vs brute force as a function of
+    * nprobe ∈ {1, 2, 4}, the tuning table every IVF deployment reads
+    * before picking its latency/recall point. Queries route through the
+    * SAME final centroids that routed the corpus (ivfAssignCent);
+    * candidates are only the vectors in the query's nprobe nearest
+    * cells — the scan-fraction knob — ranked by exact cosine; hits are
+    * counted against the y1 brute-force truth. All counts integer,
+    * recall a single BIGINT division: hash-exact.
+    *
+    * Scale shape per probe setting: one broadcast of (query, probed cid)
+    * rows, one keyed join on cid (no corpus shuffle — the corpus is
+    * already cell-assigned), one bounded top-k window. The sweep is
+    * |probes| small plans over one cached assignment. */
+  def probeSweep(spark: SparkSession, dir: String,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val (assignRaw, cent) = ivfAssignCent(spark, dir, 8, 2)
+    val corpus = assignRaw.select(col("vec_id"), col("cid"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v")))).cache()
+    val qd = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cent.select(col("cid").as("pcid"), col("c"))))
+      .withColumn("qdist2", expr(
+        """aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      .withColumn("cellrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("qdist2"), col("pcid"))))
+      .cache()
+    val bf = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.map { np =>
+      val cells = qd.filter(col("cellrank") <= np)
+        .select(col("query_id"), col("pcid").as("cid"), col("qv"),
+          col("qnrm"))
+      val cand = corpus.join(cells, "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      cand.join(bf, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"), col("k_total"),
+          (col("n_hits").cast("double") / col("k_total")).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
+  val probeSweepSql: String = {
+    val rounds = ivfRoundsSql(8, 2, 64)
+    def one(np: Int): String =
+      s"""SELECT $np AS nprobe,
+         |  CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  count(*) AS k_total,
+         |  CAST(CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS DOUBLE) / count(*) AS recall
+         |FROM (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT cl.query_id, a2.vec_id,
+         |      row_number() OVER (PARTITION BY cl.query_id ORDER BY
+         |        list_dot_product(a2.v, cl.qv) /
+         |          (sqrt(list_dot_product(a2.v, a2.v))
+         |           * sqrt(list_dot_product(cl.qv, cl.qv))) DESC,
+         |        a2.vec_id) AS rank
+         |    FROM a2 JOIN (SELECT query_id, cid, qv FROM qd
+         |                  WHERE cellrank <= $np) cl
+         |      ON a2.cid = cl.cid
+         |    WHERE a2.vec_id <> cl.query_id) t WHERE rank <= 5) c
+         |LEFT JOIN bf b ON c.query_id = b.query_id AND c.vec_id = b.vec_id""".stripMargin
+    s"""$rounds,
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, c1.cid, c1.c,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(0, 64), i ->
+       |          (q.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)])
+       |        * (q.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)]))),
+       |        (a, b) -> a + b), c1.cid) AS cellrank
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q
+       |  CROSS JOIN c1),
+       |bfr AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      list_dot_product(e.v, q.qv) /
+       |        (sqrt(list_dot_product(e.v, e.v))
+       |         * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id) AS rank
+       |  FROM e CROSS JOIN
+       |    (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10) q
+       |  WHERE e.vec_id <> q.query_id),
+       |bf AS (SELECT query_id, vec_id FROM bfr WHERE rank <= 5)
+       |${Seq(1, 2, 4).map(one).mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe""".stripMargin
   }
 
   /** SemDeDup (q_y9, Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -132,6 +132,20 @@ class Round7OpsSpec extends SparkSpec {
     ()
   }
 
+  test("probe sweep: recall is monotone in nprobe and bounded by 1") {
+    val r = graft.operators.Similarity.probeSweep(spark, sf("0.01"))
+      .orderBy(col("nprobe")).collect()
+    assert(r.length == 3)
+    // widening the probe set can only ADD candidates: recall never drops
+    assert(r.sliding(2).forall { case Array(a, b) =>
+      a.getDouble(3) <= b.getDouble(3) })
+    r.foreach { row =>
+      assert(row.getLong(2) == 50) // 10 queries x top-5, all settings
+      assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+    }
+    ()
+  }
+
   test("k-core: bounded 4-round peel reaches the true fixpoint (round 5 is a no-op)") {
     val r4 = Graph.kcoreRounds(spark, sf("0.01"), 4).cache()
     val r5 = Graph.kcoreRounds(spark, sf("0.01"), 5)
