@@ -160,6 +160,8 @@ object SparkEntry {
     "q_src_roundtrip" -> ((s, d) => graft.sources.Formats.roundTrip(s, d)),
     // stream-stream LEFT OUTER interval join: watermark-expiry null rows
     "q_stream_outer" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteOuterReplay(s, d)),
+    // streaming OHLC candles, hash-checked against the batch a18 oracle
+    "q_stream_ohlc" -> ((s, d) => graft.streaming.StreamingJobs.ohlcReplay(s, d)),
     // z-order (Morton) clustering value, the ST2 sort key in 2-D
     "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d)),
     // data-quality gates: per-column profile + named constraint rules
@@ -187,6 +189,7 @@ object SparkEntry {
     // bloom-filtered join: semi-join reduction before the shuffle; result
     // is exactly the plain join (bloom false positives die in the join)
     "q_r22_bloom_join" -> ((s, d) => Relational.bloomJoin(s, d)),
+    "q_r23_grouped_quantiles" -> ((s, d) => Relational.groupedQuantiles(s, d)),
     // deflate compression-ratio quality gate (Gopher-style); rows-only —
     // deflate sizes aren't SQL-expressible, monotonicity spec-pinned
     "q_t13_compress_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -365,6 +368,7 @@ object SparkEntry {
     "q_stream_enrich" -> graft.streaming.StreamingJobs.enrichReplaySql,
     "q_src_roundtrip" -> graft.sources.Formats.roundTripSql,
     "q_stream_outer" -> graft.streaming.StreamingJobs.tradeQuoteOuterSql,
+    "q_stream_ohlc" -> graft.streaming.StreamingJobs.ohlcReplaySql,
     "q_st5_zorder" -> Tables.zorderStatsSql,
     "q_v1_profile" -> Validation.profileSql,
     "q_v2_constraints" -> Validation.constraintsSql,
@@ -376,6 +380,7 @@ object SparkEntry {
     "q_t12_lm_score" -> TextAnalysis.lmScoreSql,
     "q_r21_sliding_window" -> Relational.slidingTimeWindowSql,
     "q_r22_bloom_join" -> Relational.bloomJoinSql,
+    "q_r23_grouped_quantiles" -> Relational.groupedQuantilesSql,
     "q_t14_bpe_train" -> TextAnalysis.bpeTrainSql(),
     "q_t15_bpe_apply" -> TextAnalysis.bpeApplySql(),
     "q_v3_drift" -> Validation.driftSql,

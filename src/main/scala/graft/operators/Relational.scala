@@ -723,4 +723,46 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q_r23: GROUPED ORDER STATISTICS — per-nation order-value quartiles
+    * (q1/median/q3) plus min/max/count, one sort-based aggregate over the
+    * orders⋈customer⋈nation join. percentile_disc picks OBSERVED values
+    * (no interpolation), so the doubles are bit-identical cross-engine —
+    * the a10/c20 exact-order-statistic path extended to grouped keys.
+    * Nation/customer dims broadcast; the only exchange keys the
+    * aggregation on nation. */
+  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = G.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = G.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = G.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("median"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("q3"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("n_name"))
+  }
+
+  val groupedQuantilesSql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  min(o_totalprice) AS min_price,
+      |  quantile_disc(o_totalprice, 0.25) AS q1,
+      |  quantile_disc(o_totalprice, 0.5) AS median,
+      |  quantile_disc(o_totalprice, 0.75) AS q3,
+      |  max(o_totalprice) AS max_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

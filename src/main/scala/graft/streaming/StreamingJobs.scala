@@ -79,6 +79,58 @@ object StreamingJobs {
         col("trade_volume").as("k"))
         .withWatermark("ts", "10 minutes"))
 
+  /** OHLC candles STREAMING: q_a18's 15-minute bars emitted in APPEND
+    * mode by watermark passage — the live version of the dashboard's
+    * price panel. The struct-ordered min_by/max_by extremes live in the
+    * state store as candle partials; epoch-aligned window() reproduces
+    * a18's integer candle arithmetic exactly. */
+  def ohlcStream(parsed: DataFrame): DataFrame =
+    parsed.filter(col("ask_bid").isin("BID", "ASK"))
+      .select(col("market"), col("trade_id"), col("trade_price"),
+        col("trade_volume"), col("source_ts"),
+        timestamp_millis(col("source_ts")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("market"))
+      .agg(
+        min_by(col("trade_price"), struct(col("source_ts"), col("trade_id")))
+          .as("open"),
+        max(col("trade_price")).as("high"),
+        min(col("trade_price")).as("low"),
+        max_by(col("trade_price"), struct(col("source_ts"), col("trade_id")))
+          .as("close"),
+        graft.G.dsum(col("trade_volume")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col("market"),
+        unix_millis(col("window.start")).as("candle_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+
+  /** Streaming OHLC, HASH-CHECKED (q_stream_ohlc): sentinel replay of
+    * [[ohlcStream]] against the BATCH a18 oracle — stream and batch
+    * candles must be byte-identical. Single watermark branch (the
+    * BID/ASK filter keeps the ASK sentinel), so one sentinel suffices. */
+  def ohlcReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ohlc")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    writeEnvelopeWithSentinel(spark, dir, in)
+    val agg = ohlcStream(readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
+    val q = agg.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("market") =!= "ZSENTINEL")
+      .orderBy(col("market"), col("candle_ms"))
+  }
+
+  // stream==batch by construction: the sentinel only closes windows, so
+  // the oracle is exactly the batch candle SQL
+  def ohlcReplaySql: String =
+    graft.operators.DashboardQueries.ohlcCandlesSql
+
   /** A3 streaming: per-minute latency rollup — the AggregatingMergeTree MV
     * (`clickhouse/init.sql:81-94`); state store holds the partial aggregate
     * exactly like the `-State` combinators. */
