@@ -411,6 +411,21 @@ object Stress {
         graft.operators.Dedup.suffixArrayOn(spark, docs)
           .write.mode("overwrite").format("noop").save()
       },
+      // round 7: k-core bounded peel on co-partitioned RDD rounds — random
+      // graph at average degree 16 over nNodes = n/80, so the 10-core
+      // peel removes the Poisson tail and cascades a couple of rounds;
+      // ladder measures per-round cost at 2x edges
+      time("kcore") {
+        val nEdges = math.min(n / 10, 4000000L)
+        val nNodes = math.max(nEdges / 8, 1L)
+        val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id") * 13L), lit(nNodes)).as("u"),
+          pmod(xxhash64(col("id") * 29L + 7L), lit(nNodes)).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        graft.operators.Graph.kcoreFromEdges(edges, 4)
+          .write.mode("overwrite").format("noop").save()
+      },
       // round 6: pHash signature kernel over synthetic blobs (~120 B each)
       // — the q_m6 scan-stage cost; only (doc_id, phash) leaves the stage
       time("phash_signatures") {

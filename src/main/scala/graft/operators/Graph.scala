@@ -251,8 +251,6 @@ object Graph {
     * (node, 1) longs. Entry and exit are DataFrames. */
   private[graft] def kcoreRounds(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
-    val spk = spark
-    import spk.implicits._
     val li = G.table(spark, dir, "lineitem")
       .filter(col("l_quantity") >= 30)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -260,8 +258,17 @@ object Graph {
     val b = li.select(col("ok"), col("pk").as("v"))
     val edges = a.join(b, "ok").filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
+    kcoreFromEdges(edges, rounds)
+  }
+
+  /** RDD-round kernel on any distinct (u, v) edge frame — shared by the
+    * query and the graft.Stress `kcore` ladder stage. */
+  private[graft] def kcoreFromEdges(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val spk = edges.sparkSession
+    import spk.implicits._
     val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
+      spk.sparkContext.defaultParallelism)
     // adjacency keyed by the DEGREE-COUNTING endpoint (c) and by the
     // NEIGHBOR endpoint (nb): both sides of every round's joins are then
     // already on `part`, so only the per-round degree reduce shuffles
