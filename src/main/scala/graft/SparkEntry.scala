@@ -264,6 +264,7 @@ object SparkEntry {
     // MinHash estimator calibration: signature agreement vs exact Jaccard
     "q_x10_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_x11_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "q_x12_simjoin" -> ((s, d) => Dedup.simJoin(s, d)),
     "q_y15_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
@@ -418,6 +419,7 @@ object SparkEntry {
     "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x10_minhash_accuracy" -> Dedup.minhashAccuracySql,
     "q_x11_containment" -> Dedup.containmentSql,
+    "q_x12_simjoin" -> Dedup.simJoinSql,
     "q_y15_probe_sweep" -> Similarity.probeSweepSql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )

@@ -1347,6 +1347,80 @@ object Dedup {
        |FROM r7 JOIN sp ON sp.r = r7.r
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** q_x12: EXACT set-similarity join by PREFIX FILTERING (PPJoin-style,
+    * Chaudhuri/Xiao-Wang lineage) — all pairs with token-3-gram-set
+    * Jaccard ≥ τ = 0.5, EXACTLY, no LSH probability. The classic
+    * guarantee: order every doc's shingles by global (frequency, shingle)
+    * ascending; two sets with J ≥ τ must share a token inside both
+    * prefixes of length |d| − ⌈τ·|d|⌉ + 1 (the globally-smallest shared
+    * shingle sits at position ≤ that bound in each). So candidates come
+    * from an inverted index over PREFIXES ONLY — rare shingles first,
+    * which is exactly where selectivity lives — and the exact Jaccard
+    * verify runs on the candidate set, not all pairs. The oracle is the
+    * brute-force all-pairs join: pruning must be provably lossless, and
+    * the hash compare enforces it.
+    *
+    * Scale shape: one shingle census (the x5 exchange), one keyed
+    * prefix-index self-join with `capBuckets` on hot shingles, one
+    * verify join carrying the two shingle arrays per CANDIDATE pair
+    * only. τ controls the prefix length: higher τ → shorter prefixes →
+    * fewer candidates, the knob a 100 TB dedup run tunes. */
+  def simJoin(spark: SparkSession, dir: String, tau: Double = 0.5)
+      : DataFrame = {
+    val sh = G.table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 2)," +
+          " i -> concat_ws(' ', slice(t, i, 3)))")).as("ts"))
+    val tf = sh.select(explode(col("ts")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("freq"))
+    val sorted = sh.select(col("doc_id"), explode(col("ts")).as("g"))
+      .join(tf, "g")
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(freq, g))), s -> s.g)")
+        .as("sts"))
+      .withColumn("sz", size(col("sts")))
+      .cache()
+    val pre = sorted.select(col("doc_id"),
+      explode(expr(s"slice(sts, 1, CAST(sz - ceil($tau * sz) + 1 AS INT))"))
+        .as("g"))
+    val capped = capBuckets(pre, Seq("g"), maxBucketSize = 100000)
+    val cand = capped.select(col("g"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("sts").as("sa"),
+        col("sz").as("za")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("sts").as("sb"),
+        col("sz").as("zb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("za") + col("zb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)
+        .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simJoinSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS ts
+      |  FROM tok WHERE len(t) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4)
+      |    AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q_x11: CONTAINMENT detection — the asymmetric near-dup signal
     * Jaccard misses: |A∩B| / |A| over distinct 8-token shingle sets,
     * which fires when a short document is swallowed whole by a longer
