@@ -162,6 +162,8 @@ object SparkEntry {
     "q_stream_outer" -> ((s, d) => graft.streaming.StreamingJobs.tradeQuoteOuterReplay(s, d)),
     // streaming OHLC candles, hash-checked against the batch a18 oracle
     "q_stream_ohlc" -> ((s, d) => graft.streaming.StreamingJobs.ohlcReplay(s, d)),
+    // incremental join-view maintenance (delta decomposition in foreachBatch)
+    "q_stream_ivm" -> ((s, d) => graft.streaming.StreamingJobs.ivmJoinReplay(s, d)),
     // z-order (Morton) clustering value, the ST2 sort key in 2-D
     "q_st5_zorder" -> ((s, d) => Tables.zorderStats(s, d)),
     // data-quality gates: per-column profile + named constraint rules
@@ -370,6 +372,7 @@ object SparkEntry {
     "q_src_roundtrip" -> graft.sources.Formats.roundTripSql,
     "q_stream_outer" -> graft.streaming.StreamingJobs.tradeQuoteOuterSql,
     "q_stream_ohlc" -> graft.streaming.StreamingJobs.ohlcReplaySql,
+    "q_stream_ivm" -> graft.streaming.StreamingJobs.ivmJoinSql,
     "q_st5_zorder" -> Tables.zorderStatsSql,
     "q_v1_profile" -> Validation.profileSql,
     "q_v2_constraints" -> Validation.constraintsSql,

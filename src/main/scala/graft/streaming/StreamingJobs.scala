@@ -131,6 +131,81 @@ object StreamingJobs {
   def ohlcReplaySql: String =
     graft.operators.DashboardQueries.ohlcCandlesSql
 
+  /** q_stream_ivm: INCREMENTAL VIEW MAINTENANCE of an UNBOUNDED join —
+    * the view V = BIDs ⋈ ASKs on (market, price bucket) maintained
+    * per micro-batch by the textbook delta decomposition
+    * ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (disjoint by which side is new,
+    * so the append-only sink receives each pair exactly once). This is
+    * the join class watermarked stream–stream joins CANNOT express:
+    * no event-time bound, state is the full history, and the maintained
+    * view stays correct whatever the batch boundaries — the replay runs
+    * 3 event-time-ordered data batches plus the sentinel and the result
+    * hash-matches the one-shot batch join.
+    *
+    * Scale shape: each delta joins against the accumulated side stored
+    * as parquet keyed state (at scale: bucketed by the join key so the
+    * per-batch join is partition-local); the per-batch work is
+    * O(|Δ| · match density), never a rescan of V. Exactly-once here
+    * relies on AvailableNow's clean replay; a production deployment
+    * idempotizes the sink with the batch id. */
+  def ivmJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivm")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val stateA = s"$tmp/bids"; val stateB = s"$tmp/asks"
+    writeEnvelopeWithSentinel(spark, dir, in, sentinels = 1, parts = 3)
+    val parsed = readCdcStream(spark, in, maxFilesPerTrigger = 1)
+    val q = parsed.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        def side(ab: String, idc: String, pc: String) = batch
+          .filter(col("ask_bid") === ab)
+          .select(col("market"), floor(col("trade_price")).cast("long")
+            .as("price_bucket"), col("trade_id").as(idc),
+            col("trade_price").as(pc))
+        val dA = side("BID", "bid_id", "bid_price").cache()
+        val dB = side("ASK", "ask_id", "ask_price").cache()
+        def old(path: String, fresh: DataFrame) =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+            ss.read.schema(fresh.schema).parquet(path)
+          else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            fresh.schema)
+        val aOld = old(stateA, dA)
+        val bOld = old(stateB, dB)
+        val keys = Seq("market", "price_bucket")
+        val delta = dA.join(bOld, keys)
+          .unionByName(aOld.join(dB, keys))
+          .unionByName(dA.join(dB, keys))
+        delta.select(col("market"), col("price_bucket"), col("bid_id"),
+            col("bid_price"), col("ask_id"), col("ask_price"))
+          .write.mode("append").parquet(out)
+        dA.write.mode("append").parquet(stateA)
+        dB.write.mode("append").parquet(stateB)
+        dA.unpersist(); dB.unpersist()
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("market") =!= "ZSENTINEL")
+      .orderBy(col("bid_id"), col("ask_id"))
+  }
+
+  val ivmJoinSql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed)
+       |SELECT t.market, CAST(floor(t.trade_price) AS BIGINT) AS price_bucket,
+       |  t.trade_id AS bid_id, t.trade_price AS bid_price,
+       |  q.trade_id AS ask_id, q.trade_price AS ask_price
+       |FROM parsed t JOIN parsed q
+       |  ON t.market = q.market
+       | AND floor(t.trade_price) = floor(q.trade_price)
+       |WHERE t.ask_bid = 'BID' AND q.ask_bid = 'ASK'
+       |ORDER BY bid_id, ask_id""".stripMargin
+  }
+
   /** A3 streaming: per-minute latency rollup — the AggregatingMergeTree MV
     * (`clickhouse/init.sql:81-94`); state store holds the partial aggregate
     * exactly like the `-State` combinators. */
