@@ -262,6 +262,7 @@ object SparkEntry {
     "q_g2_also_bought" -> ((s, d) => Graph.alsoBought(s, d)),
     "q_g3_label_prop" -> ((s, d) => Graph.labelProp(s, d)),
     "q_g4_kcore" -> ((s, d) => Graph.kcore(s, d)),
+    "q_g5_bfs" -> ((s, d) => Graph.bfs(s, d)),
     "q_x9_edit_verify" -> ((s, d) => Dedup.editVerify(s, d)),
     // MinHash estimator calibration: signature agreement vs exact Jaccard
     "q_x10_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
@@ -419,6 +420,7 @@ object SparkEntry {
     "q_g2_also_bought" -> Graph.alsoBoughtSql,
     "q_g3_label_prop" -> Graph.labelPropSql,
     "q_g4_kcore" -> Graph.kcoreSql,
+    "q_g5_bfs" -> Graph.bfsSql,
     "q_x9_edit_verify" -> Dedup.editVerifySql,
     "q_x10_minhash_accuracy" -> Dedup.minhashAccuracySql,
     "q_x11_containment" -> Dedup.containmentSql,

@@ -292,6 +292,96 @@ object Graph {
     alive.toDF("part_id", "core_deg").orderBy(col("part_id"))
   }
 
+  /** q_g5: multi-source BFS — minimum hop distance from a seed set (all
+    * co-purchase-graph nodes of one part brand) out to radius 3. The
+    * bounded-radius neighborhood query behind "related products within N
+    * hops" / graph-expansion curation (pull every doc within k links of a
+    * trusted seed set); radius is a CONTRACT bound (like x4/x9's bounded
+    * kernels), not a convergence claim — 3 rounds answer the 3-hop
+    * question exactly, they do not claim the frontier died.
+    *
+    * Same execution shape as the k-core peel (kcoreFromEdges): one
+    * HashPartitioner built once; adjacency cached keyed by source; each
+    * round is one narrow join (frontier ⋈ adjacency, both co-partitioned),
+    * ONE reduceByKey(min) shuffle of (node, dist) longs, and a narrow
+    * fullOuterJoin folding the relaxed distances back into the running
+    * map. Nothing global, state one long per node, round count fixed by
+    * the radius — at 100 TB the per-round exchange still carries two longs
+    * per touched node, and only nodes on the expanding frontier propagate.
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val seeds = G.table(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey").as("s"))
+    bfsFromEdges(edges, seeds, 3)
+  }
+
+  /** RDD-round kernel on any distinct (u, v) edge frame + seed frame —
+    * shared by the query and the graft.Stress `bfs` ladder stage. */
+  private[graft] def bfsFromEdges(edges: DataFrame, seeds: DataFrame,
+      radius: Int): DataFrame = {
+    val spk = edges.sparkSession
+    import spk.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spk.sparkContext.defaultParallelism)
+    val adjC = edges.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) } // (c, nb)
+      .partitionBy(part).cache()
+    // distinct graph nodes, co-partitioned; seeds restricted to them so a
+    // brand part that never sold in bulk cannot seed a phantom component
+    val nodes = adjC.mapValues(_ => 1L).reduceByKey(part, (x, _) => x)
+    val seedR = seeds.as[Long].rdd.map((_, 0L)).partitionBy(part)
+    var dist = nodes.join(seedR).mapValues(_ => 0L).cache()
+    dist.count()
+    for (_ <- 1 to radius) {
+      val relaxed = adjC.join(dist) // co-partitioned: narrow
+        .map { case (_, (nb, d)) => (nb, d + 1L) }
+        .reduceByKey(part, (x: Long, y: Long) => math.min(x, y)) // the round's one shuffle
+      val next = dist.fullOuterJoin(relaxed) // both on `part`: narrow
+        .mapValues { case (d0, d1) =>
+          math.min(d0.getOrElse(Long.MaxValue), d1.getOrElse(Long.MaxValue)) }
+        .cache()
+      next.count()
+      dist.unpersist()
+      dist = next
+    }
+    dist.toDF("part_id", "dist").orderBy(col("part_id"))
+  }
+
+  val bfsSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n, MIN(dist) AS dist FROM (
+         |    SELECT n, dist FROM $prev
+         |    UNION ALL
+         |    SELECT a.nb AS n, d.dist + 1 AS dist
+         |    FROM adj a JOIN $prev d ON a.c = d.n)
+         |  GROUP BY n)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_quantity >= 30),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS (
+       |  SELECT u AS c, v AS nb FROM edges
+       |  UNION ALL SELECT v AS c, u AS nb FROM edges),
+       |d0 AS (
+       |  SELECT DISTINCT a.c AS n, CAST(0 AS BIGINT) AS dist
+       |  FROM adj a JOIN part p ON a.c = p.p_partkey
+       |  WHERE p.p_brand = 'Brand#23'),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")}
+       |SELECT n AS part_id, dist FROM d3 ORDER BY part_id""".stripMargin
+  }
+
   val kcoreSql: String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS (
