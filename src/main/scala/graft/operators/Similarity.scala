@@ -1154,4 +1154,92 @@ object Similarity {
       |  count(*) AS n_vectors,
       |  CAST(SUM(CAST(max_sim AS DECIMAL(38,12))) AS DOUBLE) AS sum_max_sim
       |FROM best GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** q_y16: dominant principal direction of the embedding set by POWER
+    * ITERATION — 3 unrolled rounds of v ← normalize(Xᵀ(Xv)) against the
+    * uncentered Gram matrix, the covariance-free formulation (the Gram
+    * matrix itself, d×d, is never materialized; no d×d shuffle exists in
+    * the plan at any d). The whitening/compression primitive behind
+    * embedding-quality checks ("is one direction eating the space?" —
+    * anisotropy is THE classic contrastive-embedding failure mode) and the
+    * first step of PCA-style dimensionality reduction of a vector corpus.
+    *
+    * Per round, ONE corpus pass: the current direction broadcasts as a
+    * 64-double literal, each row computes its projection dt = x·v with the
+    * codegen'd sequential fold (bit-identical to DuckDB's
+    * list_dot_product — the y1 result), then posexplode + a 64-group
+    * hash-agg with map-side partials accumulates wⱼ = Σᵢ xᵢⱼ·dtᵢ through
+    * DECIMAL(38,12) (exact, so the map-side combine order cannot perturb
+    * the hash). The O(d) result folds back to the driver for the next
+    * round — the t16-GD pattern: corpus → d scalars per round, never a
+    * corpus shuffle. Normalization divides by √(Σwⱼ²) summed through the
+    * same DECIMAL path; sqrt is correctly rounded on both engines (the
+    * c19 lesson), so all three rounds replay bit-exact as unrolled CTEs.
+    *
+    * At 100 TB: 3 scans of the (cached) vector column, each exchanging
+    * only d·partitions decimal partials; driver state 64 doubles. */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val e = G.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    powerIterVecs(e, 64, 3)
+  }
+
+  /** Round kernel on any (vec_id, v: array<double>) frame — shared by the
+    * query and specs (which drive planted vector sets and other round
+    * counts through it). */
+  private[graft] def powerIterVecs(e: DataFrame, d: Int,
+      rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    var v: Array[Double] = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to rounds) {
+      val vlit = array(v.toIndexedSeq.map(lit): _*)
+      val w = e
+        .withColumn("dt", dot(col("v"), vlit))
+        .select(posexplode(col("v")).as(Seq("dim", "val")), col("dt"))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(sum((col("val") * col("dt")).cast("decimal(38,12)"))
+          .cast("double").as("w"))
+      val collected = w.as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+      val norm2 = collected
+        .map(x => BigDecimal(x * x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      lambda = math.sqrt(norm2)
+      v = collected.map(_ / lambda)
+    }
+    spark.createDataset(v.toIndexedSeq.zipWithIndex
+        .map { case (wj, j) => (j.toLong, wj, lambda) })
+      .toDF("dim", "weight", "lambda")
+      .orderBy(col("dim"))
+  }
+
+  val powerIterationSql: String = {
+    def round(prevArr: String, w: String, n: String, vv: String,
+        arr: String): String =
+      s"""$w AS (
+         |  SELECT x.dim,
+         |    CAST(SUM(CAST(x.val * p.dt AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM x JOIN (
+         |    SELECT vec_id, list_dot_product(v, $prevArr) AS dt FROM e) p
+         |  ON x.vec_id = p.vec_id
+         |  GROUP BY x.dim),
+         |$n AS (
+         |  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE))
+         |    AS n FROM $w),
+         |$vv AS (SELECT dim, w / (SELECT n FROM $n) AS vv FROM $w),
+         |$arr AS (SELECT list(vv ORDER BY dim) AS arr FROM $vv)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT vec_id, unnest(generate_series(0, 63)) AS dim,
+       |             unnest(v) AS val FROM e),
+       |${round("list_transform(range(64), i -> CAST(0.125 AS DOUBLE))",
+                "w1", "n1", "v1", "a1")},
+       |${round("(SELECT arr FROM a1)", "w2", "n2", "v2", "a2")},
+       |${round("(SELECT arr FROM a2)", "w3", "n3", "v3", "a3")}
+       |SELECT dim, vv AS weight, (SELECT n FROM n3) AS lambda
+       |FROM v3 ORDER BY dim""".stripMargin
+  }
 }

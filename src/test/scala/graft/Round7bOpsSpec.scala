@@ -55,4 +55,33 @@ class Round7bOpsSpec extends SparkSpec {
     val got = Graph.bfs(spark, sf()).as[(Long, Long)].collect().toMap
     assert(got == dist, s"got ${got.size} rows, expected ${dist.size}")
   }
+
+  test("power iteration: planted dominant axis is recovered") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 20 vectors strongly aligned with axis 2, mild noise on axis 0
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array(0.01 * (i % 3), 0.0, 5.0 + 0.1 * (i % 2), 0.0))
+    }.toDF("vec_id", "v")
+    val out = Similarity.powerIterVecs(vecs, 4, 3)
+      .as[(Long, Double, Double)].collect()
+    val byDim = out.map(r => r._1 -> r._2).toMap
+    assert(math.abs(byDim(2L)) > 0.999, s"dominant axis not found: $byDim")
+    val norm = out.map(r => r._2 * r._2).sum
+    assert(math.abs(norm - 1.0) < 1e-9, s"direction not unit: $norm")
+  }
+
+  test("power iteration: Rayleigh estimate is monotone over rounds") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val e = G.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val lambdas = (1 to 3).map { r =>
+      Similarity.powerIterVecs(e, 64, r)
+        .select(col("lambda")).distinct().as[Double].head()
+    }
+    assert(lambdas(0) <= lambdas(1) + 1e-9 && lambdas(1) <= lambdas(2) + 1e-9,
+      s"||Av|| must be nondecreasing under power iteration: $lambdas")
+  }
 }
