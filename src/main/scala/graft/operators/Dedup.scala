@@ -1483,4 +1483,94 @@ object Dedup {
       |FROM pairs p JOIN sz s ON p.contained_doc = s.doc_id
       |WHERE CAST(p.common AS DOUBLE) / s.n_grams >= 0.5
       |ORDER BY p.contained_doc, p.container_doc""".stripMargin
+
+  /** q_x13: SORTED-NEIGHBORHOOD blocking near-dup detection — the third
+    * blocking family next to hash-bucket LSH (x2/y4) and the inverted
+    * index (x11/x12): sort the corpus once by a normalized 32-char prefix
+    * key, compare each doc only against the w = 5 docs that FOLLOW it in
+    * sorted order, verify candidates with the exact x4 3-gram-Jaccard
+    * kernel at τ = 0.5. Classic record-linkage move (Hernández/Stolfo's
+    * merge/purge): near-identical records sort adjacently, so a constant
+    * window finds them at O(n·w) candidate cost with ZERO hash-collision
+    * tuning — the complementary failure mode to LSH (misses dups whose
+    * edits hit the prefix; catches low-Jaccard shared-prefix families
+    * banding misses).
+    *
+    * Scale shape: the global order comes from a distributed range-sort +
+    * zipWithIndex (the x6 dense-rank move — no single-task window
+    * anywhere); the window join is w equi-joins on rank (rn ⋈ rn+off,
+    * off ∈ 1..w) carrying (rn, doc_id) longs only; gram sets join back
+    * keyed by doc id, so payload moves once per candidate side, never
+    * with the sort. At 100 TB: one sort of (key, id) pairs — the sort
+    * Spark is built around — plus O(n·w) keyed lookups. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodDocs(G.table(spark, dir, "documents"))
+
+  /** Kernel on any (doc_id, text) frame — shared by the query and specs. */
+  private[graft] def sortedNeighborhoodDocs(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val docs = input
+      .select(col("doc_id"),
+        substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", "")),
+          1, 32).as("k"))
+    // distributed sort + zipWithIndex: deterministic global rank, every
+    // partition sorted in parallel, no Window over an empty partitionBy
+    val ranked = docs.as[(Long, String)].rdd
+      .map { case (id, k) => (k, id) }
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case ((_, id), rn) => (rn, id) }
+      .toDF("rn", "doc_id")
+    val offs = ranked
+      .withColumn("off", explode(lit((1 to 5).toArray)))
+      .select((col("rn") + col("off")).as("rn2"), col("doc_id").as("doc_a"))
+    val cand = offs.join(ranked.select(col("rn").as("rn2"),
+        col("doc_id").as("doc_b")), "rn2")
+      .select(col("doc_a"), col("doc_b"))
+    val grams = input
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(1, length(text)-2),
+               |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
+        "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    """WITH sk AS (
+      |  SELECT doc_id,
+      |    substr(lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')),
+      |           1, 32) AS k
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+      |  FROM sk),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(0, length(text)-2),
+      |           i -> substr(text, CAST(i+1 AS INT), 3))) AS grams
+      |  FROM documents),
+      |scored AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(ga.grams, gb.grams)) * CAST(1.0 AS DOUBLE) /
+      |      len(list_distinct(list_concat(ga.grams, gb.grams))) AS j
+      |  FROM cand c JOIN g ga ON c.doc_a = ga.doc_id
+      |              JOIN g gb ON c.doc_b = gb.doc_id)
+      |SELECT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b,
+      |  round(j, 4) AS jaccard
+      |FROM scored WHERE j >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -71,6 +71,45 @@ class Round7bOpsSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-9, s"direction not unit: $norm")
   }
 
+  test("sorted-neighborhood: planted adjacent dups found, far pair excluded") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base + " alpha"),
+      (2L, base + " alpha beta"),          // near-dup of 1, same prefix
+      (3L, "zzz completely different text about spark catalyst engines"),
+      (4L, "zzz completely different text about spark catalyst engines!"),
+      (5L, "mmm unrelated middle document standing alone entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodDocs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"shared-prefix near-dup missed: $got")
+    assert(got.contains((3L, 4L)), s"punctuation-only edit missed: $got")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      s"singleton doc falsely paired: $got")
+  }
+
+  test("sorted-neighborhood: every reported pair is a true tau>=0.5 pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = G.table(spark, sf(), "documents")
+    val reported = Dedup.sortedNeighborhoodDocs(docs)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    def gset(s: String): Set[String] =
+      (1 to s.length - 2).map(i => s.substring(i - 1, i + 2)).toSet
+    reported.foreach { case (a, b, j) =>
+      val (ga, gb) = (gset(texts(a)), gset(texts(b)))
+      val truth = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(truth >= 0.5, s"pair ($a,$b) reported but true jaccard=$truth")
+      assert(math.abs(truth - j) < 5e-5, s"($a,$b): $j vs $truth")
+    }
+    assert(reported.nonEmpty)
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
