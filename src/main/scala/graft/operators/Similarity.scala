@@ -1197,13 +1197,7 @@ object Similarity {
     var v: Array[Double] = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     for (_ <- 1 to rounds) {
-      val vlit = array(v.toIndexedSeq.map(lit): _*)
-      val w = e
-        .withColumn("dt", dot(col("v"), vlit))
-        .select(posexplode(col("v")).as(Seq("dim", "val")), col("dt"))
-        .groupBy(col("dim").cast("long").as("dim"))
-        .agg(sum((col("val") * col("dt")).cast("decimal(38,12)"))
-          .cast("double").as("w"))
+      val w = powerRound(e, v)
       val collected = w.as[(Long, Double)].collect().sortBy(_._1).map(_._2)
       val norm2 = collected
         .map(x => BigDecimal(x * x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
@@ -1215,6 +1209,18 @@ object Similarity {
         .map { case (wj, j) => (j.toLong, wj, lambda) })
       .toDF("dim", "weight", "lambda")
       .orderBy(col("dim"))
+  }
+
+  /** One power round's distributed piece: wⱼ = Σᵢ xᵢⱼ·(xᵢ·v) as a (dim →
+    * decimal-exact sum) frame. Factored so the plan-shape spec can pin it:
+    * one hash exchange on dim, partial_sum map-side, nothing else. */
+  private[graft] def powerRound(e: DataFrame, v: Array[Double]): DataFrame = {
+    val vlit = array(v.toIndexedSeq.map(lit): _*)
+    e.withColumn("dt", dot(col("v"), vlit))
+      .select(posexplode(col("v")).as(Seq("dim", "val")), col("dt"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum((col("val") * col("dt")).cast("decimal(38,12)"))
+        .cast("double").as("w"))
   }
 
   val powerIterationSql: String = {

@@ -110,6 +110,37 @@ class Round7bOpsSpec extends SparkSpec {
     assert(reported.nonEmpty)
   }
 
+  test("plan audit: y16 power round is one 64-group keyed exchange") {
+    import graft.operators.Similarity
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = G.table(spark, sf(), "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val w = Similarity.powerRound(e, Array.fill(64)(0.125))
+      w.collect()
+      val plan = w.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case ex: org.apache.spark.sql.execution.exchange.Exchange => ex }
+      assert(exchanges.length == 1, s"expected one exchange:\n$plan")
+      assert(plan.toString.contains("partial_sum"),
+        s"no map-side partial agg:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("plan audit: x13 candidate join is keyed, never nested-loop") {
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Dedup.sortedNeighborhoodDocs(
+        G.table(spark, sf(), "documents"))
+      out.collect()
+      val s = out.queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"),
+        s"non-equi join in sorted-neighborhood plan:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
