@@ -426,6 +426,21 @@ object Stress {
         graft.operators.Graph.kcoreFromEdges(edges, 4)
           .write.mode("overwrite").format("noop").save()
       },
+      // round 7: bounded-radius BFS on the same random graph as kcore —
+      // 1% of nodes seed, 3 relaxation rounds; ladder measures the
+      // per-round (narrow join + reduceByKey(min)) cost at 2x edges
+      time("bfs") {
+        val nEdges = math.min(n / 10, 4000000L)
+        val nNodes = math.max(nEdges / 8, 1L)
+        val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id") * 13L), lit(nNodes)).as("u"),
+          pmod(xxhash64(col("id") * 29L + 7L), lit(nNodes)).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        val seeds = spark.range(nNodes / 100L).select(col("id").as("s"))
+        graft.operators.Graph.bfsFromEdges(edges, seeds, 3)
+          .write.mode("overwrite").format("noop").save()
+      },
       // round 6: pHash signature kernel over synthetic blobs (~120 B each)
       // — the q_m6 scan-stage cost; only (doc_id, phash) leaves the stage
       time("phash_signatures") {
