@@ -377,4 +377,76 @@ object Validation {
       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_outlier
       |FROM byday CROSS JOIN m CROSS JOIN md
       |ORDER BY day""".stripMargin
+
+  /** q_v7: optimizer-style TABLE STATISTICS (the ANALYZE TABLE … COMPUTE
+    * STATISTICS FOR COLUMNS artifact that feeds a cost-based optimizer):
+    * one report with a 10-bin equi-depth histogram of `l_extendedprice`
+    * (boundaries from ONE order-statistic aggregate — percentile_disc, so
+    * every boundary is an actual data value, bit-exact across engines; bin
+    * assignment by nine codegen'd comparisons against the broadcast
+    * boundary row — the c20 move, no ntile, no global sort), the top-10
+    * most-common values of `l_quantity` with exact frequencies, and exact
+    * row/NDV scalars for the join keys. Every output cell is an integer
+    * count or an exact data-value pick — zero float arithmetic, so the
+    * report hashes identically on both engines.
+    *
+    * Scale shape: the boundary/scalar aggregates each reduce the scan to
+    * O(1)–O(50) rows with map-side partials (exact NDV shuffles the
+    * distinct keys — the one genuinely O(distinct) exchange, which IS the
+    * ANALYZE cost everywhere; the approx path is q_a5's HLL); the
+    * histogram pass is scan + broadcast + 50-group agg. The scans read
+    * only the four profiled columns (column pruning). */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    G.table(spark, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("price"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_partkey"), col("l_suppkey"))
+      .createOrReplaceTempView("v7_lineitem")
+    spark.sql(tableStatsCore("v7_lineitem"))
+  }
+
+  /** Shared SQL body — Spark runs it over the temp view, the oracle over a
+    * DuckDB CTE of the same shape, so the construction is literally the
+    * same text on both engines. */
+  private def tableStatsCore(rel: String): String = {
+    val bs = (1 to 9).map(i =>
+      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY price) AS b$i")
+      .mkString(", ")
+    val cases = (1 to 9).map(i =>
+      s"CASE WHEN price > b$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH b AS (SELECT $bs FROM $rel),
+       |hist AS (
+       |  SELECT 'hist' AS stat, CAST(bin AS BIGINT) AS idx,
+       |         min(price) AS lo, max(price) AS hi, count(*) AS n
+       |  FROM (SELECT price, 1 + $cases AS bin FROM $rel CROSS JOIN b) t
+       |  GROUP BY bin),
+       |mcv AS (
+       |  SELECT 'mcv' AS stat, idx, lo, hi, n FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, qty) AS BIGINT)
+       |             AS idx,
+       |           qty AS lo, qty AS hi, cnt AS n
+       |    FROM (SELECT qty, count(*) AS cnt FROM $rel GROUP BY qty) c) r
+       |  WHERE idx <= 10),
+       |scalars AS (
+       |  SELECT 'rows' AS stat, CAST(0 AS BIGINT) AS idx,
+       |         CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+       |         count(*) AS n FROM $rel
+       |  UNION ALL
+       |  SELECT 'ndv_partkey', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+       |         CAST(NULL AS DOUBLE), count(DISTINCT l_partkey) FROM $rel
+       |  UNION ALL
+       |  SELECT 'ndv_suppkey', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+       |         CAST(NULL AS DOUBLE), count(DISTINCT l_suppkey) FROM $rel)
+       |SELECT stat, idx, lo, hi, n FROM (
+       |  SELECT * FROM hist UNION ALL SELECT * FROM mcv
+       |  UNION ALL SELECT * FROM scalars) u
+       |ORDER BY stat, idx""".stripMargin
+  }
+
+  val tableStatsSql: String =
+    s"""WITH v7_lineitem AS (
+       |  SELECT l_extendedprice::DOUBLE AS price, l_quantity::DOUBLE AS qty,
+       |         l_partkey, l_suppkey
+       |  FROM lineitem),
+       |${tableStatsCore("v7_lineitem").stripPrefix("WITH ")}""".stripMargin
 }

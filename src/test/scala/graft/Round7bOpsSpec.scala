@@ -141,6 +141,38 @@ class Round7bOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("table stats: histogram partitions rows, ranges rise, MCV is true top") {
+    import spark.implicits._
+    import graft.operators.Validation
+    val rep = Validation.tableStats(spark, sf())
+      .as[(String, Long, Option[Double], Option[Double], Long)].collect()
+    val rows = rep.find(_._1 == "rows").get._5
+    val hist = rep.filter(_._1 == "hist").sortBy(_._2)
+    assert(hist.map(_._5).sum == rows, "histogram bins must partition rows")
+    // equi-depth: every bin within 2x of the ideal tenth (ties can skew)
+    hist.foreach { b =>
+      assert(b._5 > 0 && b._5 < rows / 3, s"degenerate bin: $b") }
+    // bin ranges rising and non-overlapping
+    hist.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4.get <= b._3.get, s"overlapping bins: $a $b")
+      case _ => ()
+    }
+    // MCV = true top-10 of l_quantity recomputed independently
+    val truth = G.table(spark, sf(), "lineitem")
+      .groupBy(col("l_quantity").cast("double").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("qty"))
+      .limit(10).as[(Double, Long)].collect()
+    val mcv = rep.filter(_._1 == "mcv").sortBy(_._2)
+      .map(r => (r._3.get, r._5))
+    assert(mcv.toSeq == truth.toSeq, s"MCV mismatch:\n$mcv\nvs\n$truth")
+    // NDV scalars match exact distinct counts
+    val ndvP = rep.find(_._1 == "ndv_partkey").get._5
+    assert(ndvP == G.table(spark, sf(), "lineitem")
+      .select("l_partkey").distinct().count())
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
