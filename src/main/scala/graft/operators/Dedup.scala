@@ -1547,6 +1547,113 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q_x14: RECALL CALIBRATION of the sorted-neighborhood blocker (x13)
+    * against exact all-pairs ground truth on a bounded evaluation subset
+    * (doc_id < 200 — the x4/x10 bounded-kernel contract): how many true
+    * char-3-gram τ ≥ 0.5 pairs does the w = 5 prefix-sort window actually
+    * catch? Sorted-neighborhood's known failure mode is an edit inside the
+    * sort key pushing a dup out of the window; this query MEASURES that
+    * instead of asserting it, the same honesty move as x10 (MinHash
+    * estimator error) and y10 (IVF recall). Output is one row:
+    * (n_true_pairs, n_reported, n_found, recall, n_dup_docs, n_dup_found,
+    * doc_recall).
+    *
+    * Two recalls because they answer different questions. PAIR recall is
+    * brutal on this corpus (measured 5.1% at sf0.01) — the subset holds
+    * near-dup CLIQUES (6 320 true pairs over 200 docs), and a w-window
+    * over a sorted order can only ever emit chain-adjacent pairs of a
+    * clique, O(m·w) of its O(m²) pairs — that is the blocker's design,
+    * not a bug. DOC recall is the deployment metric: a doc with ≥ 1 true
+    * pair is a duplicate the pipeline must flag, and it is CAUGHT if the
+    * blocker reports it in ≥ 1 pair (the transitive closure / c10
+    * clustering then recovers its family from chain links). All counts
+    * integers, recalls single divisions — the row hashes exactly. The
+    * truth side is all-pairs by contract ON THE SAMPLE ONLY; the
+    * production blocker it scores never runs all-pairs. */
+  def snRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = G.table(spark, dir, "documents").filter(col("doc_id") < 200)
+    val grams = docs.select(col("doc_id"),
+      expr("""array_distinct(transform(sequence(1, length(text)-2),
+             |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    val truth = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val reported = sortedNeighborhoodDocs(docs)
+      .select(col("doc_a"), col("doc_b"))
+    val found = truth.join(reported, Seq("doc_a", "doc_b"), "left_semi")
+    def docsOf(pairs: DataFrame): DataFrame =
+      pairs.select(col("doc_a").as("d"))
+        .union(pairs.select(col("doc_b").as("d"))).distinct()
+    val dupDocs = docsOf(truth)
+    val caught = dupDocs.join(docsOf(reported), Seq("d"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true_pairs")).crossJoin(
+        reported.agg(count(lit(1)).as("n_reported"))).crossJoin(
+        found.agg(count(lit(1)).as("n_found"))).crossJoin(
+        dupDocs.agg(count(lit(1)).as("n_dup_docs"))).crossJoin(
+        caught.agg(count(lit(1)).as("n_dup_found")))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_true_pairs"))
+      .withColumn("doc_recall",
+        col("n_dup_found").cast("double") / col("n_dup_docs"))
+  }
+
+  val snRecallSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(0, length(text)-2),
+      |           i -> substr(text, CAST(i+1 AS INT), 3))) AS grams
+      |  FROM d),
+      |truth AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a, g b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.grams, b.grams)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+      |sk AS (
+      |  SELECT doc_id,
+      |    substr(lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')),
+      |           1, 32) AS k
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+      |  FROM sk),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5),
+      |reported AS (
+      |  SELECT least(c.doc_a, c.doc_b) AS doc_a,
+      |         greatest(c.doc_a, c.doc_b) AS doc_b
+      |  FROM cand c JOIN g ga ON c.doc_a = ga.doc_id
+      |              JOIN g gb ON c.doc_b = gb.doc_id
+      |  WHERE len(list_intersect(ga.grams, gb.grams)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.5),
+      |f AS (SELECT count(*) AS n_found FROM truth t
+      |      WHERE EXISTS (SELECT 1 FROM reported x
+      |                    WHERE x.doc_a = t.doc_a AND x.doc_b = t.doc_b)),
+      |dupdocs AS (SELECT DISTINCT d FROM (
+      |  SELECT doc_a AS d FROM truth UNION ALL SELECT doc_b FROM truth)),
+      |repdocs AS (SELECT DISTINCT d FROM (
+      |  SELECT doc_a AS d FROM reported
+      |  UNION ALL SELECT doc_b FROM reported)),
+      |caught AS (SELECT count(*) AS n_dup_found FROM dupdocs
+      |           WHERE d IN (SELECT d FROM repdocs))
+      |SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+      |       (SELECT count(*) FROM reported) AS n_reported,
+      |       n_found,
+      |       CAST(n_found AS DOUBLE) /
+      |         (SELECT count(*) FROM truth) AS recall,
+      |       (SELECT count(*) FROM dupdocs) AS n_dup_docs,
+      |       n_dup_found,
+      |       CAST(n_dup_found AS DOUBLE) /
+      |         (SELECT count(*) FROM dupdocs) AS doc_recall
+      |FROM f CROSS JOIN caught""".stripMargin
+
   val sortedNeighborhoodSql: String =
     """WITH sk AS (
       |  SELECT doc_id,
