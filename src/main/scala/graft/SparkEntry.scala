@@ -271,6 +271,7 @@ object SparkEntry {
     "q_x13_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
     "q_v7_table_stats" -> ((s, d) => Validation.tableStats(s, d)),
     "q_x14_sn_recall" -> ((s, d) => Dedup.snRecall(s, d)),
+    "q_t19_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "q_y15_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     "q_y16_power_iter" -> ((s, d) => Similarity.powerIteration(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
@@ -432,6 +433,7 @@ object SparkEntry {
     "q_x13_sorted_neighborhood" -> Dedup.sortedNeighborhoodSql,
     "q_v7_table_stats" -> Validation.tableStatsSql,
     "q_x14_sn_recall" -> Dedup.snRecallSql,
+    "q_t19_keywords" -> TextAnalysis.keywordsSql,
     "q_y15_probe_sweep" -> Similarity.probeSweepSql,
     "q_y16_power_iter" -> Similarity.powerIterationSql,
     "q_x8_dedup_cut" -> Dedup.dedupCutSql

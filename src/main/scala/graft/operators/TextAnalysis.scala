@@ -177,7 +177,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(n))
@@ -1113,4 +1113,64 @@ object TextAnalysis {
       |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
       |  CAST(cum_vocab AS DOUBLE) / cum_tokens AS ttr
       |FROM cum ORDER BY decile""".stripMargin
+
+  /** q_t19: per-doc KEYWORD EXTRACTION — top-3 terms per document by
+    * tf·idf, the summarization/tagging primitive (t5's corpus-level top
+    * terms answers "what is this corpus about"; this answers "what is THIS
+    * doc about" for every doc at once). Terms are whitespace tokens of
+    * length ≥ 4 (drops near-all stopwords with zero list-maintenance);
+    * idf is the t10 rational form (N − df + 0.5)/(df + 0.5) — monotone in
+    * df like ln idf but exactly representable, the same
+    * bit-reproducibility trade t10 documents.
+    *
+    * Plan: tokenize-explode once; tf = one (doc, term) hash-agg; df rolls
+    * up FROM tf (never re-explodes the corpus — the t10 lesson); the
+    * scoring join is keyed on term, the top-3 window keyed on doc. Three
+    * keyed exchanges, all with map-side partials, nothing global; every
+    * shuffled row is (ids, two longs) regardless of doc size. */
+  def keywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"),
+      explode(expr("split(lower(text), '\\\\s+')")).as("term"))
+      .filter(length(col("term")) >= 4)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", col("tf") *
+        ((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val keywordsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |ftoks AS (SELECT doc_id, term FROM toks WHERE length(term) >= 4),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM ftoks
+      |       GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    t.tf * ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+      |      AS score
+      |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, df, score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 }

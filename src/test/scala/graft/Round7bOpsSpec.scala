@@ -173,6 +173,32 @@ class Round7bOpsSpec extends SparkSpec {
       .select("l_partkey").distinct().count())
   }
 
+  test("keywords: top-1 maximizes tf*idf, recomputed independently") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.keywords(spark, sf())
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    // independent recompute from raw text
+    val texts = G.table(spark, sf(), "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tf = texts.flatMap { case (id, t) =>
+      t.toLowerCase.split("\\s+").filter(_.length >= 4).map((id, _)) }
+      .groupBy(identity).map { case ((id, term), xs) => (id, term, xs.length.toLong) }
+    val df = tf.groupBy(_._2).map { case (term, xs) => term -> xs.size.toLong }
+    val nDocs = tf.map(_._1).toSeq.distinct.size.toLong
+    val bestByDoc = tf.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, term, f) =>
+        (f * ((nDocs.toDouble - df(term) + 0.5) / (df(term) + 0.5)), term)
+      }.toSeq.sortBy { case (s, t) => (-s, t) }.head
+    }
+    out.filter(_._2 == 1).foreach { case (id, _, term, _, _, score) =>
+      val (bs, bt) = bestByDoc(id)
+      assert(bt == term && math.abs(bs - score) < 1e-9,
+        s"doc $id: got ($term, $score), expected ($bt, $bs)")
+    }
+    assert(out.count(_._2 == 1) == bestByDoc.size)
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
