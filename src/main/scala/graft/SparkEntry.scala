@@ -274,6 +274,7 @@ object SparkEntry {
     "q_t19_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "q_y15_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     "q_y16_power_iter" -> ((s, d) => Similarity.powerIteration(s, d)),
+    "q_y17_ivfpq_search" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
     "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
@@ -436,6 +437,7 @@ object SparkEntry {
     "q_t19_keywords" -> TextAnalysis.keywordsSql,
     "q_y15_probe_sweep" -> Similarity.probeSweepSql,
     "q_y16_power_iter" -> Similarity.powerIterationSql,
+    "q_y17_ivfpq_search" -> Similarity.ivfPqSearchSql(),
     "q_x8_dedup_cut" -> Dedup.dedupCutSql
   )
 }

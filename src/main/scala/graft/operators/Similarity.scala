@@ -605,34 +605,40 @@ object Similarity {
   /** Shared WITH-prefix of the IVF-family oracles ([[ivfBuildSql]],
     * [[semDedupSql]]), GENERATED from (k, iters, dims) like
     * [[pqRoundsSql]]. */
-  private def ivfRoundsSql(k: Int, iters: Int, dims: Int): String = {
+  private def ivfRoundsSql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${ivfCtes(k, iters, dims, "")}""".stripMargin
+
+  /** CTE list (no WITH header, references a prior `e` CTE) with every CTE
+    * name prefixed by `p` — so the composed IVF+PQ oracle (q_y17) can hold
+    * both k-means chains in one WITH without name collisions. */
+  private def ivfCtes(k: Int, iters: Int, dims: Int, p: String): String = {
     require(k > 0 && iters > 0 && dims > 0)
     def dist(r: Int): String =
-      s"""d$r AS (
-         |  SELECT e.vec_id, c${r - 1}.cid, e.v,
+      s"""${p}d$r AS (
+         |  SELECT e.vec_id, ${p}c${r - 1}.cid, e.v,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(0, $dims), i ->
-         |        (e.v[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)])
-         |      * (e.v[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)]))),
+         |        (e.v[CAST(i+1 AS INT)] - ${p}c${r - 1}.c[CAST(i+1 AS INT)])
+         |      * (e.v[CAST(i+1 AS INT)] - ${p}c${r - 1}.c[CAST(i+1 AS INT)]))),
          |      (a, b) -> a + b) AS dist2
-         |  FROM e CROSS JOIN c${r - 1}),
-         |a$r AS (SELECT vec_id, cid, v, dist2 FROM (
+         |  FROM e CROSS JOIN ${p}c${r - 1}),
+         |${p}a$r AS (SELECT vec_id, cid, v, dist2 FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY dist2, cid) AS rn FROM d$r) t
+         |      ORDER BY dist2, cid) AS rn FROM ${p}d$r) t
          |  WHERE rn = 1)""".stripMargin
     def recenter(r: Int): String =
-      s"""m$r AS (
-         |  SELECT a$r.cid, dd.i AS dim,
-         |    CAST(SUM(CAST(a$r.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(a$r.v[CAST(dd.i+1 AS INT)]) AS m
-         |  FROM a$r CROSS JOIN (SELECT unnest(range(0, $dims)) AS i) dd
-         |  GROUP BY a$r.cid, dd.i),
-         |c$r AS (SELECT cid, list(m ORDER BY dim) AS c FROM m$r GROUP BY cid)""".stripMargin
+      s"""${p}m$r AS (
+         |  SELECT ${p}a$r.cid, dd.i AS dim,
+         |    CAST(SUM(CAST(${p}a$r.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(${p}a$r.v[CAST(dd.i+1 AS INT)]) AS m
+         |  FROM ${p}a$r CROSS JOIN (SELECT unnest(range(0, $dims)) AS i) dd
+         |  GROUP BY ${p}a$r.cid, dd.i),
+         |${p}c$r AS (SELECT cid, list(m ORDER BY dim) AS c FROM ${p}m$r GROUP BY cid)""".stripMargin
     val rounds = (1 to iters).map { r =>
       if (r < iters) dist(r) + ",\n" + recenter(r) else dist(r)
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
+    s"""${p}c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
        |$rounds""".stripMargin
   }
 
@@ -740,41 +746,46 @@ object Similarity {
     * like [[ivfBuildSql]]: sub (subvector frame), c0 (seed codebook), and
     * per Lloyd round r the distance/argmin CTEs d_r/a_r plus — before a
     * further round — the DECIMAL-mean recenter m_r/c_r. */
-  private def pqRoundsSql(m: Int, k: Int, iters: Int): String = {
+  private def pqRoundsSql(m: Int, k: Int, iters: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqCtes(m, k, iters, "")}""".stripMargin
+
+  /** Prefixed CTE-list form, mirroring [[ivfCtes]] — the `sub` subvector
+    * frame is prefixed too. */
+  private def pqCtes(m: Int, k: Int, iters: Int, p: String): String = {
     require(m > 0 && 64 % m == 0 && k > 0 && iters > 0)
     val subDim = 64 / m
     def dist(r: Int): String =
-      s"""d$r AS (
-         |  SELECT s.vec_id, s.m, c${r - 1}.cid, s.sv,
+      s"""${p}d$r AS (
+         |  SELECT s.vec_id, s.m, ${p}c${r - 1}.cid, s.sv,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(0, $subDim), i ->
-         |        (s.sv[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)])
-         |      * (s.sv[CAST(i+1 AS INT)] - c${r - 1}.c[CAST(i+1 AS INT)]))),
+         |        (s.sv[CAST(i+1 AS INT)] - ${p}c${r - 1}.c[CAST(i+1 AS INT)])
+         |      * (s.sv[CAST(i+1 AS INT)] - ${p}c${r - 1}.c[CAST(i+1 AS INT)]))),
          |      (a, b) -> a + b) AS dist2
-         |  FROM sub s JOIN c${r - 1} ON s.m = c${r - 1}.m),
-         |a$r AS (SELECT vec_id, m, cid, sv, dist2 FROM (
+         |  FROM ${p}sub s JOIN ${p}c${r - 1} ON s.m = ${p}c${r - 1}.m),
+         |${p}a$r AS (SELECT vec_id, m, cid, sv, dist2 FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |      ORDER BY dist2, cid) AS rn FROM d$r) t
+         |      ORDER BY dist2, cid) AS rn FROM ${p}d$r) t
          |  WHERE rn = 1)""".stripMargin
     def recenter(r: Int): String =
-      s"""m$r AS (
-         |  SELECT a$r.m, a$r.cid, dd.i AS dim,
-         |    CAST(SUM(CAST(a$r.sv[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(a$r.sv[CAST(dd.i+1 AS INT)]) AS mean
-         |  FROM a$r CROSS JOIN (SELECT unnest(range(0, $subDim)) AS i) dd
-         |  GROUP BY a$r.m, a$r.cid, dd.i),
-         |c$r AS (SELECT m, cid, list(mean ORDER BY dim) AS c
-         |        FROM m$r GROUP BY m, cid)""".stripMargin
+      s"""${p}m$r AS (
+         |  SELECT ${p}a$r.m, ${p}a$r.cid, dd.i AS dim,
+         |    CAST(SUM(CAST(${p}a$r.sv[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(${p}a$r.sv[CAST(dd.i+1 AS INT)]) AS mean
+         |  FROM ${p}a$r CROSS JOIN (SELECT unnest(range(0, $subDim)) AS i) dd
+         |  GROUP BY ${p}a$r.m, ${p}a$r.cid, dd.i),
+         |${p}c$r AS (SELECT m, cid, list(mean ORDER BY dim) AS c
+         |        FROM ${p}m$r GROUP BY m, cid)""".stripMargin
     val rounds = (1 to iters).map { r =>
       if (r < iters) dist(r) + ",\n" + recenter(r) else dist(r)
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sub AS (
+    s"""${p}sub AS (
        |  SELECT e.vec_id, mm.m,
        |    list_transform(range(0, $subDim),
        |      i -> e.v[CAST(mm.m * $subDim + i + 1 AS INT)]) AS sv
        |  FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
-       |c0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < $k),
+       |${p}c0 AS (SELECT m, vec_id AS cid, sv AS c FROM ${p}sub WHERE vec_id < $k),
        |$rounds""".stripMargin
   }
 
@@ -1154,6 +1165,128 @@ object Similarity {
       |  count(*) AS n_vectors,
       |  CAST(SUM(CAST(max_sim AS DECIMAL(38,12))) AS DOUBLE) AS sum_max_sim
       |FROM best GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** q_y17: COMPOSED IVF+PQ search — the full FAISS-style index shape a
+    * 100 TB vector store actually deploys: (1) route each query to its
+    * nearest coarse cell through the SAME trained centroids that routed
+    * the corpus (the y15 invariant), (2) ADC-score ONLY that cell's
+    * vectors from their 8-byte PQ codes against the query's broadcast
+    * distance table — at query time no corpus vector is touched, (3)
+    * exact-cosine rescore of the top-20 shortlist via a keyed join-back
+    * to full precision, top-5 out. IVF bounds the scan fraction
+    * (1/|cells|), PQ bounds the bytes per scanned vector (m codes), the
+    * rescore bounds the approximation error to the shortlist — three
+    * independent knobs, each already oracle-checked alone (y2/y6, y7/y8,
+    * y13's rescore move), composed here end-to-end.
+    *
+    * Scale shape: both trainings are the unrolled Lloyd rounds; at query
+    * time the only corpus-sized work is one broadcast-keyed join on cid
+    * (candidates) + one keyed code lookup — no corpus shuffle, no
+    * full-precision read outside the O(k·Q) winners. The whole pipeline
+    * replays as one WITH chain in DuckDB (both k-means chains prefixed),
+    * so the hash compare covers training AND serving together. */
+  def ivfPqSearch(spark: SparkSession, dir: String, shortlist: Int = 20,
+      topK: Int = 5): DataFrame = {
+    val (assign, cent) = ivfAssignCent(spark, dir, 8, 2)
+    val (pqA, pqCent) = pqAssign(spark, dir, 8, 16, 2)
+    val codes = pqA.select(col("vec_id"), col("m"), col("cid"))
+    val e = embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val fold =
+      """aggregate(zip_with(%s, c, (x, y) -> (x - y) * (x - y)),
+        |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcdist2"), col("cid"))
+    val qroute = queries.crossJoin(broadcast(cent))
+      .withColumn("qcdist2", expr(fold.format("qv")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"))
+    val cand = assign.select(col("vec_id"), col("cid"))
+      .join(broadcast(qroute), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val qsub = queries.select(col("query_id"),
+      posexplode(expr(
+        "transform(sequence(0, 7), mm -> slice(qv, CAST(mm * 8 + 1 AS INT), 8))"))
+        .as(Seq("m", "qsv")))
+    val table = qsub.join(broadcast(pqCent), Seq("m"))
+      .withColumn("qdist2", expr(fold.format("qsv")))
+      .select(col("query_id"), col("m"), col("cid"), col("qdist2"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val short = cand.join(codes, "vec_id")
+      .join(broadcast(table), Seq("query_id", "m", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(G.dsum(col("qdist2")).as("adist"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short.join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist"),
+        col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfPqSearchSql(shortlist: Int = 20, topK: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${ivfCtes(8, 2, 64, "i")},
+       |${pqCtes(8, 16, 2, "p")},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |qd AS (
+       |  SELECT q.query_id, c.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, 64), i ->
+       |        (q.qv[CAST(i+1 AS INT)] - c.c[CAST(i+1 AS INT)])
+       |      * (q.qv[CAST(i+1 AS INT)] - c.c[CAST(i+1 AS INT)]))),
+       |      (a, b) -> a + b) AS qcdist2
+       |  FROM q CROSS JOIN ic1 c),
+       |qroute AS (SELECT query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qcdist2, cid) AS rn FROM qd) t WHERE rn = 1),
+       |cand AS (
+       |  SELECT r.query_id, a.vec_id FROM qroute r JOIN ia2 a
+       |  ON a.cid = r.cid WHERE a.vec_id <> r.query_id),
+       |qsub AS (
+       |  SELECT q.query_id, mm.m,
+       |    list_transform(range(0, 8),
+       |      i -> q.qv[CAST(mm.m * 8 + i + 1 AS INT)]) AS qsv
+       |  FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+       |qt AS (
+       |  SELECT qs.query_id, qs.m, pc1.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, 8), i ->
+       |        (qs.qsv[CAST(i+1 AS INT)] - pc1.c[CAST(i+1 AS INT)])
+       |      * (qs.qsv[CAST(i+1 AS INT)] - pc1.c[CAST(i+1 AS INT)]))),
+       |      (a, b) -> a + b) AS qdist2
+       |  FROM qsub qs JOIN pc1 ON qs.m = pc1.m),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(SUM(CAST(qt.qdist2 AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |  FROM cand c JOIN pa2 k ON c.vec_id = k.vec_id
+       |              JOIN qt ON qt.query_id = c.query_id
+       |                     AND qt.m = k.m AND qt.cid = k.cid
+       |  GROUP BY c.query_id, c.vec_id),
+       |short AS (SELECT query_id, vec_id, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, vec_id) AS rn FROM adc) t WHERE rn <= $shortlist),
+       |res AS (
+       |  SELECT s.query_id, s.vec_id, s.adist,
+       |    list_dot_product(ev.v, q.qv) /
+       |      (sqrt(list_dot_product(ev.v, ev.v)) *
+       |       sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM short s JOIN e ev ON s.vec_id = ev.vec_id
+       |               JOIN q ON s.query_id = q.query_id)
+       |SELECT query_id, rank, vec_id, adist, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS rank FROM res) t
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   /** q_y16: dominant principal direction of the embedding set by POWER
     * ITERATION — 3 unrolled rounds of v ← normalize(Xᵀ(Xv)) against the

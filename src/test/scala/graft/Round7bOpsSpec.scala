@@ -199,6 +199,32 @@ class Round7bOpsSpec extends SparkSpec {
     assert(out.count(_._2 == 1) == bestByDoc.size)
   }
 
+  test("ivf+pq search: shape invariants and shortlist monotonicity") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val out = Similarity.ivfPqSearch(spark, sf())
+      .as[(Long, Int, Long, Double, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"ranks not dense for query $q")
+      assert(rows.forall(r => r._3 != q), s"self-match for query $q")
+      assert(rows.forall(r => r._4 >= 0.0 && math.abs(r._5) <= 1.0 + 1e-12))
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // growing the rescore shortlist can only improve the best true sim
+    val small = Similarity.ivfPqSearch(spark, sf(), shortlist = 5)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .filter(_._2 == 1).map(r => r._1 -> r._5).toMap
+    val large = Similarity.ivfPqSearch(spark, sf(), shortlist = 50)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .filter(_._2 == 1).map(r => r._1 -> r._5).toMap
+    small.keys.foreach { q =>
+      assert(large(q) >= small(q) - 1e-12,
+        s"query $q: shortlist 50 top-1 sim ${large(q)} < shortlist 5 ${small(q)}")
+    }
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
