@@ -372,6 +372,47 @@ object CdcParser {
        |WHERE event_id % 17 <> 0 AND event_id % 23 <> 0
        |ORDER BY trade_id""".stripMargin
 
+  /** q_p10: ingest DROP AUDIT — reconcile the parsed CDC stream against
+    * its source, per day: which envelopes did the parser reject, and at
+    * what rate? The dropped set is DERIVED by anti-joining the source
+    * against the actual parse output (never by re-stating the drop
+    * predicates), while the oracle states the parser's drop SPEC
+    * (malformed JSON, invalid op) directly — so the hash match proves the
+    * parser rejects exactly its specified set and nothing else, the
+    * reconciliation every CDC ingest pipeline owes its consumers
+    * (parsed + dropped == source, row for row).
+    *
+    * Plan: one keyed anti-join on event id + two day-keyed aggs with
+    * map-side partials; drop_rate is a single division of exact counts. */
+  def dropAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.events(spark, dir)
+      .select(col("event_id"), to_date(col("ts")).as("day"))
+    val parsed = cdcParseRoundtrip(spark, dir)
+      .select(col("trade_id").as("event_id"))
+    val totals = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val drops = ev.join(parsed, Seq("event_id"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_dropped"))
+    totals.join(drops, Seq("day"), "left_outer")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .withColumn("drop_rate",
+        col("n_dropped").cast("double") / col("n_events"))
+      .select(col("day"), col("n_events"), col("n_dropped"), col("drop_rate"))
+      .orderBy(col("day"))
+  }
+
+  val dropAuditSql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS day FROM events),
+      |tot AS (SELECT day, count(*) AS n_events FROM ev GROUP BY day),
+      |drp AS (
+      |  SELECT day, count(*) AS n_dropped FROM ev
+      |  WHERE event_id % 17 = 0 OR event_id % 23 = 0
+      |  GROUP BY day)
+      |SELECT t.day, t.n_events,
+      |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(COALESCE(d.n_dropped, 0) AS DOUBLE) / t.n_events AS drop_rate
+      |FROM tot t LEFT JOIN drp d ON t.day = d.day
+      |ORDER BY t.day""".stripMargin
+
   /** P5: changed-rows filter (op IN c/u/d, excludes snapshot 'r') + per-op
     * counts — the materialized-view predicate (`clickhouse/init.sql:93`). */
   def changedRowCounts(spark: SparkSession, dir: String): DataFrame =
