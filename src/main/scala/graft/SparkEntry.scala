@@ -273,6 +273,7 @@ object SparkEntry {
     "q_v7_table_stats" -> ((s, d) => Validation.tableStats(s, d)),
     "q_x14_sn_recall" -> ((s, d) => Dedup.snRecall(s, d)),
     "q_t19_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
+    "q_c22_leakfree_split" -> ((s, d) => Dedup.leakFreeSplit(s, d)),
     "q_y15_probe_sweep" -> ((s, d) => Similarity.probeSweep(s, d)),
     "q_y16_power_iter" -> ((s, d) => Similarity.powerIteration(s, d)),
     "q_y17_ivfpq_search" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
@@ -437,6 +438,7 @@ object SparkEntry {
     "q_v7_table_stats" -> Validation.tableStatsSql,
     "q_x14_sn_recall" -> Dedup.snRecallSql,
     "q_t19_keywords" -> TextAnalysis.keywordsSql,
+    "q_c22_leakfree_split" -> Dedup.leakFreeSplitSql,
     "q_y15_probe_sweep" -> Similarity.probeSweepSql,
     "q_y16_power_iter" -> Similarity.powerIterationSql,
     "q_y17_ivfpq_search" -> Similarity.ivfPqSearchSql(),

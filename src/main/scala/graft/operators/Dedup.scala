@@ -751,6 +751,59 @@ object Dedup {
     "\nSELECT label AS cluster_id, count(*) AS n_docs, max(id) AS max_doc" +
     "\nFROM lab GROUP BY label ORDER BY cluster_id"
 
+  /** q_c22: LEAKAGE-FREE train/eval split — the contamination-safe
+    * counterpart of plain hash splitting (c1): near-duplicate FAMILIES
+    * move as atoms, so no eval doc has a train-side near-twin (the
+    * benchmark-leak failure c6/c12/c18 measure after the fact is
+    * prevented by construction here). Family key = the c10 component
+    * label for clustered docs, the doc's own id for singletons; the
+    * deterministic md5-bucket split (the c1 sampler) is taken on the
+    * FAMILY key, so membership alone decides the side.
+    *
+    * Plan: component labels are O(near-dup docs) ≪ corpus and join keyed
+    * on doc id; the split decision is a scan-local hash; output is two
+    * rows of exact counts. Composes x3c → c10 → c1, all three already
+    * hash-verified alone; the composition is hash-checked end to end. */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakFreeSplitDocs(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("famkey")).as("n_families"))
+      .orderBy(col("split"))
+
+  /** Per-doc (doc_id, famkey, split) frame — the spec asserts the
+    * no-straddle law on it directly. */
+  private[graft] def leakFreeSplitDocs(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val members = memberLabels(
+      simhashNearDups(spark, dir)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
+      .withColumnRenamed("id", "doc_id")
+    G.table(spark, dir, "documents").select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left_outer")
+      .withColumn("famkey", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("famkey").cast("string")), 1, 2) < "1a",
+          lit("eval")).otherwise(lit("train")))
+      .select(col("doc_id"), col("famkey"), col("split"))
+  }
+
+  val leakFreeSplitSql: String = clusterLabWith +
+    """,
+      |fam AS (
+      |  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS famkey
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN lab l ON d.doc_id = l.id),
+      |sp AS (
+      |  SELECT doc_id, famkey,
+      |    CASE WHEN substr(md5(famkey::VARCHAR), 1, 2) < '1a'
+      |         THEN 'eval' ELSE 'train' END AS split
+      |  FROM fam)
+      |SELECT split, count(*) AS n_docs,
+      |  count(DISTINCT famkey) AS n_families
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   /** q_c16: canonical-document selection — the dedup ENDGAME policy. The
     * cluster operator says which documents are near-duplicates; this one
     * decides which single document each cluster KEEPS: the highest

@@ -225,6 +225,25 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("leak-free split: no near-dup pair straddles train/eval") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val perDoc = Dedup.leakFreeSplitDocs(spark, sf())
+      .as[(Long, Long, String)].collect()
+    val splitOf = perDoc.map(r => r._1 -> r._3).toMap
+    // every x3c near-dup pair must land on one side
+    val pairs = Dedup.simhashNearDups(spark, sf())
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"pair ($a,$b) straddles: ${splitOf(a)} vs ${splitOf(b)}")
+    }
+    assert(pairs.nonEmpty)
+    // both sides populated and every doc assigned exactly once
+    assert(perDoc.map(_._3).toSet == Set("train", "eval"))
+    assert(perDoc.map(_._1).distinct.length == perDoc.length)
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
