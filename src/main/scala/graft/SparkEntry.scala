@@ -179,6 +179,7 @@ object SparkEntry {
     "q_p8_scd2" -> ((s, d) => CdcParser.scd2History(s, d)),
     "q_p9_pit_lookup" -> ((s, d) => CdcParser.pitLookup(s, d)),
     "q_p10_drop_audit" -> ((s, d) => CdcParser.dropAudit(s, d)),
+    "q_a19_sliding_distinct" -> ((s, d) => DashboardQueries.slidingDistinct(s, d)),
     // incremental SCD2 maintenance through foreachBatch + versioned
     // parquet state, hash-checked against the SAME oracle as batch q_p8
     "q_stream_scd2" -> ((s, d) => graft.streaming.StreamingJobs.scd2Replay(s, d)),
@@ -390,6 +391,7 @@ object SparkEntry {
     "q_p8_scd2" -> CdcParser.scd2HistorySql,
     "q_p9_pit_lookup" -> CdcParser.pitLookupSql,
     "q_p10_drop_audit" -> CdcParser.dropAuditSql,
+    "q_a19_sliding_distinct" -> DashboardQueries.slidingDistinctSql,
     "q_stream_scd2" -> graft.streaming.StreamingJobs.scd2ReplaySql,
     "q_t12_lm_score" -> TextAnalysis.lmScoreSql,
     "q_r21_sliding_window" -> Relational.slidingTimeWindowSql,

@@ -526,4 +526,38 @@ object DashboardQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q_a19: SLIDING-window distinct users — hourly uniques every 15 min,
+    * the overlapping-window shape tumbling dashboards (a3/a7) cannot
+    * express: an event belongs to FOUR 1-hour windows sliding by 15 min,
+    * and DISTINCT cannot be merged across overlaps, so each incidence
+    * must be materialized. The scalable formulation explodes each event
+    * into its 4 covering window starts (integer slot arithmetic, no
+    * window() opacity) and lets Spark's two-phase distinct aggregate do
+    * the rest: partial (win, user) dedup map-side, one keyed exchange of
+    * the deduped incidence pairs — shuffle O(4·uniques), not O(4·events).
+    * At 100 TB the ×4 incidence factor is the inherent cost of sliding
+    * distinct; everything else partial-aggregates. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.eventsRaw(spark, dir)
+      .select(col("user_id"),
+        expr("(ts_ns DIV 1000000) DIV 900000").as("slot"))
+    ev.select(col("user_id"), col("slot"),
+        explode(expr("sequence(0, 3)")).as("i"))
+      .withColumn("win_start", (col("slot") - col("i")) * lit(900000L))
+      .groupBy(col("win_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("win_start"))
+  }
+
+  val slidingDistinctSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 900000 AS slot FROM events),
+      |x AS (
+      |  SELECT user_id, (slot - i.i) * 900000 AS win_start
+      |  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i)
+      |SELECT win_start, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin
 }

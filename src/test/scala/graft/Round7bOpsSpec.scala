@@ -244,6 +244,25 @@ class Round7bOpsSpec extends SparkSpec {
     assert(perDoc.map(_._1).distinct.length == perDoc.length)
   }
 
+  test("sliding distinct: 4x incidence law and windowed-recompute check") {
+    import spark.implicits._
+    import graft.operators.DashboardQueries
+    val out = DashboardQueries.slidingDistinct(spark, sf())
+      .as[(Long, Long, Long)].collect()
+    val nEvents = G.events(spark, sf()).count()
+    assert(out.map(_._2).sum == 4 * nEvents,
+      "every event must land in exactly 4 sliding windows")
+    out.foreach { case (_, ne, nu) => assert(nu <= ne && nu > 0) }
+    // independent recompute for one mid-range window
+    val probe = out(out.length / 2)._1
+    val expect = G.eventsRaw(spark, sf())
+      .filter(expr(s"ts_ns DIV 1000000 >= $probe AND " +
+        s"ts_ns DIV 1000000 < $probe + 3600000"))
+      .select("user_id").distinct().count()
+    assert(out.find(_._1 == probe).get._3 == expect,
+      s"window $probe distinct mismatch")
+  }
+
   test("power iteration: Rayleigh estimate is monotone over rounds") {
     import spark.implicits._
     import graft.operators.Similarity
