@@ -280,7 +280,17 @@ object SparkEntry {
     "q_y17_ivfpq_search" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
     // exact-substring dedup ACTION: cut non-canonical 16-token dup spans,
     // union ranges per doc, digest the cleaned text
-    "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d))
+    "q_x8_dedup_cut" -> ((s, d) => Dedup.dedupCut(s, d)),
+    // incremental dedup-index maintenance: delta batch signed alone,
+    // probed against the persisted base band index (no base re-sign)
+    "q_x15_incremental_lsh" -> ((s, d) => Dedup.incrementalLsh(s, d)),
+    // incremental IVF refresh: delta assigned to base-trained centroids,
+    // per-cell drift report (full chain hash-checked)
+    "q_y18_centroid_refresh" -> ((s, d) => Similarity.centroidRefresh(s, d)),
+    // collocation extraction: PMI-lift association over the bigram census
+    "q_t20_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    // token-budget-constrained quality-first selection per source
+    "q_c23_token_budget" -> ((s, d) => Curation.tokenBudget(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +454,10 @@ object SparkEntry {
     "q_y15_probe_sweep" -> Similarity.probeSweepSql,
     "q_y16_power_iter" -> Similarity.powerIterationSql,
     "q_y17_ivfpq_search" -> Similarity.ivfPqSearchSql(),
-    "q_x8_dedup_cut" -> Dedup.dedupCutSql
+    "q_x8_dedup_cut" -> Dedup.dedupCutSql,
+    "q_x15_incremental_lsh" -> Dedup.incrementalLshSql,
+    "q_y18_centroid_refresh" -> Similarity.centroidRefreshSql(),
+    "q_t20_collocations" -> TextAnalysis.collocationsSql,
+    "q_c23_token_budget" -> Curation.tokenBudgetSql
   )
 }

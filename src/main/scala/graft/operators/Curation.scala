@@ -864,4 +864,59 @@ object Curation {
        |  aq.avg_quality
        |FROM vol v JOIN tl t USING (source) JOIN aq USING (source)
        |ORDER BY v.source""".stripMargin
+
+  /** q_c23: TOKEN-BUDGET-constrained selection — the curation decision in
+    * its deployed form: "fill an N-token training budget per source with
+    * the best documents first." Docs are ranked by the t2 quality score
+    * (ties broken by doc_id — total order), and the greedy prefix whose
+    * running token sum stays within the budget is kept; because the
+    * knapsack items are divisible only at doc granularity and the value
+    * density IS the ranking key, the greedy prefix is the exact optimum of
+    * the fractional relaxation rounded down — the standard data-budget
+    * selection (quality-first fill).
+    *
+    * Plan: score = scan-speed projection (t2); one join to recover the
+    * source; ONE window pass per source computes both pick_rank and the
+    * running token sum (same frame, same sort — Catalyst plans a single
+    * sort + window). The window is keyed by source, so at 100 TB each
+    * source sorts independently — and a same-key skew would switch to the
+    * c20 move (decile histogram → threshold) which needs no sort at all;
+    * this formulation keeps the per-doc audit trail (rank, cumulative
+    * tokens) that the histogram variant gives up. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 800): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    q.join(src, Seq("doc_id"))
+      .withColumn("pick_rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("pick_rank"), col("doc_id"),
+        col("n_tokens"), col("cum_tokens"), col("quality_score"))
+      .orderBy(col("source"), col("pick_rank"))
+  }
+
+  val tokenBudgetSql: String = {
+    val scored = TextAnalysis.qualityScoreSql.replace("ORDER BY doc_id", "")
+    s"""WITH q AS ($scored),
+       |j AS (
+       |  SELECT d.source, q.doc_id, q.n_tokens, q.quality_score
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT source, doc_id, n_tokens, quality_score,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS pick_rank,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM j)
+       |SELECT source, pick_rank, doc_id, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens, quality_score
+       |FROM r WHERE cum_tokens <= 800
+       |ORDER BY source, pick_rank""".stripMargin
+  }
 }

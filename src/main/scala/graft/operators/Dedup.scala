@@ -504,6 +504,178 @@ object Dedup {
       |      len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Codegen'd distinct word-3-shingle extraction for any (doc_id, text)
+    * frame — the payload-side twin of [[minhashPolyStage]]'s JVM loop, used
+    * where only shingle SETS are needed (no signatures): pure projection,
+    * whole-stage codegen, no mapPartitions. Docs under 3 tokens drop (the
+    * signature-stage contract). */
+  private[operators] def shinglesOn(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(t) - 3),
+          |  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))""".stripMargin)
+        .as("shingles"))
+
+  /** q_x15: INCREMENTAL dedup-index maintenance — the operation a 100 TB
+    * corpus actually runs nightly: yesterday's corpus is already signed and
+    * banded into a persisted LSH index; today's arrival batch must be
+    * checked against it WITHOUT re-signing the base corpus. The checked
+    * batch here contains two planted near-dup families (first-token-dropped
+    * and last-token-dropped copies of every 7th base doc — which also match
+    * EACH OTHER, exercising batch-internal dedup) plus token-reversed
+    * novel docs (every 7th+3; reversal destroys all word-3-shingles, so
+    * they must come back 'keep').
+    *
+    * Mechanics: (1) the base index — (doc_id, band, bucket) rows ONLY, no
+    * payload — is written to parquet and read back, so "no base re-sign"
+    * is literal, not a claim; (2) the delta batch is signed in one JVM
+    * pass (O(|delta|), the entire point); (3) candidates come from
+    * band+bucket equality joins (delta⋈index and delta⋈delta), capBuckets
+    * guarding hot buckets; (4) exact-Jaccard verification re-shingles ONLY
+    * the candidate base docs via a left-semi pushdown into the documents
+    * scan — the index never stores shingles, and the verify cost is
+    * O(candidates), not O(corpus). Per delta doc: match counts against
+    * index and batch, best Jaccard, and the keep/drop decision.
+    *
+    * All arithmetic is the mod-P chain of [[minhashPolyStage]], so the
+    * full pipeline (including the banding) replays exactly in DuckDB. */
+  def incrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val dropFirst = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
+    val dropLast = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"),
+        expr("""concat_ws(' ', slice(split(text, '\\s+'), 1,
+                |  size(split(text, '\\s+')) - 1))""".stripMargin).as("text"))
+    val novel = base.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        expr("concat_ws(' ', reverse(split(text, '\\\\s+')))").as("text"))
+    val delta = dropFirst.union(dropLast).union(novel)
+
+    // yesterday's job: build + persist the band index (no payload)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x15_idx").toString
+    minhashPolyStage(base)
+      .select(col("doc_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    val index = spark.read.parquet(s"$tmp/index")
+
+    // today's job: sign the DELTA only, probe the stored index
+    val deltaStage = minhashPolyStage(delta).cache()
+    val deltaBanded = capBuckets(
+      deltaStage.select(col("doc_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize = 100000).cache()
+    val candIdx = deltaBanded
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+      .join(index.select(col("doc_id").as("base_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("base_id")).distinct()
+    val candBatch = deltaBanded
+      .select(col("doc_id").as("da"), col("band"), col("bucket"))
+      .join(deltaBanded.select(col("doc_id").as("db"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+
+    // verify: base shingles recomputed ONLY for candidate docs (semi-join
+    // pushes the candidate id set into the documents scan)
+    val baseCand = shinglesOn(base.join(
+      candIdx.select(col("base_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
+    def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    val verIdx = candIdx
+      .join(deltaStage.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+      .join(baseCand.select(col("doc_id").as("base_id"), col("shingles").as("sh_b")), "base_id")
+      .withColumn("j", jac(col("sh_n"), col("sh_b")))
+      .filter(col("j") >= 0.5)
+    val verBatch = candBatch
+      .join(deltaStage.select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
+      .join(deltaStage.select(col("doc_id").as("db"), col("shingles").as("sh_b2")), "db")
+      .withColumn("j", jac(col("sh_a"), col("sh_b2")))
+      .filter(col("j") >= 0.5)
+
+    val idxAgg = verIdx.groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("nim"), max(round(col("j"), 4)).as("bj"))
+    val batchAgg = verBatch.select(col("da").as("doc_id"))
+      .union(verBatch.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nbm"))
+    deltaStage.select(col("doc_id"))
+      .join(idxAgg, Seq("doc_id"), "left")
+      .join(batchAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nim"), lit(0L)).as("n_index_matches"),
+        coalesce(col("nbm"), lit(0L)).as("n_batch_matches"),
+        coalesce(col("bj"), lit(0.0)).as("best_jaccard"))
+      .withColumn("decision",
+        when(col("n_index_matches") > 0, lit("drop"))
+          .when(col("n_batch_matches") > 0, lit("batch_dup"))
+          .otherwise(lit("keep")))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalLshSql: String = minhashChainSql(
+    """
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id,
+      |    array_to_string(list_slice(string_split_regex(text, '\s+'), 1,
+      |      len(string_split_regex(text, '\s+')) - 1), ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 3""".stripMargin) + """,
+      |idx AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id < 2000000),
+      |dban AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id >= 2000000),
+      |cand_idx AS (
+      |  SELECT DISTINCT d.doc_id AS new_id, i.doc_id AS base_id
+      |  FROM dban d JOIN idx i ON d.band = i.band AND d.bucket = i.bucket),
+      |vi AS (
+      |  SELECT new_id, j FROM (
+      |    SELECT c.new_id,
+      |      len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.shingles, y.shingles))) AS j
+      |    FROM cand_idx c
+      |    JOIN sh x ON x.doc_id = c.new_id
+      |    JOIN sh y ON y.doc_id = c.base_id) t
+      |  WHERE j >= 0.5),
+      |cand_batch AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM dban a JOIN dban b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |vb AS (
+      |  SELECT da, db FROM (
+      |    SELECT c.da, c.db,
+      |      len(list_intersect(x.shingles, y.shingles)) * CAST(1.0 AS DOUBLE) /
+      |        len(list_distinct(list_concat(x.shingles, y.shingles))) AS j
+      |    FROM cand_batch c
+      |    JOIN sh x ON x.doc_id = c.da
+      |    JOIN sh y ON y.doc_id = c.db) t
+      |  WHERE j >= 0.5),
+      |bi AS (SELECT da AS doc_id FROM vb UNION ALL SELECT db AS doc_id FROM vb),
+      |ia AS (SELECT new_id AS doc_id, count(*) AS nim,
+      |         max(round(j, 4)) AS bj FROM vi GROUP BY 1),
+      |ba AS (SELECT doc_id, count(*) AS nbm FROM bi GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(ia.nim, CAST(0 AS BIGINT)) AS n_index_matches,
+      |  coalesce(ba.nbm, CAST(0 AS BIGINT)) AS n_batch_matches,
+      |  coalesce(ia.bj, 0.0) AS best_jaccard,
+      |  CASE WHEN coalesce(ia.nim, 0) > 0 THEN 'drop'
+      |       WHEN coalesce(ba.nbm, 0) > 0 THEN 'batch_dup'
+      |       ELSE 'keep' END AS decision
+      |FROM (SELECT doc_id FROM sh WHERE doc_id >= 2000000) d
+      |LEFT JOIN ia ON d.doc_id = ia.doc_id
+      |LEFT JOIN ba ON d.doc_id = ba.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** SimHash near-dup pipeline, end-to-end and oracle-checkable: 30-bit
     * signatures ([[simhash30]]) → 3×10-bit band buckets → bucket-equality
     * self-join → hamming verify with the codegen'd `bit_count` builtin.

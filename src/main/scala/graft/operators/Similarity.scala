@@ -400,8 +400,14 @@ object Similarity {
     * assignment — the probe sweep (q_y15) needs the same centroids to
     * route queries that routed the corpus. */
   private def ivfAssignCent(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) =
+    ivfAssignCentOn(
+      embeddings(spark, dir).select(col("vec_id"), col("v")), k, iters)
+
+  /** [[ivfAssignCent]] over a caller-supplied (vec_id, v) frame — the
+    * incremental refresh (q_y18) trains on the BASE slice only. */
+  private def ivfAssignCentOn(e: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
-    val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     var assign: DataFrame = e.sparkSession.emptyDataFrame
@@ -601,6 +607,104 @@ object Similarity {
        |  count(*) AS n_dups, max(sim) AS max_sim
        |FROM pairs WHERE sim >= $tau
        |GROUP BY id_b, cid ORDER BY vec_id""".stripMargin
+
+  /** q_y18: INCREMENTAL IVF index refresh — the maintenance job a deployed
+    * ANN index runs when a new embedding batch lands: k-means is NOT
+    * retrained; the delta (vec_id % 5 == 4, excluding the seed ids) is
+    * assigned to the centroids the BASE corpus trained (one broadcast of
+    * k centroid rows against the delta — O(|delta|·k), the base corpus is
+    * never rescanned for assignment), then the refresh report recomputes
+    * the would-be centroid means over base∪delta and measures per-cell
+    * drift² against the serving centroids — the signal that tells an
+    * operator when accumulated drift justifies a full retrain.
+    *
+    * Every mean is DECIMAL(38,6)-exact and the drift fold is the same
+    * sequential zip_with square-diff both engines run term-for-term, so
+    * the whole train→assign→recompute→drift chain hash-matches the
+    * unrolled DuckDB replay. Cells that received no delta vectors
+    * recompute the identical mean, so their drift² is exactly 0.0 —
+    * pinned in Round7cOpsSpec. */
+  def centroidRefresh(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val eAll = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    val isDelta = col("vec_id") % 5 === 4 && col("vec_id") >= 8
+    val (assignRaw, centRaw) = ivfAssignCentOn(eAll.filter(!isDelta), k, iters)
+    // both frames are consumed twice below; uncached, each reuse would
+    // re-run the whole Lloyd lineage from the scan
+    val assign = assignRaw.select(col("vec_id"), col("cid"), col("v")).cache()
+    val cent = centRaw.cache()
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+    val dAssign = eAll.filter(isDelta).crossJoin(broadcast(cent))
+      .withColumn("dist2", expr(
+        """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v")).cache()
+    val allAss = assign.unionByName(dAssign)
+    val newCent = allAss
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(G.davg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+        .as("c2"))
+    val nBase = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val nDelta = dAssign.groupBy(col("cid")).agg(count(lit(1)).as("n_delta"))
+    nBase.join(nDelta, Seq("cid"), "left")
+      .join(cent, "cid").join(newCent, "cid")
+      .withColumn("drift2", expr(
+        """aggregate(zip_with(c2, c, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      .select(col("cid"), col("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"), col("drift2"))
+      .orderBy(col("cid"))
+  }
+
+  /** DuckDB replay of [[centroidRefresh]]: base-only Lloyd rounds (the
+    * shared [[ivfCtes]]), delta assignment against the serving centroids,
+    * exact mean recompute over base∪delta, and the same drift fold. */
+  def centroidRefreshSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String = {
+    val last = iters - 1
+    s"""WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM eall
+       |      WHERE NOT (vec_id % 5 = 4 AND vec_id >= 8)),
+       |ed AS (SELECT vec_id, v FROM eall
+       |       WHERE vec_id % 5 = 4 AND vec_id >= 8),
+       |${ivfCtes(k, iters, dims, "")},
+       |dd0 AS (
+       |  SELECT ed.vec_id, c$last.cid, ed.v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, $dims), i ->
+       |        (ed.v[CAST(i+1 AS INT)] - c$last.c[CAST(i+1 AS INT)])
+       |      * (ed.v[CAST(i+1 AS INT)] - c$last.c[CAST(i+1 AS INT)]))),
+       |      (a, b) -> a + b) AS dist2
+       |  FROM ed CROSS JOIN c$last),
+       |da AS (SELECT vec_id, cid, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist2, cid) AS rn FROM dd0) t
+       |  WHERE rn = 1),
+       |allass AS (SELECT vec_id, cid, v FROM a$iters
+       |           UNION ALL SELECT vec_id, cid, v FROM da),
+       |nm AS (
+       |  SELECT allass.cid, dd2.i AS dim,
+       |    CAST(SUM(CAST(allass.v[CAST(dd2.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+       |      / COUNT(allass.v[CAST(dd2.i+1 AS INT)]) AS m
+       |  FROM allass CROSS JOIN (SELECT unnest(range(0, $dims)) AS i) dd2
+       |  GROUP BY allass.cid, dd2.i),
+       |cn AS (SELECT cid, list(m ORDER BY dim) AS c2 FROM nm GROUP BY cid),
+       |nb AS (SELECT cid, count(*) AS n_base FROM a$iters GROUP BY cid),
+       |nd AS (SELECT cid, count(*) AS n_delta FROM da GROUP BY cid)
+       |SELECT nb.cid, nb.n_base,
+       |  coalesce(nd.n_delta, CAST(0 AS BIGINT)) AS n_delta,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, $dims), i ->
+       |      (cn.c2[CAST(i+1 AS INT)] - co.c[CAST(i+1 AS INT)])
+       |    * (cn.c2[CAST(i+1 AS INT)] - co.c[CAST(i+1 AS INT)]))),
+       |    (a, b) -> a + b) AS drift2
+       |FROM nb LEFT JOIN nd ON nb.cid = nd.cid
+       |JOIN c$last co ON nb.cid = co.cid
+       |JOIN cn ON nb.cid = cn.cid
+       |ORDER BY nb.cid""".stripMargin
+  }
 
   /** Shared WITH-prefix of the IVF-family oracles ([[ivfBuildSql]],
     * [[semDedupSql]]), GENERATED from (k, iters, dims) like

@@ -1173,4 +1173,83 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tf, df, score
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** q_t20: COLLOCATION extraction — the association-scoring step on top of
+    * the raw bigram census (c4 counts frequency; this finds bigrams that
+    * co-occur far more than their parts predict — "new york"-style units,
+    * the phrase-mining / tokenizer-merge-candidate primitive). Association
+    * is the PMI ratio in LIFT form, p(ab)/(p(a)·p(b)) — computed as three
+    * single divisions of exact BIGINT counts in a fixed operation order, so
+    * scores are bit-identical cross-engine with no transcendental (the
+    * rational-idf move from t10: same ranking as log-PMI, exactly
+    * representable).
+    *
+    * Plan: tokenize once; unigram census and bigram census are each one
+    * explode → two-phase hash-agg (map-side combine collapses repeats
+    * before the keyed exchange); corpus totals ride a broadcast scalar
+    * frame; the two unigram lookups broadcast (vocab-sized); min-support
+    * filters (bigram ≥ 5, unigram ≥ 10) cut the noise floor BEFORE the
+    * joins; top-50 is TakeOrderedAndProject. At web scale this is the
+    * standard phrase-table build: every shuffled row is (gram, count). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw")).cache()
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1)))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    bi
+      .join(broadcast(uni.filter(col("cw") >= 10)
+        .select(col("w").as("w1"), col("cw").as("ca"))), Seq("w1"))
+      .join(broadcast(uni.filter(col("cw") >= 10)
+        .select(col("w").as("w2"), col("cw").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(
+        t.select((size(col("toks"))).as("n"), (size(col("toks")) - 1).as("m"))
+          .agg(sum(col("n")).as("nu"),
+            sum(when(col("m") > 0, col("m")).otherwise(0L)).as("nb"))))
+      .withColumn("lift",
+        (col("cab").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("nu")) *
+            (col("cb").cast("double") / col("nu"))))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        round(col("lift"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  val collocationsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS cw FROM (
+      |    SELECT unnest(toks) AS w FROM t)
+      |  GROUP BY w),
+      |bi AS (
+      |  SELECT w1, w2, count(*) AS cab FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |           unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+      |    FROM t WHERE len(toks) >= 2)
+      |  GROUP BY w1, w2 HAVING count(*) >= 5),
+      |tot AS (
+      |  SELECT sum(len(toks)) AS nu,
+      |         sum(CASE WHEN len(toks) - 1 > 0 THEN len(toks) - 1 ELSE 0 END) AS nb
+      |  FROM t)
+      |SELECT b.w1, b.w2, b.cab, ua.cw AS ca, ub.cw AS cb,
+      |  round((CAST(b.cab AS DOUBLE) / tot.nb) /
+      |        ((CAST(ua.cw AS DOUBLE) / tot.nu) *
+      |         (CAST(ub.cw AS DOUBLE) / tot.nu)), 4) AS lift
+      |FROM bi b
+      |JOIN uni ua ON b.w1 = ua.w AND ua.cw >= 10
+      |JOIN uni ub ON b.w2 = ub.w AND ub.cw >= 10
+      |CROSS JOIN tot
+      |ORDER BY lift DESC, b.w1, b.w2
+      |LIMIT 50""".stripMargin
 }

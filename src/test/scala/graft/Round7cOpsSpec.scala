@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-7 third-wave additions: incremental index maintenance (x15 LSH
+  * delta probe, y18 IVF centroid refresh). */
+class Round7cOpsSpec extends SparkSpec {
+
+  test("x15: planted families drop, reversed docs keep, batch dups flagged") {
+    val out = Dedup.incrementalLsh(spark, sf()).collect()
+    assert(out.nonEmpty)
+    // reversed-token docs (+3000000) are novel: no index or batch match
+    val rev = out.filter(r => r.getLong(0) >= 3000000 && r.getLong(0) < 4000000)
+    assert(rev.nonEmpty)
+    assert(rev.forall(_.getString(4) == "keep"),
+      rev.filter(_.getString(4) != "keep").mkString(","))
+    // drop-first copies (+2000000): J = (n-1)/n >= 7/8 at >= 10 tokens —
+    // every one must hit its base doc in the index
+    val df1 = out.filter(r => r.getLong(0) >= 2000000 && r.getLong(0) < 3000000)
+    assert(df1.nonEmpty)
+    assert(df1.forall(r => r.getLong(1) >= 1 && r.getString(4) == "drop"))
+    // drop-last copies (+4000000) match the index AND their +2000000 twin
+    // within the batch (both sides of the pair get the batch flag)
+    val df2 = out.filter(r => r.getLong(0) >= 4000000)
+    assert(df2.nonEmpty)
+    assert(df2.forall(r => r.getLong(1) >= 1))
+    assert(df2.forall(r => r.getLong(2) >= 1))
+    assert(df1.forall(r => r.getLong(2) >= 1))
+    // best_jaccard present whenever an index match fired
+    assert(out.forall(r => (r.getLong(1) > 0) == (r.getDouble(3) >= 0.5)))
+  }
+
+  test("x15: delta output covers exactly the signable delta docs") {
+    val out = Dedup.incrementalLsh(spark, sf())
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val base = G.table(spark, sf(), "documents")
+    // docs are 10..99 tokens, so every transformed variant stays >= 3
+    // tokens and must appear in the report
+    val exp =
+      base.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 2000000)
+        .union(base.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 4000000))
+        .union(base.filter(col("doc_id") % 7 === 3).select(col("doc_id") + 3000000))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(out == exp)
+  }
+
+  test("y18: every vector assigned once; zero-delta cells have zero drift") {
+    val out = Similarity.centroidRefresh(spark, sf()).collect()
+    val nVec = G.table(spark, sf(), "embeddings").count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == nVec)
+    // cells that received no delta recompute the identical mean
+    out.filter(_.getLong(2) == 0L).foreach(r => assert(r.getDouble(3) == 0.0))
+    // at least one cell absorbed deltas and drifted
+    assert(out.exists(r => r.getLong(2) > 0 && r.getDouble(3) > 0.0))
+    // drift is a squared distance: never negative
+    assert(out.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("t20: lift matches an independent in-memory recompute") {
+    val out = TextAnalysis.collocations(spark, sf()).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    // support floors and descending order
+    assert(out.forall(r => r.getLong(2) >= 5 && r.getLong(3) >= 10 &&
+      r.getLong(4) >= 10))
+    val lifts = out.map(_.getDouble(5))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    // independent recompute of every reported row from raw text
+    val texts = G.table(spark, sf(), "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    var nu = 0L; var nb = 0L
+    texts.foreach { tx =>
+      val t = tx.toLowerCase.split("\\s+")
+      t.foreach { w => uni(w) += 1; nu += 1 }
+      t.sliding(2).filter(_.length == 2).foreach { p =>
+        bi((p(0), p(1))) += 1; nb += 1 }
+    }
+    out.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(bi((w1, w2)) == r.getLong(2))
+      assert(uni(w1) == r.getLong(3) && uni(w2) == r.getLong(4))
+      val lift = (bi((w1, w2)).toDouble / nb) /
+        ((uni(w1).toDouble / nu) * (uni(w2).toDouble / nu))
+      assert(math.abs(lift - r.getDouble(5)) < 1e-4)
+    }
+  }
+
+  test("c23: selection is exactly the greedy quality-first prefix") {
+    val out = Curation.tokenBudget(spark, sf()).collect()
+    assert(out.nonEmpty)
+    // per-source: budget respected, ranks contiguous from 1
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.forall(_.getLong(4) <= 800L))
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to rows.length))
+    }
+    // reference greedy fill per source from the scored docs
+    val scored = TextAnalysis.qualityScore(spark, sf())
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(G.table(spark, sf(), "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .collect()
+      .map(r => (r.getString(3), r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    val expect = scored.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (-r._4, r._2)).takeWhile { r =>
+        cum += r._3; cum <= 800L }.map(r => (src, r._2)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSet == expect)
+  }
+}
