@@ -290,7 +290,11 @@ object SparkEntry {
     // collocation extraction: PMI-lift association over the bigram census
     "q_t20_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // token-budget-constrained quality-first selection per source
-    "q_c23_token_budget" -> ((s, d) => Curation.tokenBudget(s, d))
+    "q_c23_token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
+    // functional-dependency audit over the denormalized order-customer view
+    "q_v8_fd_audit" -> ((s, d) => Validation.fdAudit(s, d)),
+    // HITS hubs/authorities on the bipartite customer-part purchase graph
+    "q_g6_hits" -> ((s, d) => Graph.hits(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,6 +462,8 @@ object SparkEntry {
     "q_x15_incremental_lsh" -> Dedup.incrementalLshSql,
     "q_y18_centroid_refresh" -> Similarity.centroidRefreshSql(),
     "q_t20_collocations" -> TextAnalysis.collocationsSql,
-    "q_c23_token_budget" -> Curation.tokenBudgetSql
+    "q_c23_token_budget" -> Curation.tokenBudgetSql,
+    "q_v8_fd_audit" -> Validation.fdAuditSql,
+    "q_g6_hits" -> Graph.hitsSql
   )
 }

@@ -404,6 +404,81 @@ object Graph {
        |SELECT c AS part_id, core_deg FROM k4 ORDER BY part_id""".stripMargin
   }
 
+  /** q_g6: HITS hubs & authorities over the BIPARTITE customer→part
+    * purchase graph (the c15 PageRank runs on the unipartite near-dup
+    * graph; HITS is the two-sided ranking for two-mode data — "important
+    * parts are bought by important customers, important customers buy
+    * important parts"). Two unrolled rounds with sum-normalization after
+    * every half-step: auth ← Σ hub over in-edges, hub ← Σ auth over
+    * out-edges — the Kleinberg iteration with the same determinism levers
+    * as c15: every Σ goes through DECIMAL(38,12) (order-independent,
+    * hash-exact) and every normalizer is a broadcast scalar frame, so
+    * three chained float rounds replay bit-identically in DuckDB.
+    *
+    * Plan per half-step: one keyed join (edges ⋈ scores, both hashed on
+    * the shared key) + one keyed aggregate with map-side partials; the
+    * normalizer is a 1-row aggregate broadcast back. The edge list is
+    * cached once and reused by all half-steps; output is top-100
+    * authorities via TakeOrderedAndProject. At 100 TB the per-round
+    * exchange carries (id, double) pairs only — the Pregel shape in plain
+    * DataFrames, like c15/g3. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val ord = G.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+    val edges = li.join(ord, "ok").select(col("c"), col("p"))
+      .distinct().cache()
+    // round 1: hub0 = 1.0 for every customer, so auth1 = in-degree
+    val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .withColumn("a1", col("deg").cast("double"))
+    val ta1 = a1.agg(graft.G.dsum(col("a1"), 12).as("t"))
+    val na1 = a1.crossJoin(broadcast(ta1))
+      .select(col("p"), col("deg"), (col("a1") / col("t")).as("na1"))
+    val h1 = edges.join(na1.select(col("p"), col("na1")), "p")
+      .groupBy(col("c")).agg(graft.G.dsum(col("na1"), 12).as("h1"))
+    val th1 = h1.agg(graft.G.dsum(col("h1"), 12).as("t"))
+    val nh1 = h1.crossJoin(broadcast(th1))
+      .select(col("c"), (col("h1") / col("t")).as("nh1"))
+    // round 2: authorities from the normalized hubs
+    val a2 = edges.join(nh1, "c")
+      .groupBy(col("p")).agg(graft.G.dsum(col("nh1"), 12).as("a2"))
+    val ta2 = a2.agg(graft.G.dsum(col("a2"), 12).as("t"))
+    a2.crossJoin(broadcast(ta2))
+      .join(na1.select(col("p"), col("deg")), "p")
+      .select(col("p").as("part_id"), col("deg").as("n_buyers"),
+        (col("a2") / col("t")).as("authority"))
+      .orderBy(col("authority").desc, col("part_id"))
+      .limit(100)
+  }
+
+  val hitsSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |            WHERE l_quantity >= 30),
+      |ord AS (SELECT o_orderkey AS ok, o_custkey AS c FROM orders),
+      |edges AS (SELECT DISTINCT o.c, l.p FROM li l JOIN ord o ON l.ok = o.ok),
+      |a1 AS (SELECT p, count(*) AS deg, CAST(count(*) AS DOUBLE) AS a1
+      |       FROM edges GROUP BY p),
+      |ta1 AS (SELECT CAST(SUM(CAST(a1 AS DECIMAL(38,12))) AS DOUBLE) AS t
+      |        FROM a1),
+      |na1 AS (SELECT p, deg, a1 / ta1.t AS na1 FROM a1 CROSS JOIN ta1),
+      |h1 AS (SELECT e.c,
+      |         CAST(SUM(CAST(n.na1 AS DECIMAL(38,12))) AS DOUBLE) AS h1
+      |       FROM edges e JOIN na1 n ON e.p = n.p GROUP BY e.c),
+      |th1 AS (SELECT CAST(SUM(CAST(h1 AS DECIMAL(38,12))) AS DOUBLE) AS t
+      |        FROM h1),
+      |nh1 AS (SELECT c, h1 / th1.t AS nh1 FROM h1 CROSS JOIN th1),
+      |a2 AS (SELECT e.p,
+      |         CAST(SUM(CAST(x.nh1 AS DECIMAL(38,12))) AS DOUBLE) AS a2
+      |       FROM edges e JOIN nh1 x ON e.c = x.c GROUP BY e.p),
+      |ta2 AS (SELECT CAST(SUM(CAST(a2 AS DECIMAL(38,12))) AS DOUBLE) AS t
+      |        FROM a2)
+      |SELECT a2.p AS part_id, n.deg AS n_buyers, a2.a2 / ta2.t AS authority
+      |FROM a2 CROSS JOIN ta2 JOIN na1 n ON a2.p = n.p
+      |ORDER BY authority DESC, part_id
+      |LIMIT 100""".stripMargin
+
   val trianglesSql: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |            WHERE l_quantity >= 30),

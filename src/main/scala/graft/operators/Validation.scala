@@ -449,4 +449,71 @@ object Validation {
        |         l_partkey, l_suppkey
        |  FROM lineitem),
        |${tableStatsCore("v7_lineitem").stripPrefix("WITH ")}""".stripMargin
+
+  /** q_v8: FUNCTIONAL-DEPENDENCY audit — the schema-discovery /
+    * key-validation profiling op (Metanome / HoloClean territory): for a
+    * fixed candidate set of FDs `lhs → rhs` over the denormalized
+    * orders⋈customer view, count the LHS groups whose RHS is not unique.
+    * Declared keys (o_orderkey → o_custkey, o_custkey → c_nationkey)
+    * must come back with zero violations — a regression here means the
+    * ingest corrupted a key; the non-FDs (nation → segment, date →
+    * priority) quantify HOW FAR from functional a candidate is
+    * (max distinct RHS per LHS), which is what a schema-inference tool
+    * ranks candidates by.
+    *
+    * Plan: the denormalized view is one broadcast join (customer is the
+    * small side); each candidate FD is one (lhs)-keyed two-phase distinct
+    * aggregate collapsing to a single row — five tiny plans unioned, no
+    * global anything. At 100 TB each audit is exactly one shuffle of
+    * (lhs, rhs) pairs; candidates audit independently and in parallel. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val den = G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(broadcast(G.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .cache()
+    def audit(name: String, lhs: String, rhs: String): DataFrame =
+      den.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("d"))
+        .agg(count(lit(1)).as("n_lhs_groups"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          max(col("d")).as("max_rhs_per_lhs"))
+        .select(lit(name).as("fd"), col("n_lhs_groups"),
+          col("n_violating_groups"), col("max_rhs_per_lhs"))
+    Seq(
+      audit("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+      audit("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+      audit("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+      audit("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
+      audit("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+      .reduce(_.unionByName(_))
+      .withColumn("holds", col("n_violating_groups") === 0)
+      .orderBy(col("fd"))
+  }
+
+  val fdAuditSql: String = {
+    def audit(name: String, lhs: String, rhs: String): String =
+      s"""SELECT '$name' AS fd, count(*) AS n_lhs_groups,
+         |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_groups,
+         |  max(d) AS max_rhs_per_lhs
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS d FROM den
+         |      GROUP BY $lhs) t""".stripMargin
+    s"""WITH den AS (
+       |  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+       |         c_nationkey, c_mktsegment
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |u AS (
+       |${Seq(
+        audit("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+        audit("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+        audit("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+        audit("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
+        audit("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .mkString("\nUNION ALL\n")})
+       |SELECT fd, n_lhs_groups, n_violating_groups, max_rhs_per_lhs,
+       |  n_violating_groups = 0 AS holds
+       |FROM u ORDER BY fd""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Similarity, TextAnalysis, Validation}
 import org.apache.spark.sql.functions._
 
 /** Round-7 third-wave additions: incremental index maintenance (x15 LSH
@@ -110,5 +110,64 @@ class Round7cOpsSpec extends SparkSpec {
         cum += r._3; cum <= 800L }.map(r => (src, r._2)).toSeq
     }.toSet
     assert(out.map(r => (r.getString(0), r.getLong(2))).toSet == expect)
+  }
+
+  test("v8: declared keys hold; non-FDs report brute-force violation counts") {
+    val out = Validation.fdAudit(spark, sf()).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 5)
+    // true keys: zero violations, RHS unique in every group
+    Seq("o_orderkey->o_custkey", "o_custkey->c_nationkey").foreach { fd =>
+      assert(out(fd).getLong(2) == 0L && out(fd).getLong(3) == 1L
+        && out(fd).getBoolean(4))
+    }
+    // brute-force recompute of one non-FD from the raw tables
+    val den = G.table(spark, sf(), "orders")
+      .join(G.table(spark, sf(), "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+    val perNation = den.groupBy(_._1).map { case (_, rs) =>
+      rs.map(_._2).distinct.length }
+    val fd = out("c_nationkey->c_mktsegment")
+    assert(fd.getLong(1) == perNation.size)
+    assert(fd.getLong(2) == perNation.count(_ > 1))
+    assert(fd.getLong(3) == perNation.max)
+    assert(fd.getBoolean(4) == (perNation.count(_ > 1) == 0))
+  }
+
+  test("g6: authority matches an in-memory HITS recompute; order descending") {
+    val out = Graph.hits(spark, sf()).collect()
+    assert(out.nonEmpty)
+    val auths = out.map(_.getDouble(2))
+    assert(auths.zip(auths.tail).forall { case (a, b) => a >= b })
+    // reference 2-round HITS on the collected edge list
+    val edges = {
+      val li = G.table(spark, sf(), "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = G.table(spark, sf(), "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val byPart = edges.groupBy(_._2)
+    val a1 = byPart.map { case (p, es) => p -> es.length.toDouble }
+    val ta1 = a1.values.sum
+    val na1 = a1.map { case (p, v) => p -> v / ta1 }
+    val h1 = edges.groupBy(_._1).map { case (c, es) =>
+      c -> es.map(e => na1(e._2)).sum }
+    val th1 = h1.values.sum
+    val nh1 = h1.map { case (c, v) => c -> v / th1 }
+    val a2 = byPart.map { case (p, es) =>
+      p -> es.map(e => nh1(e._1)).sum }
+    val ta2 = a2.values.sum
+    out.foreach { r =>
+      val p = r.getLong(0)
+      assert(r.getLong(1) == byPart(p).length) // n_buyers = in-degree
+      val ref = a2(p) / ta2
+      assert(math.abs(r.getDouble(2) - ref) <= 1e-9 * math.max(ref, 1e-12))
+    }
   }
 }
