@@ -294,7 +294,10 @@ object SparkEntry {
     // functional-dependency audit over the denormalized order-customer view
     "q_v8_fd_audit" -> ((s, d) => Validation.fdAudit(s, d)),
     // HITS hubs/authorities on the bipartite customer-part purchase graph
-    "q_g6_hits" -> ((s, d) => Graph.hits(s, d))
+    "q_g6_hits" -> ((s, d) => Graph.hits(s, d)),
+    // lambda/kappa handoff: batch candles to a window-aligned cutoff union
+    // streamed candles from it, hash-checked vs the cutoff-blind oracle
+    "q_stream_backfill" -> ((s, d) => graft.streaming.StreamingJobs.backfillReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,6 +467,7 @@ object SparkEntry {
     "q_t20_collocations" -> TextAnalysis.collocationsSql,
     "q_c23_token_budget" -> Curation.tokenBudgetSql,
     "q_v8_fd_audit" -> Validation.fdAuditSql,
-    "q_g6_hits" -> Graph.hitsSql
+    "q_g6_hits" -> Graph.hitsSql,
+    "q_stream_backfill" -> graft.streaming.StreamingJobs.backfillReplaySql
   )
 }

@@ -131,6 +131,55 @@ object StreamingJobs {
   def ohlcReplaySql: String =
     graft.operators.DashboardQueries.ohlcCandlesSql
 
+  /** q_stream_backfill: the LAMBDA/KAPPA HANDOFF — the architectural seam
+    * every production streaming deployment has and few verify: history is
+    * served by a batch job over the warehouse table, the live tail by the
+    * streaming pipeline, and the two views must meet at the cutoff with no
+    * gap, no overlap, and no seam-row disagreement. Here the batch layer
+    * is the a18 candle query cut at a WINDOW-ALIGNED cutoff (the midpoint
+    * of the event-time range rounded down to the 15-minute grid — aligning
+    * the handoff to the aggregation grid is what makes a clean seam
+    * POSSIBLE: no candle straddles it), and the speed layer replays only
+    * events at/after the cutoff through the watermarked [[ohlcStream]].
+    * The union is hash-checked against the ONE-SHOT batch candles over the
+    * full range — the oracle never sees the cutoff, so the match PROVES
+    * the handoff is seamless rather than asserting it.
+    *
+    * Scale shape: the batch layer is the already-audited a18 single-
+    * exchange aggregate with the candle filter pushed to it; the speed
+    * layer processes O(tail) events, not history — which is the entire
+    * point of backfill-then-stream at 100 TB: the stream never replays
+    * the archive, and this query is the correctness contract that lets
+    * you trust that shortcut. */
+  def backfillReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bf")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+    val mm = env.agg(min(col("src_ms")), max(col("src_ms"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val cutoff = mid - java.lang.Math.floorMod(mid, 900000L)
+    val batchPart = graft.operators.DashboardQueries.ohlcCandles(spark, dir)
+      .filter(col("candle_ms") < cutoff)
+    writeEnvelopeWithSentinel(spark, dir, in, minMs = cutoff)
+    val agg = ohlcStream(readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
+    val q = agg.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val streamPart = spark.read.parquet(out)
+      .filter(col("market") =!= "ZSENTINEL")
+    batchPart.unionByName(streamPart)
+      .orderBy(col("market"), col("candle_ms"))
+  }
+
+  // the oracle is the FULL-RANGE one-shot batch candle SQL: it never sees
+  // the cutoff, so a hash match proves the batch+stream union is seamless
+  def backfillReplaySql: String =
+    graft.operators.DashboardQueries.ohlcCandlesSql
+
   /** q_stream_ivm: INCREMENTAL VIEW MAINTENANCE of an UNBOUNDED join —
     * the view V = BIDs ⋈ ASKs on (market, price bucket) maintained
     * per micro-batch by the textbook delta decomposition
@@ -688,8 +737,10 @@ object StreamingJobs {
     * granularity knob, not a scale choice (0 = keep the write's natural
     * partitioning; single-batch callers). */
   private def writeEnvelopeWithSentinel(spark: SparkSession, dir: String,
-      in: String, sentinels: Int = 1, parts: Int = 0): Unit = {
+      in: String, sentinels: Int = 1, parts: Int = 0,
+      minMs: Long = Long.MinValue): Unit = {
     val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+      .filter(col("src_ms") >= minMs)
     val t0 = System.currentTimeMillis() - 3600000L
     if (parts > 0) {
       env.repartitionByRange(parts, col("src_ms")).select("json")

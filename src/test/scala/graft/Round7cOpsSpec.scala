@@ -170,4 +170,24 @@ class Round7cOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - ref) <= 1e-9 * math.max(ref, 1e-12))
     }
   }
+
+  test("stream_backfill: both layers contribute, seam has no dup or gap") {
+    val out = graft.streaming.StreamingJobs.backfillReplay(spark, sf())
+      .collect()
+    assert(out.nonEmpty)
+    // no candle appears in both layers (seam overlap would double a key)
+    val keys = out.map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+    // the cutoff the replay used (same arithmetic): both sides populated
+    val mm = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, sf())
+      .agg(min(col("src_ms")), max(col("src_ms"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val cutoff = mid - java.lang.Math.floorMod(mid, 900000L)
+    assert(out.exists(_.getLong(1) < cutoff))   // batch layer
+    assert(out.exists(_.getLong(1) >= cutoff))  // speed layer
+    // and the union IS the one-shot batch candle set
+    val full = graft.operators.DashboardQueries.ohlcCandles(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.toSet == full.toSet)
+  }
 }
