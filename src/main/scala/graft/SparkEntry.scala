@@ -297,7 +297,11 @@ object SparkEntry {
     "q_g6_hits" -> ((s, d) => Graph.hits(s, d)),
     // lambda/kappa handoff: batch candles to a window-aligned cutoff union
     // streamed candles from it, hash-checked vs the cutoff-blind oracle
-    "q_stream_backfill" -> ((s, d) => graft.streaming.StreamingJobs.backfillReplay(s, d))
+    "q_stream_backfill" -> ((s, d) => graft.streaming.StreamingJobs.backfillReplay(s, d)),
+    // 1-bit sign-code ANN: hamming shortlist at 8 B/vector, exact rescore
+    "q_y19_binary_search" -> ((s, d) => Similarity.binarySearch(s, d)),
+    // referential-integrity audit: orphan FKs across all 7 schema edges
+    "q_v9_ref_integrity" -> ((s, d) => Validation.refIntegrity(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,6 +472,8 @@ object SparkEntry {
     "q_c23_token_budget" -> Curation.tokenBudgetSql,
     "q_v8_fd_audit" -> Validation.fdAuditSql,
     "q_g6_hits" -> Graph.hitsSql,
-    "q_stream_backfill" -> graft.streaming.StreamingJobs.backfillReplaySql
+    "q_stream_backfill" -> graft.streaming.StreamingJobs.backfillReplaySql,
+    "q_y19_binary_search" -> Similarity.binarySearchSql,
+    "q_v9_ref_integrity" -> Validation.refIntegritySql
   )
 }

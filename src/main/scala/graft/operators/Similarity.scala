@@ -608,6 +608,104 @@ object Similarity {
        |FROM pairs WHERE sim >= $tau
        |GROUP BY id_b, cid ORDER BY vec_id""".stripMargin
 
+  /** q_y19: BINARY-CODE ANN search — the 1-bit sibling of the int8
+    * two-stage search (y13) and the most compressed point on the
+    * quantization ladder (float32 2048 B → int8 64+8 B → HERE 8 B/vector):
+    * each vector becomes a 64-bit sign code (bit i = v_i ≥ 0), candidates
+    * are ranked by Hamming distance — `bit_count(xor)` over two 32-bit
+    * halves, pure integer codegen at memory bandwidth — and only the
+    * top-20 shortlist is rescored with exact full-precision cosine.
+    * Integer distances + total-order tie-breaks make the whole
+    * code→rank→rescore chain hash-exact.
+    *
+    * The code is stored as TWO 32-bit halves, not one 64-bit word: bit 63
+    * of a packed BIGINT is its sign bit, and `1::BIGINT << 63` is
+    * engine-defined overflow territory (ANSI Spark would throw on the
+    * equivalent arithmetic form); two half-words keep every shift ≤ 31 and
+    * every value positive on both engines.
+    *
+    * Scale shape: the sign-code "index build" is one scan-speed projection
+    * (8 bytes out per vector); the query stage broadcasts 10 query codes
+    * against the code column only — full vectors are read exclusively for
+    * the O(queries·20) rescore join-back, the y13/y17 contract. */
+  def binarySearch(spark: SparkSession, dir: String, shortlist: Int = 20,
+      topK: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+    val codeLo = expr(
+      """aggregate(sequence(0, 31), 0L,
+        |  (acc, i) -> acc + IF(element_at(v, i + 1) >= 0.0,
+        |                       shiftleft(1L, i), 0L))""".stripMargin)
+    val codeHi = expr(
+      """aggregate(sequence(32, 63), 0L,
+        |  (acc, i) -> acc + IF(element_at(v, i + 1) >= 0.0,
+        |                       shiftleft(1L, i - 32), 0L))""".stripMargin)
+    val codes = e.select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("lo", codeLo).withColumn("hi", codeHi).cache()
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val short = codes.select(col("vec_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qlo"), col("qhi"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= shortlist)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short
+      .join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnrm"))),
+        "query_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"),
+        col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val binarySearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN v[CAST(i+1 AS INT)] >= 0.0
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS lo,
+      |    list_sum(list_transform(range(32, 64), i ->
+      |      CASE WHEN v[CAST(i+1 AS INT)] >= 0.0
+      |           THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS hi
+      |  FROM e),
+      |queries AS (
+      |  SELECT vec_id AS query_id, lo AS qlo, hi AS qhi, v AS qv
+      |  FROM codes WHERE vec_id < 10),
+      |ham AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS hamming
+      |  FROM codes c CROSS JOIN queries q
+      |  WHERE c.vec_id <> q.query_id),
+      |short AS (
+      |  SELECT query_id, vec_id, hamming FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming, vec_id) AS hrank FROM ham) t
+      |  WHERE hrank <= 20),
+      |scored AS (
+      |  SELECT s.query_id, s.vec_id, s.hamming,
+      |    list_dot_product(c.v, q.qv) /
+      |      (sqrt(list_dot_product(c.v, c.v))
+      |       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      |  FROM short s
+      |  JOIN codes c ON s.vec_id = c.vec_id
+      |  JOIN queries q ON s.query_id = q.query_id)
+      |SELECT query_id, rank, vec_id, hamming, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, vec_id) AS rank FROM scored) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** q_y18: INCREMENTAL IVF index refresh — the maintenance job a deployed
     * ANN index runs when a new embedding batch lands: k-means is NOT
     * retrained; the delta (vec_id % 5 == 4, excluding the seed ids) is

@@ -516,4 +516,93 @@ object Validation {
        |  n_violating_groups = 0 AS holds
        |FROM u ORDER BY fd""".stripMargin
   }
+
+  /** q_v9: REFERENTIAL-INTEGRITY audit — every foreign-key edge of the
+    * star schema checked for orphans in one report: child rows whose FK
+    * value has no parent row. The cross-table completeness gate that
+    * belongs next to the single-table profile (v1) and constraint rules
+    * (v2): a CDC pipeline that drops or reorders parent inserts shows up
+    * here first, as a nonzero orphan count on the affected edge.
+    *
+    * Plan per edge: the child scan reads ONLY the FK column (pruned), the
+    * distinct-FK frame aggregates map-side first, and the orphan check is
+    * a broadcast LEFT ANTI join against the parent KEY column — at 100 TB
+    * the per-edge cost is one pruned scan + one broadcast anti join; the
+    * seven edges run as independent tiny plans and union at the end.
+    * Null FKs are counted separately (a null is a MISSING reference, not
+    * an orphaned one — SQL FK semantics). */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(edge: String, childTable: String, fkCol: String,
+        parentTable: String, pkCol: String): DataFrame = {
+      val child = G.table(spark, dir, childTable).select(col(fkCol).as("fk"))
+      val parent = G.table(spark, dir, parentTable).select(col(pkCol).as("pk"))
+      val base = child.agg(count(lit(1)).as("n_child_rows"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      val fks = child.filter(col("fk").isNotNull)
+        .groupBy(col("fk")).agg(count(lit(1)).as("cnt"))
+      val orphans = fks.join(broadcast(parent), col("fk") === col("pk"),
+          "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_orphan_keys"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"))
+      base.crossJoin(orphans)
+        .select(lit(edge).as("fk_edge"), col("n_child_rows"),
+          col("n_null_fk"), col("n_orphan_keys"), col("n_orphan_rows"))
+    }
+    Seq(
+      audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      audit("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      audit("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      audit("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      audit("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      audit("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .reduce(_.unionByName(_))
+      .withColumn("intact", col("n_orphan_rows") === 0)
+      .orderBy(col("fk_edge"))
+  }
+
+  val refIntegritySql: String = {
+    def audit(edge: String, childTable: String, fkCol: String,
+        parentTable: String, pkCol: String): String =
+      s"""SELECT '$edge' AS fk_edge,
+         |  (SELECT count(*) FROM $childTable) AS n_child_rows,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN $fkCol IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |   FROM $childTable) AS n_null_fk,
+         |  (SELECT count(*) FROM (
+         |     SELECT $fkCol FROM $childTable WHERE $fkCol IS NOT NULL
+         |     GROUP BY $fkCol) f
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parentTable p
+         |                     WHERE p.$pkCol = f.$fkCol)) AS n_orphan_keys,
+         |  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM (
+         |     SELECT $fkCol AS fk, count(*) AS cnt FROM $childTable
+         |     WHERE $fkCol IS NOT NULL GROUP BY $fkCol) f
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parentTable p
+         |                     WHERE p.$pkCol = f.fk)) AS n_orphan_rows""".stripMargin
+    s"""WITH u AS (
+       |${Seq(
+        audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        audit("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        audit("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        audit("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        audit("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        audit("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey")).mkString("\nUNION ALL\n")})
+       |SELECT fk_edge, n_child_rows, n_null_fk, n_orphan_keys,
+       |  n_orphan_rows, n_orphan_rows = 0 AS intact
+       |FROM u ORDER BY fk_edge""".stripMargin
+  }
 }
