@@ -301,7 +301,11 @@ object SparkEntry {
     // 1-bit sign-code ANN: hamming shortlist at 8 B/vector, exact rescore
     "q_y19_binary_search" -> ((s, d) => Similarity.binarySearch(s, d)),
     // referential-integrity audit: orphan FKs across all 7 schema edges
-    "q_v9_ref_integrity" -> ((s, d) => Validation.refIntegrity(s, d))
+    "q_v9_ref_integrity" -> ((s, d) => Validation.refIntegrity(s, d)),
+    // recall@5 vs hamming-shortlist size: the y19 tuning table
+    "q_y20_hamming_recall" -> ((s, d) => Similarity.hammingRecall(s, d)),
+    // cross-source duplication matrix: where the dup mass lives
+    "q_c24_cross_source_dups" -> ((s, d) => Curation.crossSourceDups(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,6 +478,8 @@ object SparkEntry {
     "q_g6_hits" -> Graph.hitsSql,
     "q_stream_backfill" -> graft.streaming.StreamingJobs.backfillReplaySql,
     "q_y19_binary_search" -> Similarity.binarySearchSql,
-    "q_v9_ref_integrity" -> Validation.refIntegritySql
+    "q_v9_ref_integrity" -> Validation.refIntegritySql,
+    "q_y20_hamming_recall" -> Similarity.hammingRecallSql,
+    "q_c24_cross_source_dups" -> Curation.crossSourceDupsSql
   )
 }

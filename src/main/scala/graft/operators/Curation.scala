@@ -919,4 +919,69 @@ object Curation {
        |FROM r WHERE cum_tokens <= 800
        |ORDER BY source, pick_rank""".stripMargin
   }
+
+  /** q_c24: CROSS-SOURCE duplication matrix — WHERE the duplicate mass
+    * lives, not just how much (x1 counts copies; this attributes them):
+    * for every source pair, the number of shared content digests and
+    * duplicate doc pairs. Cross-source mass means mirrors/aggregators
+    * (dedup globally, keep one source's copy); within-source mass means
+    * re-crawls (dedup per source). The planted population mirrors x1's
+    * (every 5th doc re-keyed under a 'recrawl' source → cross-source
+    * dups) plus every 7th doc duplicated in place (within-source dups).
+    *
+    * Scale shape: docs collapse to (digest, source, count) in one
+    * two-phase hash-agg — the ONLY shuffle that sees per-doc rows, and it
+    * carries 16-byte digests, never text; the pair matrix is a self-join
+    * of that collapsed frame keyed by digest (group sizes are copy
+    * counts, tiny by definition) plus a digest-local within-source term
+    * with no join at all. Output is O(sources²) rows. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val recrawl = base.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id") + 1000000, col("text"), lit("recrawl").as("source"))
+    val inplace = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id") + 2000000, col("text"), col("source"))
+    val d = base.unionByName(recrawl.toDF("doc_id", "text", "source"))
+      .unionByName(inplace.toDF("doc_id", "text", "source"))
+      .select(md5(col("text")).as("dig"), col("source"))
+      .groupBy(col("dig"), col("source")).agg(count(lit(1)).as("c"))
+      .cache()
+    val cross = d.select(col("dig"), col("source").as("src_a"), col("c").as("ca"))
+      .join(d.select(col("dig"), col("source").as("src_b"), col("c").as("cb")),
+        Seq("dig"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), (col("ca") * col("cb")).as("pairs"))
+    val within = d.filter(col("c") >= 2)
+      .select(col("source").as("src_a"), col("source").as("src_b"),
+        expr("c * (c - 1) DIV 2").as("pairs"))
+    cross.unionByName(within)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_digests"), sum(col("pairs")).as("n_dup_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val crossSourceDupsSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, 'recrawl' AS source
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, source
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |d AS (
+      |  SELECT md5(text) AS dig, source, count(*) AS c
+      |  FROM all_docs GROUP BY dig, source),
+      |cross_p AS (
+      |  SELECT a.src_a, a.src_b, a.pairs FROM (
+      |    SELECT x.source AS src_a, y.source AS src_b, x.c * y.c AS pairs
+      |    FROM d x JOIN d y ON x.dig = y.dig AND x.source < y.source) a
+      |  UNION ALL
+      |  SELECT source AS src_a, source AS src_b, c * (c - 1) // 2 AS pairs
+      |  FROM d WHERE c >= 2)
+      |SELECT src_a, src_b, count(*) AS n_shared_digests,
+      |  CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+      |FROM cross_p
+      |GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
 }

@@ -706,6 +706,128 @@ object Similarity {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q_y20: binary-code RECALL CALIBRATION — the y15-style tuning table
+    * for the y19 search: recall@5 against the exact brute-force truth as
+    * a function of the hamming shortlist size (5/10/20), i.e. how much
+    * rescoring buys back what 1-bit quantization lost. Integer hit
+    * counts, one division — hash-exact.
+    *
+    * The hamming ranking is computed ONCE at the largest shortlist and
+    * cached; each sweep point is a filter + re-rank over that ≤ 20-row-
+    * per-query frame, so the sweep costs |sizes| tiny plans over one
+    * shared candidate stage (the y15 lesson). */
+  def hammingRecall(spark: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val e = embeddings(spark, dir)
+    val codeLo = expr(
+      """aggregate(sequence(0, 31), 0L,
+        |  (acc, i) -> acc + IF(element_at(v, i + 1) >= 0.0,
+        |                       shiftleft(1L, i), 0L))""".stripMargin)
+    val codeHi = expr(
+      """aggregate(sequence(32, 63), 0L,
+        |  (acc, i) -> acc + IF(element_at(v, i + 1) >= 0.0,
+        |                       shiftleft(1L, i - 32), 0L))""".stripMargin)
+    val codes = e.select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("lo", codeLo).withColumn("hi", codeHi).cache()
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val maxS = sizes.max
+    val sims = codes.select(col("vec_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qlo"), col("qhi"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= maxS)
+      .join(codes.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnrm"))),
+        "query_id")
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select(col("query_id"), col("vec_id"), col("hrank"), col("sim"))
+      .cache()
+    val bf = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sizes.map { s =>
+      sims.filter(col("hrank") <= s)
+        .withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+        .join(bf, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(s).as("shortlist"), col("n_hits"), col("k_total"),
+          (col("n_hits").cast("double") / col("k_total")).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("shortlist"))
+  }
+
+  val hammingRecallSql: String = {
+    def one(s: Int): String =
+      s"""SELECT $s AS shortlist,
+         |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+         |  count(*) AS k_total,
+         |  CAST(coalesce(sum(hit), 0) AS DOUBLE) / count(*) AS recall
+         |FROM (
+         |  SELECT t.query_id, t.vec_id,
+         |    CASE WHEN b.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM (
+         |    SELECT query_id, vec_id FROM (
+         |      SELECT query_id, vec_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM sims WHERE hrank <= $s) r
+         |    WHERE rk <= 5) t
+         |  LEFT JOIN bf b
+         |    ON t.query_id = b.query_id AND t.vec_id = b.vec_id) h""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, v,
+       |    list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN v[CAST(i+1 AS INT)] >= 0.0
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS lo,
+       |    list_sum(list_transform(range(32, 64), i ->
+       |      CASE WHEN v[CAST(i+1 AS INT)] >= 0.0
+       |           THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS hi
+       |  FROM e),
+       |queries AS (
+       |  SELECT vec_id AS query_id, lo AS qlo, hi AS qhi, v AS qv
+       |  FROM codes WHERE vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, vec_id, hamming, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY hamming, vec_id) AS hrank
+       |  FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS hamming
+       |    FROM codes c CROSS JOIN queries q
+       |    WHERE c.vec_id <> q.query_id) h),
+       |sims AS (
+       |  SELECT r.query_id, r.vec_id, r.hrank,
+       |    list_dot_product(c.v, q.qv) /
+       |      (sqrt(list_dot_product(c.v, c.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM ranked r
+       |  JOIN codes c ON r.vec_id = c.vec_id
+       |  JOIN queries q ON r.query_id = q.query_id
+       |  WHERE r.hrank <= 20),
+       |ex AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    list_dot_product(c.v, q.qv) /
+       |      (sqrt(list_dot_product(c.v, c.v))
+       |       * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM e c CROSS JOIN queries q
+       |  WHERE c.vec_id <> q.query_id),
+       |bf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+       |    FROM ex) x
+       |  WHERE rk <= 5)
+       |${Seq(5, 10, 20).map(one).mkString("\nUNION ALL\n")}
+       |ORDER BY shortlist""".stripMargin
+  }
+
   /** q_y18: INCREMENTAL IVF index refresh — the maintenance job a deployed
     * ANN index runs when a new embedding batch lands: k-means is NOT
     * retrained; the delta (vec_id % 5 == 4, excluding the seed ids) is

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, Validation}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, Validation}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeLike}
 import org.apache.spark.sql.functions._
@@ -86,6 +86,41 @@ class Round7dOpsSpec extends SparkSpec {
     val s = executed(Validation.fdAudit(spark, sf())).toString
     assert(s.contains("BroadcastHashJoin"), s"customer side not broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"unexpected SMJ:\n$s")
+  }
+
+  test("y20: recall is monotone in the shortlist and k_total is fixed") {
+    val out = Similarity.hammingRecall(spark, sf()).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(5, 10, 20))
+    assert(out.forall(_.getLong(2) == 50L)) // 10 queries x top-5
+    val recalls = out.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    // hits can never exceed k and the full-rescore point must find some
+    assert(out.forall(r => r.getLong(1) <= r.getLong(2)))
+    assert(out.last.getDouble(3) > 0.0)
+  }
+
+  test("c24: matrix matches an in-memory recompute of the planted population") {
+    val out = Curation.crossSourceDups(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val docsRaw = G.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val all = docsRaw.map { case (_, t, s) => (t, s) } ++
+      docsRaw.filter(_._1 % 5 == 0).map { case (_, t, _) => (t, "recrawl") } ++
+      docsRaw.filter(_._1 % 7 == 0).map { case (_, t, s) => (t, s) }
+    val grouped = all.groupBy(identity).map { case ((t, s), rs) =>
+      (t, s, rs.length.toLong) }.toSeq
+    val cross = for {
+      (t1, s1, c1) <- grouped; (t2, s2, c2) <- grouped
+      if t1 == t2 && s1 < s2
+    } yield ((s1, s2), c1 * c2)
+    val within = grouped.filter(_._3 >= 2).map { case (_, s, c) =>
+      ((s, s), c * (c - 1) / 2) }
+    val expect = (cross ++ within).groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).sum) }
+    assert(out == expect, s"got ${out.size} cells, expected ${expect.size}")
   }
 
   test("plan audit: y19 hamming stage never shuffles full vectors") {
