@@ -305,7 +305,19 @@ object SparkEntry {
     // recall@5 vs hamming-shortlist size: the y19 tuning table
     "q_y20_hamming_recall" -> ((s, d) => Similarity.hammingRecall(s, d)),
     // cross-source duplication matrix: where the dup mass lives
-    "q_c24_cross_source_dups" -> ((s, d) => Curation.crossSourceDups(s, d))
+    "q_c24_cross_source_dups" -> ((s, d) => Curation.crossSourceDups(s, d)),
+    // CBO join-cardinality estimate vs exact truth per schema edge
+    "q_v10_join_cardinality" -> ((s, d) => Validation.joinCardinality(s, d)),
+    // shuffle-key skew diagnostics: hot keys + simulated-partition imbalance
+    "q_v11_skew_report" -> ((s, d) => Validation.skewReport(s, d)),
+    // mergeable integer-exact log-histogram percentiles per event type
+    "q_a20_log_histogram" -> ((s, d) => DashboardQueries.logHistogram(s, d)),
+    // personalized PageRank: restart-walk proximity to a brand seed set
+    "q_g7_ppr" -> ((s, d) => Graph.ppr(s, d)),
+    // watermark tuning table: drop counts + lateness percentiles vs delay
+    "q_p11_late_audit" -> ((s, d) => CdcParser.lateAudit(s, d)),
+    // the real watermark dropping real late rows, vs the boundary-free oracle
+    "q_stream_late" -> ((s, d) => graft.streaming.StreamingJobs.lateWindowReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -480,6 +492,12 @@ object SparkEntry {
     "q_y19_binary_search" -> Similarity.binarySearchSql,
     "q_v9_ref_integrity" -> Validation.refIntegritySql,
     "q_y20_hamming_recall" -> Similarity.hammingRecallSql,
-    "q_c24_cross_source_dups" -> Curation.crossSourceDupsSql
+    "q_c24_cross_source_dups" -> Curation.crossSourceDupsSql,
+    "q_v10_join_cardinality" -> Validation.joinCardinalitySql,
+    "q_v11_skew_report" -> Validation.skewReportSql,
+    "q_a20_log_histogram" -> DashboardQueries.logHistogramSql,
+    "q_g7_ppr" -> Graph.pprSql,
+    "q_p11_late_audit" -> CdcParser.lateAuditSql,
+    "q_stream_late" -> graft.streaming.StreamingJobs.lateWindowReplaySql
   )
 }

@@ -340,7 +340,10 @@ object CdcParser {
       .when(col("event_id") % 23 === 0, lit("""{"oops"""))  // malformed
       .when(col("event_id") % 2 === 1, payload)             // no wrapper
       .otherwise(concat(lit("""{"payload": """), payload, lit("}")))
-    ev.select(json.as("json"), col("src_ms"))
+    // cdc_ms (the CDC/arrival clock) and event_id ride along for replay
+    // writers that slice by ARRIVAL rather than event time (the late-data
+    // replay); like src_ms they are plumbing and never enter the envelope
+    ev.select(json.as("json"), col("src_ms"), col("cdc_ms"), col("event_id"))
   }
 
   /** P1/P2/S2 roundtrip: generate the envelope stream, parse it back. */
@@ -412,6 +415,116 @@ object CdcParser {
       |  CAST(COALESCE(d.n_dropped, 0) AS DOUBLE) / t.n_events AS drop_rate
       |FROM tot t LEFT JOIN drp d ON t.day = d.day
       |ORDER BY t.day""".stripMargin
+
+  /** q_p11: WATERMARK TUNING audit — the decision table for "how much
+    * allowed lateness": for candidate watermark delays, how many events
+    * would the 5-minute window aggregation DROP, and what does the
+    * lateness distribution look like? This is the number every streaming
+    * deployment picks by guesswork; here it is computed from the stream
+    * itself, under the same micro-batch semantics Spark executes
+    * (watermark = max event time seen in STRICTLY EARLIER batches minus
+    * delay, applied per batch; a row is dropped iff its window END is at
+    * or below the watermark). q_stream_late then runs the REAL engine
+    * over the same arrival process and hash-checks that the model here
+    * is the truth, not a guess.
+    *
+    * The arrival process: the testdata arrives in event-time order
+    * (jitter ≤ 99 ms — nothing is ever late), so lateness is injected
+    * deterministically, the sentinel-fixture move: every 101st trade is
+    * redelivered 3 DAYS late (the "replayed partition" failure mode;
+    * only when it is ≥ 4 days from stream end, so its fate is
+    * batch-boundary-independent — see [[graft.streaming.StreamingJobs]])
+    * and every 103rd trade arrives 6 HOURS late (the "lagging producer"
+    * mode, inside any reasonable watermark). Micro-batches are modeled
+    * as 6-hour arrival slices.
+    *
+    * Exactness: timestamps are integer ms; the watermark recurrence is a
+    * running max over the tiny per-slice aggregate (O(slices) rows);
+    * drop counts are conditional sums; lateness percentiles are
+    * percentile_disc picks of integers — zero float arithmetic except
+    * the final drop-rate divisions. The identical report body replays in
+    * DuckDB (only the integer-division operator is dialect-swapped).
+    *
+    * Scale shape: one keyed slice aggregate with map-side partials, one
+    * window over O(slices) rows, one broadcast join-back, ONE pass
+    * computing every delay's count + all percentiles in a single
+    * aggregate. */
+  def lateAudit(spark: SparkSession, dir: String): DataFrame = {
+    cdcParseRoundtrip(spark, dir)
+      .select(col("trade_id"), col("source_ts"), col("cdc_ts"))
+      .createOrReplaceTempView("p11_parsed")
+    spark.sql(lateAuditBody("p11_parsed", "DIV"))
+  }
+
+  /** Shared report body; `d` is the integer-division operator (`DIV` on
+    * Spark, `//` on DuckDB) — the single dialect difference. */
+  private def lateAuditBody(rel: String, d: String): String = {
+    val delays = Seq(0L, 3600000L, 21600000L, 86400000L, 259200000L)
+    val dropSums = delays.zipWithIndex.map { case (ms, i) =>
+      s"sum(CASE WHEN win_end <= wm_base - $ms THEN 1 ELSE 0 END) AS d$i"
+    }.mkString(",\n       ")
+    val dropRows = delays.zipWithIndex.map { case (ms, i) =>
+      s"SELECT 'drop' AS stat, CAST($ms AS BIGINT) AS delay_ms, d$i AS n, " +
+        s"CAST(d$i AS DOUBLE) / n_total AS rate FROM one"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH cm AS (SELECT max(cdc_ts) AS cmax FROM $rel),
+       |b AS (
+       |  SELECT source_ts,
+       |    cdc_ts + CASE
+       |      WHEN trade_id % 101 = 0 AND cdc_ts <= cmax - 345600000
+       |        THEN 259200000
+       |      WHEN trade_id % 103 = 0 AND trade_id % 101 <> 0
+       |        THEN 21600000
+       |      ELSE 0 END AS arrival
+       |  FROM $rel CROSS JOIN cm),
+       |s AS (SELECT source_ts, arrival $d 21600000 AS slice FROM b),
+       |sm AS (SELECT slice, max(source_ts) AS mx FROM s GROUP BY slice),
+       |wm AS (
+       |  SELECT slice, max(mx) OVER (ORDER BY slice
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+       |  FROM sm),
+       |g AS (
+       |  SELECT t.source_ts, w.wm_base,
+       |    (t.source_ts $d 300000 + 1) * 300000 AS win_end,
+       |    greatest(coalesce(w.wm_base - t.source_ts, 0), 0) AS late_ms
+       |  FROM s t JOIN wm w ON t.slice = w.slice),
+       |one AS (
+       |  SELECT count(*) AS n_total,
+       |       $dropSums,
+       |       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY late_ms)
+       |         AS BIGINT) AS p50,
+       |       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY late_ms)
+       |         AS BIGINT) AS p95,
+       |       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_ms)
+       |         AS BIGINT) AS p99,
+       |       max(late_ms) AS late_max
+       |  FROM g),
+       |rows_ AS (
+       |       $dropRows
+       |       UNION ALL
+       |       SELECT 'events', CAST(-1 AS BIGINT), n_total,
+       |         CAST(NULL AS DOUBLE) FROM one
+       |       UNION ALL
+       |       SELECT 'late_p50', CAST(-1 AS BIGINT), p50,
+       |         CAST(NULL AS DOUBLE) FROM one
+       |       UNION ALL
+       |       SELECT 'late_p95', CAST(-1 AS BIGINT), p95,
+       |         CAST(NULL AS DOUBLE) FROM one
+       |       UNION ALL
+       |       SELECT 'late_p99', CAST(-1 AS BIGINT), p99,
+       |         CAST(NULL AS DOUBLE) FROM one
+       |       UNION ALL
+       |       SELECT 'late_max', CAST(-1 AS BIGINT), late_max,
+       |         CAST(NULL AS DOUBLE) FROM one)
+       |SELECT stat, delay_ms, CAST(n AS BIGINT) AS n, rate
+       |FROM rows_ ORDER BY stat, delay_ms""".stripMargin
+  }
+
+  val lateAuditSql: String = {
+    val parsed = cdcParseRoundtripSql.replace("ORDER BY trade_id", "")
+    s"WITH parsed AS ($parsed),\n" +
+      lateAuditBody("parsed", "//").stripPrefix("WITH ")
+  }
 
   /** P5: changed-rows filter (op IN c/u/d, excludes snapshot 'r') + per-op
     * counts — the materialized-view predicate (`clickhouse/init.sql:93`). */

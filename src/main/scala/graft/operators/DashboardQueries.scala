@@ -560,4 +560,92 @@ object DashboardQueries {
       |SELECT win_start, count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users
       |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** q_a20: MERGEABLE LOG-HISTOGRAM percentiles — the serving-layer
+    * quantile architecture that actually survives streaming and 100 TB:
+    * instead of exact order statistics (q_a10, one global pass over raw
+    * values) or an opaque float sketch (q_a10's approx twin), each value
+    * maps to an INTEGER-EXACT logarithmic bucket (base-2 decade split
+    * into 4 linear sub-buckets ⇒ ≤ ~12.5% relative width — the HDR /
+    * DDSketch layout), and the per-group (bucket → count) table is the
+    * state. Counts merge associatively across partitions, time windows
+    * and days, so p50/p90/p99 are served from O(groups × buckets) rows
+    * forever, with no re-scan of raw data — the property neither exact
+    * percentiles nor unmergeable samples have.
+    *
+    * Exactness (why this one IS hash-checkable when a10's approx twin is
+    * not): the bucket index needs log2 — but for integers, ⌊log2 c⌋ is
+    * `length(bin(c)) − 1`, a string length, and the sub-bucket and lower
+    * bound are pure integer shifts/divisions. Zero float arithmetic
+    * anywhere (cents = ⌊value·100⌋ is one exactly-rounded IEEE multiply +
+    * floor, identical cross-engine), so the whole report replays
+    * bit-for-bit in DuckDB.
+    *
+    * Scale shape: ONE keyed aggregate collapses the scan to
+    * (event_type, bucket) counts with map-side partials; the quantile
+    * pick is a cumulative-sum window over that tiny aggregated frame
+    * (≤ 64 buckets/group), never over data. */
+  def logHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+      .withColumn("bits", length(bin(col("cents"))).cast("long"))
+      .withColumn("pow2", expr("shiftleft(CAST(1 AS BIGINT), CAST(bits - 1 AS INT))"))
+      .withColumn("sub",
+        ((col("cents") - col("pow2")) * 4L).divide(col("pow2")).cast("long"))
+      .withColumn("bucket", (col("bits") - 1) * 4L + col("sub"))
+      .withColumn("lo_cents",
+        col("pow2") + col("sub") * (col("pow2").divide(4L).cast("long")))
+    val hist = ev.groupBy(col("event_type"), col("bucket"), col("lo_cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    def pick(q: Int): org.apache.spark.sql.Column =
+      min(when(col("cum") * 100L >= col("n") * q, col("lo_cents")))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        pick(50).as("p50_lo_cents"),
+        pick(90).as("p90_lo_cents"),
+        pick(99).as("p99_lo_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val logHistogramSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, cents,
+      |         CAST(length(bin(cents)) AS BIGINT) AS bits
+      |  FROM e),
+      |k AS (
+      |  SELECT event_type, cents, bits,
+      |         CAST(1 AS BIGINT) << CAST(bits - 1 AS INT) AS pow2
+      |  FROM b),
+      |s AS (
+      |  SELECT event_type,
+      |         (bits - 1) * 4 + ((cents - pow2) * 4) // pow2 AS bucket,
+      |         pow2 + ((cents - pow2) * 4) // pow2 * (pow2 // 4) AS lo_cents
+      |  FROM k),
+      |hist AS (
+      |  SELECT event_type, bucket, lo_cents, count(*) AS cnt
+      |  FROM s GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT *,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM hist)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  count(*) AS n_buckets,
+      |  min(CASE WHEN cum * 100 >= n * 50 THEN lo_cents END) AS p50_lo_cents,
+      |  min(CASE WHEN cum * 100 >= n * 90 THEN lo_cents END) AS p90_lo_cents,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN lo_cents END) AS p99_lo_cents
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 }

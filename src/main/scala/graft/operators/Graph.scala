@@ -479,6 +479,116 @@ object Graph {
       |ORDER BY authority DESC, part_id
       |LIMIT 100""".stripMargin
 
+  /** q_g7: PERSONALIZED PageRank — random-walk-with-restart proximity to
+    * a seed set (one part brand) over the bulk co-purchase graph: the
+    * "related to THESE products" ranking, where c15's global PageRank
+    * answers "central overall". PPR is the graph-expansion curation
+    * scorer (pull documents/products by proximity to a trusted seed set,
+    * the continuous-valued cousin of g5's radius-3 BFS) and the classic
+    * recommendation walk (Pixie/SALSA lineage).
+    *
+    * Three damped rounds r ← 0.15·seed + 0.85·AᵀD⁻¹r, restart mass
+    * uniform on seeds. Mass stays SPARSE: r₀ lives only on the seeds and
+    * each round's support grows exactly one hop — the frames carry
+    * touched nodes only, never the full node set (at 100 TB the walk
+    * frontier is the working set, like g5's BFS). Per round: one keyed
+    * join (adjacency ⋈ ranks co-hashed on the source) + one keyed
+    * aggregate.
+    *
+    * Determinism: FIXED-POINT, not DECIMAL-summed floats. Rank mass is
+    * BIGINT micro-units (10⁻¹² of total mass); r/deg and the damping
+    * factors are integer divisions (truncation — identical in both
+    * engines on non-negative values), sums are exact BIGINT adds, and
+    * only the final report divides by 10¹². c15/g6 chain float rounds
+    * through DECIMAL(38,12) sums and happen to replay exactly, but the
+    * double→DECIMAL cast rounds through the SHORTEST DECIMAL STRING on
+    * the JVM and through the exact binary value in DuckDB — for rare
+    * values (~1e-5 of casts) those disagree by one 10⁻¹² ulp, and an
+    * iterated walk amplifies one such landmine across every downstream
+    * node (observed here before the switch: three nodes off by exactly
+    * 0.85·10⁻¹²). Integer fixed-point removes the cast entirely; the
+    * quantization error (≤ 10⁻¹² per op, biased down) is far below any
+    * ranking use. Output: top-100 by proximity via
+    * TakeOrderedAndProject. */
+  def ppr(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.select(col("u").as("c"), col("v").as("nb"))
+      .unionByName(edges.select(col("v").as("c"), col("u").as("nb")))
+      .cache()
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg")).cache()
+    // seeds restricted to graph nodes (the g5 rule: a brand part that
+    // never sold in bulk cannot seed phantom mass)
+    val seeds = G.table(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey").as("node"))
+      .join(deg.select(col("c").as("node")), "node")
+      .select(col("node"), lit(1L).as("s")).cache()
+    val nS = seeds.count()
+    val unit = 1000000000000L
+    val seedU = unit / nS            // exact integer division, both engines
+    val restartU = 15L * seedU / 100L
+    var ranks = seeds.select(col("node"), lit(seedU).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks, adj("c") === ranks("node"))
+        .join(deg, "c")
+        .groupBy(col("nb").as("node"))
+        .agg(sum(expr("r DIV deg")).as("contrib"))
+      ranks = contrib.join(seeds, Seq("node"), "full_outer")
+        .select(col("node"),
+          (when(col("s").isNotNull, lit(restartU)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, 0)) DIV 100")).as("r"))
+    }
+    ranks.join(deg, col("node") === col("c"))
+      .select(col("node").as("part_id"), col("deg"),
+        (col("r").cast("double") / lit(1.0e12)).as("ppr"))
+      .orderBy(col("ppr").desc, col("part_id"))
+      .limit(100)
+  }
+
+  val pprSql: String = {
+    def round(prev: String, r: Int): String =
+      s"""c$r AS (
+         |  SELECT a.nb AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS contrib
+         |  FROM adj a JOIN $prev p ON a.c = p.node JOIN deg d ON a.c = d.c
+         |  GROUP BY a.nb),
+         |r$r AS (
+         |  SELECT coalesce(c.node, s.node) AS node,
+         |    (CASE WHEN s.node IS NOT NULL
+         |          THEN (15 * (1000000000000 // ns.n)) // 100
+         |          ELSE 0 END)
+         |      + (85 * coalesce(c.contrib, 0)) // 100 AS r
+         |  FROM c$r c FULL JOIN seeds s ON c.node = s.node CROSS JOIN ns)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_quantity >= 30),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS (
+       |  SELECT u AS c, v AS nb FROM edges
+       |  UNION ALL SELECT v AS c, u AS nb FROM edges),
+       |deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+       |seeds AS (
+       |  SELECT DISTINCT d.c AS node FROM deg d
+       |  JOIN part p ON d.c = p.p_partkey
+       |  WHERE p.p_brand = 'Brand#23'),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |r0 AS (SELECT node, 1000000000000 // ns.n AS r
+       |       FROM seeds CROSS JOIN ns),
+       |${(1 to 3).map(r => round(s"r${r - 1}", r)).mkString(",\n")}
+       |SELECT r3.node AS part_id, d.deg,
+       |  CAST(r3.r AS DOUBLE) / 1e12 AS ppr
+       |FROM r3 JOIN deg d ON r3.node = d.c
+       |ORDER BY ppr DESC, part_id
+       |LIMIT 100""".stripMargin
+  }
+
   val trianglesSql: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |            WHERE l_quantity >= 30),

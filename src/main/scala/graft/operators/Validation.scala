@@ -605,4 +605,185 @@ object Validation {
        |  n_orphan_rows, n_orphan_rows = 0 AS intact
        |FROM u ORDER BY fk_edge""".stripMargin
   }
+
+  /** q_v10: JOIN-CARDINALITY estimation audit — the textbook CBO estimate
+    * `|A|·|B| / max(ndv_A, ndv_B)` for every big join edge of the schema,
+    * reported NEXT TO the exact true output cardinality
+    * `Σ_k c_A(k)·c_B(k)`, with the error ratio. This is the planner
+    * artifact the v7 table statistics exist to feed: a cost-based
+    * optimizer picks join order and broadcast thresholds from exactly
+    * this estimate, and the audit quantifies how far the
+    * uniform-distribution assumption is from the truth on each edge — the
+    * number you check before trusting a plan at 100 TB.
+    *
+    * Exactness: counts and NDVs are integers; the true cardinality is a
+    * BIGINT sum of per-key count products; the estimate is ONE double
+    * division of exact integers and the error ratio one further division
+    * of those two deterministic doubles — fixed order, no transcendentals
+    * (the t10/t20 rule), so the report hashes identically cross-engine.
+    *
+    * Scale shape, per edge: two per-key count aggregates (map-side
+    * partials — the exchange carries O(distinct keys)), one keyed join of
+    * the two per-key frames, one scalar sum. The true-cardinality join is
+    * the SAME shuffle the real join would do, minus the payload: the
+    * audit costs key-columns-only passes, never materializes the join.
+    * Edges audit independently and in parallel (the v8/v9 pattern). */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def audit(edge: String, lt: String, lk: String, rt: String,
+        rk: String): DataFrame = {
+      val l = G.table(spark, dir, lt).select(col(lk).as("k"))
+      val r = G.table(spark, dir, rt).select(col(rk).as("k"))
+      val ls = l.agg(count(lit(1)).as("n_left"),
+        count_distinct(col("k")).as("ndv_left"))
+      val rs = r.agg(count(lit(1)).as("n_right"),
+        count_distinct(col("k")).as("ndv_right"))
+      val truth = l.groupBy(col("k")).agg(count(lit(1)).as("cl"))
+        .join(r.groupBy(col("k")).agg(count(lit(1)).as("cr")), "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("true_rows"))
+      ls.crossJoin(rs).crossJoin(truth)
+        .select(lit(edge).as("join_edge"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("true_rows"),
+          ((col("n_left") * col("n_right")).cast("double") /
+            greatest(col("ndv_left"), col("ndv_right"))).as("est_rows"))
+        .withColumn("err_ratio",
+          col("est_rows") / col("true_rows").cast("double"))
+    }
+    Seq(
+      audit("lineitem*orders@orderkey", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      audit("lineitem*part@partkey", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      audit("lineitem*supplier@suppkey", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      audit("orders*customer@custkey", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      audit("lineitem*lineitem@partkey", "lineitem", "l_partkey",
+        "lineitem", "l_partkey"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("join_edge"))
+  }
+
+  val joinCardinalitySql: String = {
+    def audit(edge: String, lt: String, lk: String, rt: String,
+        rk: String): String =
+      s"""SELECT '$edge' AS join_edge,
+         |  (SELECT count(*) FROM $lt) AS n_left,
+         |  (SELECT count(*) FROM $rt) AS n_right,
+         |  (SELECT count(DISTINCT $lk) FROM $lt) AS ndv_left,
+         |  (SELECT count(DISTINCT $rk) FROM $rt) AS ndv_right,
+         |  (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) FROM
+         |     (SELECT $lk AS k, count(*) AS cl FROM $lt GROUP BY 1) a
+         |     JOIN
+         |     (SELECT $rk AS k, count(*) AS cr FROM $rt GROUP BY 1) b
+         |     USING (k)) AS true_rows""".stripMargin
+    s"""WITH u AS (
+       |${Seq(
+        audit("lineitem*orders@orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        audit("lineitem*part@partkey", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        audit("lineitem*supplier@suppkey", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        audit("orders*customer@custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        audit("lineitem*lineitem@partkey", "lineitem", "l_partkey",
+          "lineitem", "l_partkey")).mkString("\nUNION ALL\n")}),
+       |e AS (
+       |  SELECT *, CAST(n_left * n_right AS DOUBLE)
+       |              / greatest(ndv_left, ndv_right) AS est_rows
+       |  FROM u)
+       |SELECT join_edge, n_left, n_right, ndv_left, ndv_right, true_rows,
+       |  est_rows, est_rows / CAST(true_rows AS DOUBLE) AS err_ratio
+       |FROM e ORDER BY join_edge""".stripMargin
+  }
+
+  /** q_v11: SHUFFLE-KEY SKEW report — for each candidate partitioning key
+    * the diagnostics that decide the skew mitigation (`Skew.saltedJoin` /
+    * AQE skew-join / broadcast): exact NDV, hottest-key row count and
+    * share, rows-per-key mean, and the max-partition imbalance of a
+    * SIMULATED 32-way hash partitioning (buckets from the cross-engine
+    * poly_hash of the key rendered as a string, the c8/c11 mechanism —
+    * NOT Spark's Murmur3, which DuckDB cannot replay; the diagnostic
+    * quantifies distributional skew, which is partitioner-independent).
+    * `hot32_imbalance` = max-partition rows ÷ perfect share; the standing
+    * rule of thumb flags a key when the hottest simulated partition
+    * exceeds 2× ideal — exactly when a plain hash join starts
+    * straggling and the r20 salted join earns its extra exchange.
+    *
+    * Scale shape, per key: ONE keyed count aggregate over the pruned key
+    * column (map-side partials), then every statistic — including the
+    * simulated-partition histogram — derives from that O(distinct keys)
+    * per-key frame, never from a second base scan. Single divisions of
+    * exact integers in fixed order; keys audit independently. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.poly_hash
+    graft.functions.HashExpressions.ensureRegistered(spark)
+    def audit(keyName: String, table: String, keyCol: String): DataFrame = {
+      val perKey = G.table(spark, dir, table)
+        .select(col(keyCol).cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val buckets = perKey
+        .groupBy((poly_hash(col("k")) % 32L).as("b"))
+        .agg(sum(col("cnt")).as("rows_in_b"))
+        .agg(max(col("rows_in_b")).as("hot32_rows"))
+      perKey.agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("ndv"),
+          max(col("cnt")).as("top1_rows"))
+        .crossJoin(buckets)
+        .select(lit(keyName).as("key"), col("n_rows"), col("ndv"),
+          col("top1_rows"),
+          (col("top1_rows").cast("double") / col("n_rows")).as("top1_share"),
+          (col("n_rows").cast("double") / col("ndv")).as("mean_rows_per_key"),
+          col("hot32_rows"),
+          (col("hot32_rows") * lit(32L)).cast("double")
+            .divide(col("n_rows")).as("hot32_imbalance"))
+        .withColumn("salt_recommended", col("hot32_imbalance") > 2.0)
+    }
+    Seq(
+      audit("documents.source", "documents", "source"),
+      audit("events.user_id", "events", "user_id"),
+      audit("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      audit("lineitem.l_partkey", "lineitem", "l_partkey"),
+      audit("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      audit("orders.o_custkey", "orders", "o_custkey"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("key"))
+  }
+
+  val skewReportSql: String = {
+    // the c8/c11 poly_hash replay, over the key rendered as a string
+    def ph(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0, length($e)),
+         |    i -> CAST(unicode(substr($e, CAST(i+1 AS INT), 1)) AS BIGINT))),
+         |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    def audit(keyName: String, table: String, keyCol: String): String =
+      s"""SELECT '$keyName' AS key, n_rows, ndv, top1_rows, hot32_rows
+         |FROM (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS ndv,
+         |         max(cnt) AS top1_rows
+         |  FROM (SELECT CAST($keyCol AS VARCHAR) AS k, count(*) AS cnt
+         |        FROM $table GROUP BY 1) pk) s
+         |CROSS JOIN (
+         |  SELECT max(rows_in_b) AS hot32_rows FROM (
+         |    SELECT ${ph("k")} % 32 AS b, CAST(sum(cnt) AS BIGINT) AS rows_in_b
+         |    FROM (SELECT CAST($keyCol AS VARCHAR) AS k, count(*) AS cnt
+         |          FROM $table GROUP BY 1) pk2
+         |    GROUP BY b) bb) h""".stripMargin
+    s"""WITH u AS (
+       |${Seq(
+        audit("documents.source", "documents", "source"),
+        audit("events.user_id", "events", "user_id"),
+        audit("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        audit("lineitem.l_partkey", "lineitem", "l_partkey"),
+        audit("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        audit("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("\nUNION ALL\n")})
+       |SELECT key, n_rows, ndv, top1_rows,
+       |  CAST(top1_rows AS DOUBLE) / n_rows AS top1_share,
+       |  CAST(n_rows AS DOUBLE) / ndv AS mean_rows_per_key,
+       |  hot32_rows,
+       |  CAST(hot32_rows * 32 AS DOUBLE) / n_rows AS hot32_imbalance,
+       |  CAST(hot32_rows * 32 AS DOUBLE) / n_rows > 2.0 AS salt_recommended
+       |FROM u ORDER BY key""".stripMargin
+  }
 }

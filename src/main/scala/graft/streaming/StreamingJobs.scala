@@ -719,6 +719,135 @@ object StreamingJobs {
   // this object and a val here would capture null at init time.
   def windowAggReplaySql: String = fanOutReplaySql
 
+  /** LATE DATA, HASH-CHECKED (q_stream_late): the real watermark DROPPING
+    * real late rows — the one streaming behavior every other replay here
+    * avoids (their inputs arrive in event-time order, so their watermarks
+    * only ever close windows). This is the engine half of q_p11's tuning
+    * audit: the same deterministic arrival process (every 101st trade
+    * redelivered 3 days late, every 103rd lagging 6 hours), a 24-hour
+    * watermark, and a 5-minute windowed aggregate run through the actual
+    * micro-batch machinery, one arrival-day file per trigger.
+    *
+    * The oracle is BOUNDARY-FREE by construction, so it never replays
+    * micro-batch boundaries: 3-day redeliveries are only injected ≥ 4
+    * days before stream end, which leaves ≥ 2-days' margin between their
+    * window ends and ANY batch's watermark (they are dropped no matter
+    * how arrivals split into batches — and the margin covers the file
+    * source merging or splitting slices), while 6-hour laggards sit 18 h
+    * inside the watermark and are kept with the same day-scale margin.
+    * So: kept = everything except the deep redeliveries, stated in one
+    * WHERE clause. The engine must agree byte-for-byte — if Spark's drop
+    * rule, watermark advancement, or state eviction deviated from the
+    * p11 model, the per-window counts and DECIMAL sums would not hash.
+    *
+    * Scale notes: the per-slice fixture writer is replay plumbing (one
+    * tiny filtered write per arrival day); the streaming plan itself is
+    * the production shape — watermark filter → keyed state-store agg,
+    * state O(open windows × markets). */
+  def lateWindowReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    writeEnvelopeArrivalSlices(spark, dir, in)
+    val agg = readCdcStream(spark, in, maxFilesPerTrigger = 1)
+      .select(timestamp_millis(col("source_ts")).as("ts"), col("market"),
+        col("trade_price"))
+      .withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "5 minutes"), col("market"))
+      .agg(count(lit(1)).as("n_trades"),
+        graft.G.dsum(col("trade_price")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("market"),
+        col("n_trades"), col("total_value"))
+    val q = agg.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("market") =!= "ZSENTINEL")
+      .withColumn("window_start", col("window_start")
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"), col("market"))
+  }
+
+  def lateWindowReplaySql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed),
+       |cm AS (SELECT max(cdc_ts) AS cmax FROM parsed),
+       |kept AS (
+       |  SELECT p.* FROM parsed p CROSS JOIN cm
+       |  WHERE NOT (p.trade_id % 101 = 0
+       |             AND p.cdc_ts <= cm.cmax - 345600000))
+       |SELECT make_timestamp((source_ts // 300000) * 300000 * 1000)
+       |    AS window_start,
+       |  market, count(*) AS n_trades,
+       |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE)
+       |    AS total_value
+       |FROM kept GROUP BY 1, 2
+       |ORDER BY window_start, market""".stripMargin
+  }
+
+  /** The q_stream_late fixture: the envelope stream re-ordered by a
+    * deterministic ARRIVAL clock (cdc time + injected lateness — every
+    * 101st trade +3 days when ≥ 4 days from stream end, every 103rd
+    * +6 hours), written as one file per arrival DAY with ascending
+    * modtimes so `maxFilesPerTrigger = 1` replays daily micro-batches in
+    * arrival order, then one sentinel far past everything to flush state.
+    * Slice width only needs to stay under 2 days for the drop margins
+    * (see [[lateWindowReplay]]); a day is a fixture-granularity choice,
+    * not a scale knob. */
+  private def writeEnvelopeArrivalSlices(spark: SparkSession, dir: String,
+      in: String): Unit = {
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+      .cache()
+    // the holdback cut is defined on PARSED events (the oracle's world):
+    // tombstone/malformed envelopes never become trades, so their cdc
+    // times must not move the cut
+    val cut = env
+      .filter(col("event_id") % 17 =!= 0 && col("event_id") % 23 =!= 0)
+      .agg(max(col("cdc_ms"))).head().getLong(0) - 345600000L
+    val arr = env.withColumn("arrival",
+        col("cdc_ms") +
+          when(col("event_id") % 101 === 0 && col("cdc_ms") <= cut,
+            lit(259200000L))
+          .when(col("event_id") % 103 === 0 && col("event_id") % 101 =!= 0,
+            lit(21600000L))
+          .otherwise(lit(0L)))
+      .withColumn("slice", expr("arrival DIV 86400000"))
+      .cache()
+    val slices = arr.select(col("slice")).distinct().orderBy(col("slice"))
+      .collect().map(_.getLong(0))
+    val inDir = new java.io.File(in); inDir.mkdirs()
+    val t0 = System.currentTimeMillis() - 7200000L
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = s"$in-stage"
+      arr.filter(col("slice") === s).select("json")
+        .coalesce(1).write.mode("overwrite").text(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(inDir, f"slice-$i%05d.txt")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(t0 + i * 1000L); ()
+    }
+    val maxSrc = env.agg(max(col("src_ms"))).head().getLong(0)
+    val sentinelTs = maxSrc + 30L * 86400000L
+    val sentinel =
+      s"""{"payload": {"before": null, "after": {"trade_id": 999999990, """ +
+        s""""market": "ZSENTINEL", "trade_price": "1.0", "trade_volume": "1", """ +
+        s""""ask_bid": "ASK", "sequential_id": 999999990000}, """ +
+        s""""source": {"ts_ms": $sentinelTs, "db": "crypto_db", "table": "crypto_trades"}, """ +
+        s""""op": "c", "ts_ms": $sentinelTs}}"""
+    val sentinelFile = new java.io.File(inDir, "z-sentinel.txt")
+    java.nio.file.Files.write(sentinelFile.toPath,
+      (sentinel + "\n").getBytes("UTF-8"))
+    sentinelFile.setLastModified(System.currentTimeMillis() + 7200000L)
+    arr.unpersist(); env.unpersist()
+    ()
+  }
+
   /** Shared by [[sessionReplay]], [[windowAggReplay]] and
     * [[tradeQuoteOuterReplay]]: the envelope stream plus ZSENTINEL trades
     * past its end, written so the sentinels are the last micro-batches and
