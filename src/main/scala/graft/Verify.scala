@@ -17,6 +17,7 @@ object Verify {
   // longest-first scheduling hints, from bench_history (sf0.1 idle times);
   // anything not listed is "fast" and fills the tail
   private val slowFirst = Seq(
+    "q_stream_late",
     "q_x7_repeated_span", "q_x6_suffix_array", "q_c15_pagerank",
     "q_stream_scd2", "q_stream_dedup", "q_g1_triangles", "q_c16_canonical",
     "q_c10_dedup_clusters", "q_g3_label_prop", "q_g2_also_bought",

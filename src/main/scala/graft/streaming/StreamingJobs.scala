@@ -724,17 +724,20 @@ object StreamingJobs {
     * avoids (their inputs arrive in event-time order, so their watermarks
     * only ever close windows). This is the engine half of q_p11's tuning
     * audit: the same deterministic arrival process (every 101st trade
-    * redelivered 3 days late, every 103rd lagging 6 hours), a 24-hour
+    * redelivered 7 days late, every 103rd lagging 6 hours), a 24-hour
     * watermark, and a 5-minute windowed aggregate run through the actual
     * micro-batch machinery, one arrival-day file per trigger.
     *
     * The oracle is BOUNDARY-FREE by construction, so it never replays
-    * micro-batch boundaries: 3-day redeliveries are only injected ≥ 4
-    * days before stream end, which leaves ≥ 2-days' margin between their
-    * window ends and ANY batch's watermark (they are dropped no matter
-    * how arrivals split into batches — and the margin covers the file
-    * source merging or splitting slices), while 6-hour laggards sit 18 h
-    * inside the watermark and are kept with the same day-scale margin.
+    * micro-batch boundaries: 7-day redeliveries are only injected ≥ 8
+    * days before stream end, which leaves a ≥ 1-day margin between their
+    * window ends and the LATE-EVENTS watermark of any batch (Spark's
+    * stateful operators gate late input with the PREVIOUS batch's
+    * watermark and evict with the current one — a two-batch lag, pinned
+    * empirically: with a one-batch margin the engine kept rows this
+    * oracle dropped), for any batch span under (holdback − delay)/2 =
+    * 3 days; 6-hour laggards sit 18 h inside the watermark and are kept
+    * with day-scale margin.
     * So: kept = everything except the deep redeliveries, stated in one
     * WHERE clause. The engine must agree byte-for-byte — if Spark's drop
     * rule, watermark advancement, or state eviction deviated from the
@@ -779,7 +782,7 @@ object StreamingJobs {
        |kept AS (
        |  SELECT p.* FROM parsed p CROSS JOIN cm
        |  WHERE NOT (p.trade_id % 101 = 0
-       |             AND p.cdc_ts <= cm.cmax - 345600000))
+       |             AND p.cdc_ts <= cm.cmax - 691200000))
        |SELECT make_timestamp((source_ts // 300000) * 300000 * 1000)
        |    AS window_start,
        |  market, count(*) AS n_trades,
@@ -791,13 +794,18 @@ object StreamingJobs {
 
   /** The q_stream_late fixture: the envelope stream re-ordered by a
     * deterministic ARRIVAL clock (cdc time + injected lateness — every
-    * 101st trade +3 days when ≥ 4 days from stream end, every 103rd
+    * 101st trade +7 days when ≥ 8 days from stream end, every 103rd
     * +6 hours), written as one file per arrival DAY with ascending
     * modtimes so `maxFilesPerTrigger = 1` replays daily micro-batches in
     * arrival order, then one sentinel far past everything to flush state.
-    * Slice width only needs to stay under 2 days for the drop margins
-    * (see [[lateWindowReplay]]); a day is a fixture-granularity choice,
-    * not a scale knob. */
+    * Slice width only needs to stay under 3 days for the drop margins
+    * (see [[lateWindowReplay]]); 2.5 days is a fixture-granularity
+    * choice, not a scale knob. The whole fixture is ONE shuffle: a
+    * deterministic slice→partition map partitions the envelope text so
+    * each output part-file IS one arrival slice, in filename (= modtime)
+    * order — no per-slice filtered writes, no sampled range boundaries
+    * (the oracle is boundary-robust, but deterministic files keep the
+    * replay byte-stable run to run). */
   private def writeEnvelopeArrivalSlices(spark: SparkSession, dir: String,
       in: String): Unit = {
     val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
@@ -807,31 +815,30 @@ object StreamingJobs {
     // times must not move the cut
     val cut = env
       .filter(col("event_id") % 17 =!= 0 && col("event_id") % 23 =!= 0)
-      .agg(max(col("cdc_ms"))).head().getLong(0) - 345600000L
+      .agg(max(col("cdc_ms"))).head().getLong(0) - 691200000L
     val arr = env.withColumn("arrival",
         col("cdc_ms") +
           when(col("event_id") % 101 === 0 && col("cdc_ms") <= cut,
-            lit(259200000L))
+            lit(604800000L))
           .when(col("event_id") % 103 === 0 && col("event_id") % 101 =!= 0,
             lit(21600000L))
           .otherwise(lit(0L)))
-      .withColumn("slice", expr("arrival DIV 86400000"))
-      .cache()
-    val slices = arr.select(col("slice")).distinct().orderBy(col("slice"))
-      .collect().map(_.getLong(0))
-    val inDir = new java.io.File(in); inDir.mkdirs()
+      .withColumn("slice", expr("arrival DIV 216000000"))
+    val kv = arr.select(col("slice"), col("json")).rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+    val slices = kv.keys.distinct().collect().sorted
+    val idx = slices.zipWithIndex.toMap
+    kv.partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = slices.length
+        override def getPartition(key: Any): Int =
+          idx(key.asInstanceOf[Long])
+      }).values.saveAsTextFile(in)
+    val inDir = new java.io.File(in)
     val t0 = System.currentTimeMillis() - 7200000L
-    slices.zipWithIndex.foreach { case (s, i) =>
-      val stage = s"$in-stage"
-      arr.filter(col("slice") === s).select("json")
-        .coalesce(1).write.mode("overwrite").text(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.startsWith("part-")).head
-      val dst = new java.io.File(inDir, f"slice-$i%05d.txt")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(t0 + i * 1000L); ()
-    }
+    inDir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L); ()
+      }
     val maxSrc = env.agg(max(col("src_ms"))).head().getLong(0)
     val sentinelTs = maxSrc + 30L * 86400000L
     val sentinel =
@@ -844,7 +851,7 @@ object StreamingJobs {
     java.nio.file.Files.write(sentinelFile.toPath,
       (sentinel + "\n").getBytes("UTF-8"))
     sentinelFile.setLastModified(System.currentTimeMillis() + 7200000L)
-    arr.unpersist(); env.unpersist()
+    env.unpersist()
     ()
   }
 

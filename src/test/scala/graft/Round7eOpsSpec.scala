@@ -121,14 +121,14 @@ class Round7eOpsSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
     assert(drops.length == 5)
     assert(drops.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
-    assert(drops.last._2 == 0L)  // delay == the 3-day holdback drops nothing
+    assert(drops.last._2 == 0L)  // delay == the 7-day holdback drops nothing
     assert(drops.head._2 > 0L)   // zero allowed lateness drops the deep ones
     def stat(s: String): Long =
       out.find(_.getString(0) == s).get.getLong(2)
     val parsed = CdcParser.cdcParseRoundtrip(spark, sf()).count()
     assert(stat("events") == parsed)
     assert(stat("late_p50") == 0L)               // most rows are on time
-    assert(stat("late_max") <= 259200000L)       // lateness <= the holdback
+    assert(stat("late_max") <= 604800000L)       // lateness <= the 7d holdback
     assert(stat("late_p50") <= stat("late_p95") &&
       stat("late_p95") <= stat("late_p99") &&
       stat("late_p99") <= stat("late_max"))
@@ -142,7 +142,7 @@ class Round7eOpsSpec extends SparkSpec {
     val cmax = parsed.agg(max("cdc_ts")).head().getLong(0)
     val deep = parsed
       .filter(col("trade_id") % 101 === 0 &&
-        col("cdc_ts") <= cmax - 345600000L).count()
+        col("cdc_ts") <= cmax - 691200000L).count()
     val total = parsed.count()
     assert(deep > 0, "fixture must inject at least one deep redelivery")
     assert(out == total - deep)
