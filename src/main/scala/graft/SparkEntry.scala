@@ -317,7 +317,13 @@ object SparkEntry {
     // watermark tuning table: drop counts + lateness percentiles vs delay
     "q_p11_late_audit" -> ((s, d) => CdcParser.lateAudit(s, d)),
     // the real watermark dropping real late rows, vs the boundary-free oracle
-    "q_stream_late" -> ((s, d) => graft.streaming.StreamingJobs.lateWindowReplay(s, d))
+    "q_stream_late" -> ((s, d) => graft.streaming.StreamingJobs.lateWindowReplay(s, d)),
+    // k-means|| oversampled seeding: parallel init for billion-vector k-means
+    "q_y21_kmeanspp_init" -> ((s, d) => Similarity.kmeansParallelInit(s, d)),
+    // cross-video duplicate detection via per-frame perceptual hashes
+    "q_m8_video_dedup" -> ((s, d) => Multimodal.videoFrameDedup(s, d)),
+    // fixed-point EWMA anomaly bands over the per-minute value series
+    "q_a21_ewma_bands" -> ((s, d) => DashboardQueries.ewmaBands(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -498,6 +504,9 @@ object SparkEntry {
     "q_a20_log_histogram" -> DashboardQueries.logHistogramSql,
     "q_g7_ppr" -> Graph.pprSql,
     "q_p11_late_audit" -> CdcParser.lateAuditSql,
-    "q_stream_late" -> graft.streaming.StreamingJobs.lateWindowReplaySql
+    "q_stream_late" -> graft.streaming.StreamingJobs.lateWindowReplaySql,
+    "q_y21_kmeanspp_init" -> Similarity.kmeansParallelInitSql(),
+    "q_m8_video_dedup" -> Multimodal.videoFrameDedupSql,
+    "q_a21_ewma_bands" -> DashboardQueries.ewmaBandsSql
   )
 }

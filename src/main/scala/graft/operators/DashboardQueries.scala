@@ -648,4 +648,101 @@ object DashboardQueries {
       |  min(CASE WHEN cum * 100 >= n * 90 THEN lo_cents END) AS p90_lo_cents,
       |  min(CASE WHEN cum * 100 >= n * 99 THEN lo_cents END) AS p99_lo_cents
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q_a21: EWMA ANOMALY BANDS over the per-minute value series — the
+    * classic operations-dashboard baseline (EWMA of the series + EWMA of
+    * absolute deviation as the band; flag minutes where deviation
+    * exceeds 4 bands after an 8-step warmup). d3's EMA lives inside the
+    * streaming detector; this is the ANALYTIC formulation: a bounded
+    * per-key series fold both engines replay element-for-element.
+    *
+    * Determinism: the g7 FIXED-POINT lever applied to a recurrence —
+    * state lives in BIGINT milli-cents, α = 1/8 is the integer update
+    * e′ = (7e + 1000·v) div 8 with NON-NEGATIVE operands (so Spark's
+    * truncating DIV and DuckDB's flooring // agree), the band update is
+    * the same shape on \|1000·v − e\|, and the anomaly test compares
+    * integers. No float exists anywhere, so three-way chained recurrences
+    * hash-match — where a double EWMA would hit the decimal-cast landmine
+    * (SCALE.md round-7 engine fact 1).
+    *
+    * Scale shape: one keyed minute aggregate (map-side partials), then
+    * collect_list per key — bounded by the series length contract
+    * (43 200 minutes/month), the x4/x9 bounded-kernel pattern — and one
+    * codegen'd HOF fold per key. No window over raw rows, no state
+    * bigger than one struct per key. */
+  def ewmaBands(spark: SparkSession, dir: String): DataFrame = {
+    val mins = G.table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 60000").as("minute"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(sum(col("cents")).as("v"))
+    mins.groupBy(col("event_type"))
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(minute, v))),
+          |          s -> s.v)""".stripMargin).as("vs"))
+      // field order {na, b, e, i} is LOAD-BEARING: DuckDB's list_reduce
+      // evaluates struct-accumulator fields progressively (a later field
+      // reads the already-OVERWRITTEN value of an earlier one — found by
+      // stepwise trace: its band used the round's new mean), while Spark
+      // snapshots the whole accumulator. Ordered so each field references
+      // only fields declared AFTER it, the recurrence is identical under
+      // both evaluation disciplines.
+      .withColumn("st", expr(
+        """aggregate(vs,
+          |  named_struct('na', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+          |               'e', CAST(-1 AS BIGINT), 'i', CAST(0 AS BIGINT)),
+          |  (acc, x) -> IF(acc.e < 0,
+          |    named_struct('na', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+          |                 'e', 1000 * x, 'i', CAST(1 AS BIGINT)),
+          |    named_struct(
+          |      'na', acc.na + IF(acc.i >= 8
+          |                        AND abs(1000 * x - acc.e) > 4 * acc.b,
+          |                        CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          |      'b', (7 * acc.b + abs(1000 * x - acc.e)) DIV 8,
+          |      'e', (7 * acc.e + 1000 * x) DIV 8,
+          |      'i', acc.i + 1)))
+          |""".stripMargin))
+      .select(col("event_type"),
+        size(col("vs")).cast("long").as("n_minutes"),
+        col("st.na").as("n_anomalies"),
+        col("st.e").as("last_ewma_mc"),
+        col("st.b").as("last_band_mc"))
+      .orderBy(col("event_type"))
+  }
+
+  val ewmaBandsSql: String =
+    """WITH mins AS (
+      |  SELECT event_type, epoch_ms(ts) // 60000 AS minute,
+      |    CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, list(v ORDER BY minute) AS vs FROM mins
+      |  GROUP BY event_type),
+      |folded AS (
+      |  SELECT event_type, len(vs) AS n_minutes,
+      |    list_reduce(
+      |      list_prepend(
+      |        {'na': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT),
+      |         'e': CAST(-1 AS BIGINT), 'i': CAST(0 AS BIGINT)},
+      |        list_transform(vs, x ->
+      |          {'na': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT),
+      |           'e': x, 'i': CAST(0 AS BIGINT)})),
+      |      (acc, x) -> CASE WHEN acc.e < 0 THEN
+      |        {'na': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT),
+      |         'e': 1000 * x.e, 'i': CAST(1 AS BIGINT)}
+      |      ELSE
+      |        {'na': acc.na + CASE WHEN acc.i >= 8
+      |                             AND abs(1000 * x.e - acc.e) > 4 * acc.b
+      |                        THEN 1 ELSE 0 END,
+      |         'b': (7 * acc.b + abs(1000 * x.e - acc.e)) // 8,
+      |         'e': (7 * acc.e + 1000 * x.e) // 8,
+      |         'i': acc.i + 1}
+      |      END) AS st
+      |  FROM ser)
+      |SELECT event_type, CAST(n_minutes AS BIGINT) AS n_minutes,
+      |  CAST(st.na AS BIGINT) AS n_anomalies,
+      |  CAST(st.e AS BIGINT) AS last_ewma_mc,
+      |  CAST(st.b AS BIGINT) AS last_band_mc
+      |FROM folded ORDER BY event_type""".stripMargin
 }

@@ -404,4 +404,111 @@ object Multimodal {
       |  k.stored_bytes, p.raw_bytes - k.stored_bytes AS saved_bytes
       |FROM per p JOIN kept k USING (source)
       |ORDER BY p.source""".stripMargin
+
+  /** q_m8: CROSS-VIDEO DUPLICATE DETECTION by per-frame perceptual
+    * hashes — the video-level dedup op (re-encoded/trimmed/re-uploaded
+    * clips) that m6's whole-blob pHash cannot catch: a clip missing its
+    * first frame shares almost every FRAME signature with its source
+    * while the whole-file hash differs completely. Frames are the m3
+    * 256-byte blocks; each frame gets the m6 positional-downsample
+    * 48-bit pHash (same JVM kernel, per frame); video similarity is
+    * CONTAINMENT over distinct frame-hash sets
+    * |F_a ∩ F_b| / min(|F_a|,|F_b|) — the asymmetric measure (the x11
+    * lesson) so a swallowed excerpt still fires. Every 11th video is
+    * planted as a first-frame-trimmed copy (+5000000): block alignment
+    * is preserved, so its frame set is exactly the source's minus one —
+    * containment 1.0 by construction.
+    *
+    * Scale shape: the frame-hash kernel runs in the scan stage (zero
+    * shuffle, blobs never leave it); candidates come from an inverted
+    * index on the frame hash (capBuckets on degenerate hashes), so cost
+    * is O(shared-frame pairs), never all-videos²; the verify needs no
+    * second look at payloads because the intersection count IS the
+    * signal. Integer counts + one division: hash-exact in DuckDB. */
+  def videoFrameDedup(spark: SparkSession, dir: String,
+      tau: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val base = withMedia(spark, dir)
+      .filter(octet_length(col("media")) >= 1)
+      .select(col("doc_id"), col("media"))
+    val trimmed = base.filter(col("doc_id") % 11 === 0 &&
+        octet_length(col("media")) > 256)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        expr("substring(media, 257)").as("media"))
+    val frames = base.unionByName(trimmed).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (0 until (bytes.length + 255) / 256).iterator.map { f =>
+          val from = f * 256
+          val until = math.min(from + 256, bytes.length)
+          (id, phash48(java.util.Arrays.copyOfRange(bytes, from, until)))
+        }
+      })
+      .toDF("doc_id", "ph")
+      .distinct()
+    val sizes = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nf")).cache()
+    val idx = Dedup.capBuckets(frames, Seq("ph"), maxBucketSize = 100000)
+    val shared = idx.select(col("doc_id").as("vid_a"), col("ph"))
+      .join(idx.select(col("doc_id").as("vid_b"), col("ph")), Seq("ph"))
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("doc_id").as("va"),
+        col("nf").as("n_a"))), col("vid_a") === col("va"))
+      .join(broadcast(sizes.select(col("doc_id").as("vb"),
+        col("nf").as("n_b"))), col("vid_b") === col("vb"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= tau)
+      .select(col("vid_a"), col("vid_b"), col("shared"), col("n_a"),
+        col("n_b"), col("containment"))
+      .orderBy(col("vid_a"), col("vid_b"))
+  }
+
+  val videoFrameDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE strlen(text) >= 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000000 AS doc_id, substr(text, 257) AS text
+      |  FROM documents WHERE doc_id % 11 = 0 AND strlen(text) > 256),
+      |fr AS (
+      |  SELECT doc_id, CAST(t.f AS BIGINT) AS f,
+      |    substr(text, CAST(t.f * 256 + 1 AS INT), 256) AS ft
+      |  FROM base, unnest(range(0, (strlen(text) + 255) // 256)) t(f)),
+      |h AS (SELECT doc_id, f, hex(encode(ft)) AS hx,
+      |             octet_length(encode(ft)) AS n FROM fr),
+      |u AS (SELECT doc_id, f, n, hx, unnest(range(0, n)) AS i FROM h),
+      |v AS (SELECT doc_id, f, (i * 48) // n AS seg,
+      |        ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT AS bv
+      |      FROM u),
+      |c AS (SELECT doc_id, f, seg, SUM(bv) AS s FROM v GROUP BY 1, 2, 3),
+      |full_ AS (
+      |  SELECT h.doc_id, h.f, r.seg, coalesce(c.s, 0) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS seg) r
+      |  LEFT JOIN c ON c.doc_id = h.doc_id AND c.f = h.f AND c.seg = r.seg),
+      |thr AS (
+      |  SELECT doc_id, f, s AS t FROM (
+      |    SELECT doc_id, f, s,
+      |      row_number() OVER (PARTITION BY doc_id, f ORDER BY s, seg) AS rn
+      |    FROM full_)
+      |  WHERE rn = 24),
+      |ph AS (SELECT x.doc_id, x.f,
+      |         CAST(SUM(CASE WHEN x.s > t.t
+      |                       THEN (CAST(1 AS BIGINT) << x.seg) ELSE 0 END)
+      |           AS BIGINT) AS ph
+      |       FROM full_ x JOIN thr t ON x.doc_id = t.doc_id AND x.f = t.f
+      |       GROUP BY x.doc_id, x.f),
+      |fs AS (SELECT DISTINCT doc_id, ph FROM ph),
+      |sz AS (SELECT doc_id, count(*) AS nf FROM fs GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS vid_a, b.doc_id AS vid_b, count(*) AS shared
+      |  FROM fs a JOIN fs b ON a.ph = b.ph AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.vid_a, p.vid_b, p.shared, sa.nf AS n_a, sb.nf AS n_b,
+      |  CAST(p.shared AS DOUBLE) / least(sa.nf, sb.nf) AS containment
+      |FROM pairs p JOIN sz sa ON p.vid_a = sa.doc_id
+      |             JOIN sz sb ON p.vid_b = sb.doc_id
+      |WHERE CAST(p.shared AS DOUBLE) / least(sa.nf, sb.nf) >= 0.6
+      |ORDER BY vid_a, vid_b""".stripMargin
 }

@@ -1705,4 +1705,117 @@ object Similarity {
        |SELECT dim, vv AS weight, (SELECT n FROM n3) AS lambda
        |FROM v3 ORDER BY dim""".stripMargin
   }
+
+  /** q_y21: k-means‖ INITIALIZATION (Bahmani et al., "Scalable k-means++")
+    * — the seeding pass that makes billion-vector clustering tractable:
+    * k-means++ needs k SEQUENTIAL corpus passes (one per center, each
+    * dependent on the last); k-means‖ replaces them with `rounds` passes
+    * that each OVERSAMPLE ~l centers in parallel with probability
+    * min(1, l·d²(x)/φ), then reduces the small candidate set by weight.
+    * This is the init that feeds the y6 IVF build (which seeds
+    * deterministically by id — fine for an oracle, poor for cluster
+    * quality) and every FAISS-style index train at scale.
+    *
+    * Determinism (what makes a RANDOMIZED algorithm hash-checkable): the
+    * coin flip for x is a uniform-hash threshold test — the c1/c11 move,
+    * content hash in place of rand(): the first 8 md5 hex digits of the
+    * vector id (zero-padded to 9) compared against `%09x` of
+    * ⌊2³²·l·d²(x)/φ⌋ clamped to 2³² — lexicographic order on zero-padded
+    * hex IS numeric order, so the test is exactly
+    * `u < min(1, l·d²/φ)` with u uniform on 32 bits, in both engines.
+    * (A poly_hash‰ variant measured badly non-uniform on short id
+    * strings — 2% of the corpus sampled instead of ~l per round.)
+    * d² is the term-for-term sequential squared-diff fold shared with
+    * y6; φ is a DECIMAL(38,6) sum. Every stage replays in DuckDB.
+    *
+    * Scale shape per round: centers stay a broadcast-sized frame (≤ 1+r·l
+    * rows), so cost = ONE corpus pass (crossJoin broadcast + per-vector
+    * min) + a scalar aggregate — no corpus shuffle, no sequential
+    * dependency chain beyond the `rounds` knob. The final weighting is
+    * one more broadcast pass + an O(candidates) window. */
+  def kmeansParallelInit(spark: SparkSession, dir: String, l: Int = 4,
+      rounds: Int = 2, k: Int = 8): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    val d2expr = expr(
+      """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+        |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin)
+    var cent = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("v").as("c"),
+        lit(0L).as("round"))
+    for (r <- 1 to rounds) {
+      val d2 = e.crossJoin(broadcast(cent.select(col("c"))))
+        .withColumn("dist2", d2expr)
+        .groupBy(col("vec_id")).agg(min(col("dist2")).as("d2"))
+      val phi = d2.agg(G.dsum(col("d2")).as("phi"))
+      val sampled = e.join(d2, "vec_id").crossJoin(broadcast(phi))
+        .filter(
+          concat(lit("0"), substring(md5(col("vec_id").cast("string")), 1, 8))
+            < format_string("%09x",
+                least(floor(lit(4294967296.0 * l) * col("d2") / col("phi")),
+                  lit(4294967296.0)).cast("long")))
+        .select(col("vec_id").as("cid"), col("v").as("c"),
+          lit(r.toLong).as("round"))
+      cent = cent.unionByName(sampled)
+    }
+    val cents = cent.cache()
+    val assign = e.crossJoin(broadcast(cents.select(col("cid"), col("c"))))
+      .withColumn("dist2", d2expr)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cid"))))
+      .filter(col("rn") === 1)
+    val weights = assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("weight"))
+    cents.join(weights, Seq("cid"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0L)))
+      .withColumn("kept", row_number().over(
+        Window.orderBy(col("weight").desc, col("cid"))) <= k)
+      .select(col("cid"), col("round"), col("weight"), col("kept"))
+      .orderBy(col("cid"))
+  }
+
+  /** DuckDB replay of [[kmeansParallelInit]], generated from the same
+    * (l, rounds, k, dims). */
+  def kmeansParallelInitSql(l: Int = 4, rounds: Int = 2, k: Int = 8,
+      dims: Int = 64): String = {
+    val coin =
+      s"""'0' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) <
+         |  printf('%09x', CAST(least(floor(${4294967296.0} * L * d2 / phi),
+         |                            4294967296.0) AS BIGINT))""".stripMargin
+    def d2fold(cRel: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(0, $dims), i ->
+         |    (e.v[CAST(i+1 AS INT)] - $cRel.c[CAST(i+1 AS INT)])
+         |  * (e.v[CAST(i+1 AS INT)] - $cRel.c[CAST(i+1 AS INT)]))),
+         |  (a, b) -> a + b)""".stripMargin
+    def round(r: Int): String =
+      s"""d$r AS (
+         |  SELECT e.vec_id, min(${d2fold(s"g${r - 1}")}) AS d2
+         |  FROM e CROSS JOIN g${r - 1} GROUP BY e.vec_id),
+         |p$r AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+         |          AS phi FROM d$r),
+         |s$r AS (
+         |  SELECT e.vec_id AS cid, e.v AS c, CAST($r AS BIGINT) AS round
+         |  FROM e JOIN d$r USING (vec_id) CROSS JOIN p$r
+         |  WHERE ${coin.replace("L *", s"$l *")}),
+         |g$r AS (SELECT * FROM g${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |g0 AS (SELECT vec_id AS cid, v AS c, CAST(0 AS BIGINT) AS round
+       |       FROM e WHERE vec_id = 0),
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, g$rounds.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2fold(s"g$rounds")}, g$rounds.cid) AS rn
+       |    FROM e CROSS JOIN g$rounds) t
+       |  WHERE rn = 1),
+       |w AS (SELECT cid, count(*) AS weight FROM asg GROUP BY cid),
+       |cand AS (
+       |  SELECT g.cid, g.round, coalesce(w.weight, 0) AS weight
+       |  FROM g$rounds g LEFT JOIN w USING (cid))
+       |SELECT cid, round, CAST(weight AS BIGINT) AS weight,
+       |  row_number() OVER (ORDER BY weight DESC, cid) <= $k AS kept
+       |FROM cand ORDER BY cid""".stripMargin
+  }
 }
