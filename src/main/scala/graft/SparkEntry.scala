@@ -323,7 +323,13 @@ object SparkEntry {
     // cross-video duplicate detection via per-frame perceptual hashes
     "q_m8_video_dedup" -> ((s, d) => Multimodal.videoFrameDedup(s, d)),
     // fixed-point EWMA anomaly bands over the per-minute value series
-    "q_a21_ewma_bands" -> ((s, d) => DashboardQueries.ewmaBands(s, d))
+    "q_a21_ewma_bands" -> ((s, d) => DashboardQueries.ewmaBands(s, d)),
+    // Matryoshka prefix-dimension recall ladder (8/16/32/64 dims)
+    "q_y22_matryoshka" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
+    // forward-compat: v2 envelopes with unknown fields parse as v1, proven
+    "q_p12_forward_compat" -> ((s, d) => CdcParser.forwardCompatParse(s, d)),
+    // kill-and-resume from checkpoint: restart is invisible, hash-proven
+    "q_stream_resume" -> ((s, d) => graft.streaming.StreamingJobs.resumeReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -507,6 +513,9 @@ object SparkEntry {
     "q_stream_late" -> graft.streaming.StreamingJobs.lateWindowReplaySql,
     "q_y21_kmeanspp_init" -> Similarity.kmeansParallelInitSql(),
     "q_m8_video_dedup" -> Multimodal.videoFrameDedupSql,
-    "q_a21_ewma_bands" -> DashboardQueries.ewmaBandsSql
+    "q_a21_ewma_bands" -> DashboardQueries.ewmaBandsSql,
+    "q_y22_matryoshka" -> Similarity.matryoshkaRecallSql(),
+    "q_p12_forward_compat" -> CdcParser.forwardCompatParseSql,
+    "q_stream_resume" -> graft.streaming.StreamingJobs.resumeReplaySql
   )
 }

@@ -535,6 +535,34 @@ object CdcParser {
       lateAuditBody("parsed", "//").stripPrefix("WITH ")
   }
 
+  /** q_p12: FORWARD-COMPATIBLE parse — the schema-evolution contract every
+    * CDC consumer needs: when producers upgrade FIRST and start shipping
+    * envelope fields the consumer has never seen, the parse must ignore
+    * them and emit byte-identical rows. Every 13th event's envelope gets
+    * an unknown nested subtree injected (`v2_extras`: an array of mixed
+    * scalars and objects — the worst case for a token-skipper), and the
+    * ORACLE IS q_p1's unchanged v1 SQL: the hash match proves the parser
+    * treats v2 input exactly as v1, for both the Jackson fast path (its
+    * skipChildren branch) and the from_json reference formulation
+    * (absent-from-schema fields are dropped by construction).
+    *
+    * Plan shape: identical to q_p1 — the injection is one conditional
+    * string replace in the generator projection; still a single narrow
+    * scan stage. */
+  def forwardCompatParse(spark: SparkSession, dir: String): DataFrame = {
+    val env = eventsAsEnvelopeJsonTs(spark, dir)
+    val v2 = env.withColumn("json",
+      when(col("event_id") % 13 === 0,
+        expr("""replace(json, '", "op": "',
+               |  '", "v2_extras": {"trace": [1, 2, {"deep": true}], "note": "n"}, "op": "')"""
+          .stripMargin.replace("\n", "")))
+        .otherwise(col("json")))
+    parse(v2, col("json")).orderBy(col("trade_id"))
+  }
+
+  /** The v1 parse spec, verbatim — equality IS the compatibility proof. */
+  def forwardCompatParseSql: String = cdcParseRoundtripSql
+
   /** P5: changed-rows filter (op IN c/u/d, excludes snapshot 'r') + per-op
     * counts — the materialized-view predicate (`clickhouse/init.sql:93`). */
   def changedRowCounts(spark: SparkSession, dir: String): DataFrame =

@@ -1818,4 +1818,83 @@ object Similarity {
        |  row_number() OVER (ORDER BY weight DESC, cid) <= $k AS kept
        |FROM cand ORDER BY cid""".stripMargin
   }
+
+  /** q_y22: MATRYOSHKA truncation recall — recall@5 of cosine search over
+    * only the FIRST d dimensions, d ∈ {8, 16, 32, 64}, against the
+    * full-dimension y1 truth. The newest point on the compression ladder
+    * (y13 int8 = 8× smaller values, y19 binary = 1 bit/dim, y17 PQ =
+    * codebook bytes, and now FEWER DIMS — the MRL/Matryoshka serving
+    * trick: embed once, search a prefix, rescore later). The table says
+    * how much of the ranking signal lives in the leading dims, which is
+    * the read a deployment does before switching its ANN index to prefix
+    * vectors at ¼ the memory bandwidth.
+    *
+    * Exactness: per-d cosine is the same sequential fold over the SLICED
+    * arrays on both engines; hits vs the y1 truth are integer counts and
+    * recall one division. Scale shape per d: broadcast queries, ONE
+    * corpus pass, per-query top-5 window — y1's plan with a narrower
+    * vector, which is the point. */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      ds: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val corpus = embeddings(spark, dir).select(col("vec_id"), col("v")).cache()
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val truth = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    ds.map { d =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val top = corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pv", slice(col("v"), 1, d))
+        .withColumn("pq", slice(col("qv"), 1, d))
+        .withColumn("sim", dot(col("pv"), col("pq")) /
+          (sqrt(dot(col("pv"), col("pv"))) * sqrt(dot(col("pq"), col("pq")))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      top.join(truth, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(d.toLong).as("dims"), col("n_hits"), col("k_total"),
+          (col("n_hits").cast("double") / col("k_total")).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("dims"))
+  }
+
+  def matryoshkaRecallSql(ds: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    def one(d: Int): String =
+      s"""SELECT CAST($d AS BIGINT) AS dims,
+         |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  count(*) AS k_total
+         |FROM (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(e.v[1:$d], q.qv[1:$d]) /
+         |          (sqrt(list_dot_product(e.v[1:$d], e.v[1:$d]))
+         |           * sqrt(list_dot_product(q.qv[1:$d], q.qv[1:$d]))) DESC,
+         |        e.vec_id) AS rank
+         |    FROM e, q WHERE e.vec_id <> q.query_id) r
+         |  WHERE rank <= 5) s
+         |LEFT JOIN truth t
+         |  ON t.query_id = s.query_id AND t.vec_id = s.vec_id""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_dot_product(e.v, q.qv) /
+       |          (sqrt(list_dot_product(e.v, e.v))
+       |           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |        e.vec_id) AS rank
+       |    FROM e, q WHERE e.vec_id <> q.query_id) r
+       |  WHERE rank <= 5),
+       |u AS (
+       |${ds.map(one).mkString("\nUNION ALL\n")})
+       |SELECT dims, n_hits, k_total,
+       |  CAST(n_hits AS DOUBLE) / k_total AS recall
+       |FROM u ORDER BY dims""".stripMargin
+  }
 }

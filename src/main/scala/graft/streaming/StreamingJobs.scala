@@ -719,6 +719,63 @@ object StreamingJobs {
   // this object and a val here would capture null at init time.
   def windowAggReplaySql: String = fanOutReplaySql
 
+  /** CHECKPOINT RESUME, HASH-CHECKED (q_stream_resume): W4's exactly-once
+    * claim proven end-to-end instead of asserted — the windowed aggregate
+    * runs HALF the input under AvailableNow, terminates (checkpoint
+    * committed, sink metadata sealed), then a SECOND query on the SAME
+    * checkpoint drains the rest plus the sentinel. The read-back must
+    * hash-match the one-shot batch oracle (q_stream_w1's SQL): equality
+    * proves no row was lost across the restart (source offsets resumed),
+    * none duplicated (the parquet sink's transactional _spark_metadata),
+    * and the aggregation STATE survived — windows straddling the
+    * kill point get contributions from both runs, so a state reset
+    * would change their sums, not just their count.
+    *
+    * This is the recovery path a 100 TB streaming deployment exercises
+    * on every executor loss and every planned restart; the fixture makes
+    * it a deterministic two-phase replay. */
+  def resumeReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_resume")
+    val stage = s"$tmp/stage"; val in = s"$tmp/in"
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    writeEnvelopeWithSentinel(spark, dir, stage, sentinels = 1, parts = 4)
+    val inDir = new java.io.File(in); inDir.mkdirs()
+    val staged = new java.io.File(stage).listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.lastModified)
+    def runOnce(): Unit = {
+      val q = windowAggStream(readCdcStream(spark, in, maxFilesPerTrigger = 1))
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .outputMode("append")
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    val (phase1, phase2) = staged.splitAt(staged.length / 2)
+    phase1.foreach { f =>
+      val dst = new java.io.File(inDir, f.getName)
+      val m = f.lastModified
+      java.nio.file.Files.move(f.toPath, dst.toPath); dst.setLastModified(m)
+    }
+    runOnce() // drains phase 1, commits the checkpoint, terminates
+    phase2.foreach { f =>
+      val dst = new java.io.File(inDir, f.getName)
+      val m = f.lastModified
+      java.nio.file.Files.move(f.toPath, dst.toPath); dst.setLastModified(m)
+    }
+    runOnce() // RESUMES from the same checkpoint: offsets + state restored
+    spark.read.parquet(out)
+      .filter(col("user_id") =!= "ZSENTINEL")
+      .withColumn("window_start",
+        col("window_start").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  // restart must be invisible: the oracle is the one-shot batch window SQL
+  def resumeReplaySql: String = fanOutReplaySql
+
   /** LATE DATA, HASH-CHECKED (q_stream_late): the real watermark DROPPING
     * real late rows — the one streaming behavior every other replay here
     * avoids (their inputs arrive in event-time order, so their watermarks
