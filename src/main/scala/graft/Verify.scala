@@ -32,7 +32,11 @@ object Verify {
     // full 140-query dump
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's full core count, not Bench's 4: verify is a
+    // wall-clock race against the driver's window, and 10 concurrent
+    // queries on local[4] re-create the round-6 truncation risk
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

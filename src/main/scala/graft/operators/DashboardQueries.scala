@@ -681,13 +681,12 @@ object DashboardQueries {
       .agg(expr(
         """transform(array_sort(collect_list(struct(minute, v))),
           |          s -> s.v)""".stripMargin).as("vs"))
-      // field order {na, b, e, i} is LOAD-BEARING: DuckDB's list_reduce
-      // evaluates struct-accumulator fields progressively (a later field
-      // reads the already-OVERWRITTEN value of an earlier one — found by
-      // stepwise trace: its band used the round's new mean), while Spark
-      // snapshots the whole accumulator. Ordered so each field references
-      // only fields declared AFTER it, the recurrence is identical under
-      // both evaluation disciplines.
+      // Spark's aggregate() snapshots the whole accumulator per step, so
+      // any field order works here. (The DuckDB oracle is a recursive CTE,
+      // NOT list_reduce: struct-accumulator lambda folds are unstable in
+      // DuckDB 1.0.0 — the same query returned na=46/47 across runs, a
+      // field sometimes reading the already-updated value of another —
+      // the rule AnomalyDetection.scala's d3d4 oracle already records.)
       .withColumn("st", expr(
         """aggregate(vs,
           |  named_struct('na', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
@@ -711,38 +710,45 @@ object DashboardQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Recursive-CTE state machine, NOT list_reduce: DuckDB 1.0.0's lambda
+    * fold over a struct accumulator is run-to-run NONDETERMINISTIC (the
+    * anomaly-count field sometimes reads the step's already-updated
+    * e/b — observed na flapping 46↔47 on identical input), the same
+    * engine bug the d3d4 oracle documents. One iteration per series
+    * position advances every event_type's (na, b, e) together. */
   val ewmaBandsSql: String =
-    """WITH mins AS (
+    """WITH RECURSIVE mins AS (
       |  SELECT event_type, epoch_ms(ts) // 60000 AS minute,
       |    CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS v
       |  FROM events GROUP BY 1, 2),
       |ser AS (
-      |  SELECT event_type, list(v ORDER BY minute) AS vs FROM mins
-      |  GROUP BY event_type),
-      |folded AS (
-      |  SELECT event_type, len(vs) AS n_minutes,
-      |    list_reduce(
-      |      list_prepend(
-      |        {'na': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT),
-      |         'e': CAST(-1 AS BIGINT), 'i': CAST(0 AS BIGINT)},
-      |        list_transform(vs, x ->
-      |          {'na': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT),
-      |           'e': x, 'i': CAST(0 AS BIGINT)})),
-      |      (acc, x) -> CASE WHEN acc.e < 0 THEN
-      |        {'na': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT),
-      |         'e': 1000 * x.e, 'i': CAST(1 AS BIGINT)}
-      |      ELSE
-      |        {'na': acc.na + CASE WHEN acc.i >= 8
-      |                             AND abs(1000 * x.e - acc.e) > 4 * acc.b
-      |                        THEN 1 ELSE 0 END,
-      |         'b': (7 * acc.b + abs(1000 * x.e - acc.e)) // 8,
-      |         'e': (7 * acc.e + 1000 * x.e) // 8,
-      |         'i': acc.i + 1}
-      |      END) AS st
-      |  FROM ser)
-      |SELECT event_type, CAST(n_minutes AS BIGINT) AS n_minutes,
-      |  CAST(st.na AS BIGINT) AS n_anomalies,
-      |  CAST(st.e AS BIGINT) AS last_ewma_mc,
-      |  CAST(st.b AS BIGINT) AS last_band_mc
-      |FROM folded ORDER BY event_type""".stripMargin
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY minute) AS seq
+      |  FROM mins),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_minutes
+      |      FROM mins GROUP BY 1),
+      |step AS (
+      |  SELECT event_type, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS na,
+      |         CAST(0 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS e
+      |  FROM (SELECT DISTINCT event_type FROM mins)
+      |  UNION ALL
+      |  SELECT s.event_type, s.i + 1,
+      |    CASE WHEN s.e < 0 THEN CAST(0 AS BIGINT)
+      |         ELSE s.na + CASE WHEN s.i >= 8
+      |                          AND abs(1000 * x.v - s.e) > 4 * s.b
+      |                     THEN 1 ELSE 0 END END,
+      |    CASE WHEN s.e < 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (7 * s.b + abs(1000 * x.v - s.e)) // 8 END,
+      |    CASE WHEN s.e < 0 THEN 1000 * x.v
+      |         ELSE (7 * s.e + 1000 * x.v) // 8 END
+      |  FROM step s JOIN ser x
+      |    ON x.event_type = s.event_type AND x.seq = s.i + 1),
+      |last AS (
+      |  SELECT event_type, na, e, b,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rn
+      |  FROM step)
+      |SELECT l.event_type, n.n_minutes, l.na AS n_anomalies,
+      |  l.e AS last_ewma_mc, l.b AS last_band_mc
+      |FROM last l JOIN n USING (event_type) WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
 }
