@@ -46,6 +46,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle_sql.json is written BEFORE any query runs: it is the key the
+    // driver needs to score whatever parquet dumps exist. Writing it last
+    // meant one hung query (or a driver window cut) would zero the whole
+    // round's correctness, not just the missing queries.
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val rank = slowFirst.zipWithIndex.toMap
     val todo = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
@@ -62,22 +81,13 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(4, TimeUnit.HOURS)
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // 30-min hard cap (full dump measures ~2 min at 32 cores): a single
+    // wedged query forfeits only itself, not the queries still queued
+    // behind the driver's window
+    if (!pool.awaitTermination(30, TimeUnit.MINUTES)) {
+      System.err.println("[verify] 30-min cap hit; abandoning stragglers")
+      pool.shutdownNow()
+    }
     spark.stop()
   }
 }
