@@ -329,7 +329,17 @@ object SparkEntry {
     // forward-compat: v2 envelopes with unknown fields parse as v1, proven
     "q_p12_forward_compat" -> ((s, d) => CdcParser.forwardCompatParse(s, d)),
     // kill-and-resume from checkpoint: restart is invisible, hash-proven
-    "q_stream_resume" -> ((s, d) => graft.streaming.StreamingJobs.resumeReplay(s, d))
+    "q_stream_resume" -> ((s, d) => graft.streaming.StreamingJobs.resumeReplay(s, d)),
+    // Bloom-filter dedup (DCLM BFF): 80%-gram-seen probe vs the index set
+    "q_x16_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
+    // DSIR importance selection: target-likeness ratio over hashed unigrams
+    "q_c25_dsir_select" -> ((s, d) => Curation.dsirSelect(s, d)),
+    // embedding OOD pruning: diagonal-Mahalanobis top-K outliers
+    "q_y23_ood_mahalanobis" -> ((s, d) => Similarity.oodMahalanobis(s, d)),
+    // audio VAD segmentation over the blob: energy islands per file
+    "q_m9_vad_segments" -> ((s, d) => Multimodal.vadSegments(s, d)),
+    // forward as-of join: the native merge operator under time negation
+    "q_r24_asof_forward" -> ((s, d) => Relational.asofJoinForward(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -516,6 +526,11 @@ object SparkEntry {
     "q_a21_ewma_bands" -> DashboardQueries.ewmaBandsSql,
     "q_y22_matryoshka" -> Similarity.matryoshkaRecallSql(),
     "q_p12_forward_compat" -> CdcParser.forwardCompatParseSql,
-    "q_stream_resume" -> graft.streaming.StreamingJobs.resumeReplaySql
+    "q_stream_resume" -> graft.streaming.StreamingJobs.resumeReplaySql,
+    "q_x16_bloom_dedup" -> Dedup.bloomDedupSql,
+    "q_c25_dsir_select" -> Curation.dsirSelectSql,
+    "q_y23_ood_mahalanobis" -> Similarity.oodMahalanobisSql,
+    "q_m9_vad_segments" -> Multimodal.vadSegmentsSql,
+    "q_r24_asof_forward" -> Relational.asofJoinForwardSql
   )
 }

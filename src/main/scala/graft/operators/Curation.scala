@@ -960,6 +960,93 @@ object Curation {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every raw document by how target-domain-like its hashed unigram
+    * features are — weight(x) ∝ p_target(features) / p_raw(features) — and
+    * keep the top-K. The target sample here is sources src0–src3 (playing
+    * the "trusted domain" corpus: Wikipedia/books in the paper); raw is the
+    * whole corpus.
+    *
+    * Deviations from the paper, both deliberate and documented:
+    *  - the paper's log-likelihood-ratio SUM is replaced by the MEAN of
+    *    per-token count ratios (cnt_target+1)/(cnt_raw+1) in BIGINT
+    *    fixed-point micro-units — the same rational-instead-of-
+    *    transcendental lever as q_t10's idf and the g7 fixed-point rule
+    *    (SCALE.md): integer DIV keeps five orders of chained arithmetic
+    *    bit-identical across engines, and the ratio mean is monotone in
+    *    the same per-token evidence;
+    *  - the paper's Gumbel resampling is replaced by deterministic top-K
+    *    (the c11 weighted-Bernoulli query already demonstrates the
+    *    hash-threshold sampling alternative).
+    *
+    * Scale shape: features are hash buckets (poly-hash mod 4096), so both
+    * count frames are ≤ 4096 rows — broadcast to the token stream; the
+    * only keyed exchanges carry (bucket) ints and (doc_id, long) partial
+    * sums. Nothing re-scans the corpus: one tokenize pass feeds the raw
+    * counts, the target counts, and the scoring join. */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", expr(
+        """aggregate(transform(sequence(1, length(tok)),
+          |            j -> CAST(ascii(substr(tok, j, 1)) AS BIGINT)),
+          |          CAST(0 AS BIGINT),
+          |          (a, c) -> (a * 31 + c) % 1000000007) % 4096""".stripMargin))
+    val cntR = toks.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val cntT = toks
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    toks
+      .join(broadcast(cntR), Seq("b"))
+      .join(broadcast(cntT), Seq("b"), "left")
+      .withColumn("tok_score",
+        expr("((coalesce(c_t, 0) + 1) * 1000000) DIV (c_r + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tok_score")).as("s"))
+      .withColumn("score",
+        col("s").cast("double") / (col("n_toks") * lit(1000000.0)))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", expr(
+        "row_number() OVER (ORDER BY score DESC, doc_id)"))
+      .select(col("rank"), col("doc_id"), col("n_toks"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val dsirSelectSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, tok,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, length(tok)),
+      |        j -> CAST(unicode(substr(tok, CAST(j+1 AS INT), 1)) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007) % 4096 AS b
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |        FROM documents) t
+      |  WHERE length(tok) > 0),
+      |cnt_r AS (SELECT b, count(*) AS c_r FROM toks GROUP BY b),
+      |cnt_t AS (SELECT b, count(*) AS c_t FROM toks
+      |          WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_toks,
+      |    CAST(sum(((coalesce(c.c_t, 0) + 1) * 1000000) // (r.c_r + 1))
+      |         AS BIGINT) AS s
+      |  FROM toks t
+      |  JOIN cnt_r r ON t.b = r.b
+      |  LEFT JOIN cnt_t c ON t.b = c.b
+      |  GROUP BY t.doc_id),
+      |top AS (
+      |  SELECT doc_id, n_toks,
+      |    CAST(s AS DOUBLE) / (n_toks * 1000000.0) AS score
+      |  FROM scored
+      |  ORDER BY score DESC, doc_id LIMIT 100)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+      |  doc_id, n_toks, score
+      |FROM top ORDER BY rank""".stripMargin
+
   val crossSourceDupsSql: String =
     """WITH all_docs AS (
       |  SELECT doc_id, text, source FROM documents

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.G
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1878,6 +1878,126 @@ object Dedup {
       |       CAST(n_dup_found AS DOUBLE) /
       |         (SELECT count(*) FROM dupdocs) AS doc_recall
       |FROM f CROSS JOIN caught""".stripMargin
+
+  /** Bloom-filter document dedup — the DCLM "BFF" shape (Li et al. 2024,
+    * DataComp-LM; also Soldaini et al. 2024 Dolma): an incoming document is
+    * flagged duplicate when ≥ 80 % of its token 8-grams probe positive
+    * against a Bloom filter populated from the already-ingested corpus.
+    * The reference engine's dedup is key-equality only (`producer.py:104-109`);
+    * this is the streaming-corpus generalization every training pipeline runs.
+    *
+    * Encoding here: the Bloom filter is kept in RELATIONAL form — the
+    * distinct set of set bit positions (k=2 hash functions over an m=2^20
+    * bit space) — so membership is a position join and the WHOLE pipeline
+    * (token hash → rolling 8-gram polynomial → 2 bit positions → probe →
+    * per-doc duplicate fraction) stays deterministic integer arithmetic and
+    * replays bit-exactly in DuckDB. At 100 TB the position set is exactly
+    * what `spark.sql` materializes for an InjectRuntimeFilter bloom, but
+    * packed: production swaps the join for `df.stat.bloomFilter` + a
+    * broadcast bitmap probe (O(m/8) bytes once per executor, zero shuffle
+    * on the probe side) — DedupSimilaritySpec proves the packed-bitmap
+    * probe agrees with this position-set form on every gram.
+    *
+    * Scale shape: gram hashing is the same tight JVM rolling pass as the
+    * x5 census (each char touched once, no gram strings); the shuffle
+    * carries (doc_id, gram, position) longs only — 24 B per probe gram —
+    * and the index side reduces to ≤ m distinct positions before the join.
+    * False positives are INTENDED semantics (a Bloom dedup over-drops
+    * slightly); determinism makes them reproducible and oracle-checkable.
+    */
+  private val BloomM = 1L << 20 // bits in the filter
+  private[graft] def bloomPositions(g: Column): Column =
+    array(pmod(g, lit(BloomM)),
+      pmod(pmod(g * lit(2654435761L) + lit(97L), lit(HashP)), lit(BloomM)))
+
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = G.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) => gramHashRows(id, text, 8) })
+      .toDF("doc_id", "g")
+      .distinct() // BFF probes distinct grams: occurrences don't re-vote
+    // index = first 80 % of the corpus by id (the "already ingested" set);
+    // probe = the incoming 20 %
+    val bits = grams.filter(col("doc_id") % 10 < 8)
+      .select(explode(bloomPositions(col("g"))).as("pos"))
+      .distinct() // the Bloom filter: ≤ m set-bit positions
+    val probe = grams.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("g"),
+        explode(bloomPositions(col("g"))).as("pos"))
+    // a gram tests positive iff BOTH its positions are set
+    val seen = probe.join(bits, Seq("pos"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+    grams.filter(col("doc_id") % 10 >= 8)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        (coalesce(col("n_seen"), lit(0L)).cast("double") / col("n_grams"))
+          .as("seen_frac"))
+      .withColumn("is_dup", (col("n_seen") * 10 >= col("n_grams") * 8))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same construction in DuckDB: the x5 rolling-gram CTEs, then the two
+    * bit positions and the distinct-position membership join. */
+  val bloomDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, length(t)),
+       |          j -> CAST(unicode(substr(t, CAST(j+1 AS INT), 1)) AS BIGINT))),
+       |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
+       |  FROM toks),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS g
+       |  FROM (SELECT doc_id, th,
+       |          unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS i
+       |        FROM th) t),
+       |pos AS (
+       |  SELECT doc_id, g, unnest([g % $BloomM,
+       |    ((g * 2654435761 + 97) % 1000000007) % $BloomM]) AS pos
+       |  FROM grams),
+       |bits AS (
+       |  SELECT DISTINCT pos FROM pos WHERE doc_id % 10 < 8),
+       |seen AS (
+       |  SELECT doc_id, g FROM pos
+       |  WHERE doc_id % 10 >= 8 AND pos IN (SELECT pos FROM bits)
+       |  GROUP BY doc_id, g HAVING count(*) = 2),
+       |n_seen AS (SELECT doc_id, count(*) AS n_seen FROM seen GROUP BY doc_id),
+       |n_grams AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM grams
+       |  WHERE doc_id % 10 >= 8 GROUP BY doc_id)
+       |SELECT n_grams.doc_id, n_grams.n_grams,
+       |  coalesce(n_seen.n_seen, 0) AS n_seen,
+       |  CAST(coalesce(n_seen.n_seen, 0) AS DOUBLE) / n_grams.n_grams
+       |    AS seen_frac,
+       |  coalesce(n_seen.n_seen, 0) * 10 >= n_grams.n_grams * 8 AS is_dup
+       |FROM n_grams LEFT JOIN n_seen ON n_grams.doc_id = n_seen.doc_id
+       |ORDER BY n_grams.doc_id""".stripMargin
+
+  /** The packed-bitmap production probe for [[bloomDedup]]'s spec: gram
+    * hashes → the same 2 positions, but membership tested against a real
+    * bitset (what a broadcast `df.stat.bloomFilter` degenerates to when
+    * you pin the hash functions). Used by DedupSimilaritySpec to prove
+    * the relational position-set form ≡ the bitmap form gram-for-gram. */
+  private[graft] def bloomBitmapSeen(indexGrams: Array[Long],
+      probeGrams: Array[Long]): Array[Boolean] = {
+    val bits = new java.util.BitSet(BloomM.toInt)
+    def p1(g: Long) = (g % BloomM).toInt
+    def p2(g: Long) = (((g * 2654435761L + 97L) % HashP) % BloomM).toInt
+    indexGrams.foreach { g => bits.set(p1(g)); bits.set(p2(g)) }
+    probeGrams.map(g => bits.get(p1(g)) && bits.get(p2(g)))
+  }
 
   val sortedNeighborhoodSql: String =
     """WITH sk AS (

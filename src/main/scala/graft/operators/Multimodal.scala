@@ -511,4 +511,104 @@ object Multimodal {
       |             JOIN sz sb ON p.vid_b = sb.doc_id
       |WHERE CAST(p.shared AS DOUBLE) / least(sa.nf, sb.nf) >= 0.6
       |ORDER BY vid_a, vid_b""".stripMargin
+
+  /** Voice-activity segmentation over the audio blob — the standard first
+    * stage of an audio training pipeline (cut recordings into speech
+    * segments before transcription/embedding). STUB acoustics: "energy"
+    * per 64-byte frame is the byte-value sum (a real impl computes RMS of
+    * decoded PCM here — same plumbing, different per-frame kernel); a
+    * frame is ACTIVE when its energy exceeds the file's mean frame energy
+    * (integer cross-multiply `energy·n_frames > total` — no division, no
+    * floats, so the whole operator is exact integer arithmetic).
+    *
+    * Per file: frame count, active count, number of contiguous active
+    * segments, and the longest segment — the islands fold runs inside the
+    * same single JVM pass over the blob (per-partition iterator, constant
+    * memory, the m2 `mapInPandas` analogue). No shuffle at all: every
+    * metric is per-row, so the operator runs at scan speed and the only
+    * exchange is the presentation sort. The oracle rebuilds the identical
+    * frames byte-for-byte from `hex(encode(text))` and replays the island
+    * logic with gaps-and-islands windows. */
+  def vadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (nf, na, ns, lr) = vadKernel(bytes)
+        (id, nf, na, ns, lr)
+      })
+      .toDF("doc_id", "n_frames", "n_active", "n_segments", "longest_run")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-blob VAD fold: (n_frames, n_active, n_segments, longest_run).
+    * Factored out so the spec can drive it with planted byte patterns. */
+  private[graft] def vadKernel(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val nFrames = bytes.length / 64
+    val energy = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0L; var i = f * 64
+      val end = i + 64
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      energy(f) = s; f += 1
+    }
+    var total = 0L
+    energy.foreach(total += _)
+    var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+    f = 0
+    while (f < nFrames) {
+      if (energy(f) * nFrames > total) {
+        nActive += 1; run += 1
+        if (run == 1) nSeg += 1
+        if (run > longest) longest = run
+      } else run = 0
+      f += 1
+    }
+    (nFrames.toLong, nActive, nSeg, longest)
+  }
+
+  val vadSegmentsSql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             octet_length(encode(text)) AS n FROM documents),
+      |fr AS (
+      |  SELECT doc_id, CAST(t.f AS BIGINT) AS f, n
+      |  FROM h, unnest(range(0, n // 64)) t(f)),
+      |u AS (SELECT doc_id, f, CAST(t.i AS BIGINT) AS i
+      |      FROM fr, unnest(range(0, 64)) t(i)),
+      |en AS (
+      |  SELECT u.doc_id, u.f,
+      |    CAST(sum(('0x' || substr(h.hx,
+      |           CAST(2 * (u.f * 64 + u.i) + 1 AS INT), 2))::INT)
+      |      AS BIGINT) AS e
+      |  FROM u JOIN h ON h.doc_id = u.doc_id
+      |  GROUP BY u.doc_id, u.f),
+      |tot AS (
+      |  SELECT doc_id, count(*) AS n_frames, CAST(sum(e) AS BIGINT) AS total
+      |  FROM en GROUP BY doc_id),
+      |act AS (
+      |  SELECT en.doc_id, en.f,
+      |    CASE WHEN en.e * t.n_frames > t.total THEN 1 ELSE 0 END AS a
+      |  FROM en JOIN tot t ON en.doc_id = t.doc_id),
+      |isl AS (
+      |  SELECT doc_id, f, a,
+      |    f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f) AS grp
+      |  FROM act),
+      |runs AS (
+      |  SELECT doc_id, count(*) AS run_len
+      |  FROM isl WHERE a = 1 GROUP BY doc_id, grp),
+      |seg AS (
+      |  SELECT doc_id, count(*) AS n_segments,
+      |    CAST(max(run_len) AS BIGINT) AS longest_run,
+      |    CAST(sum(run_len) AS BIGINT) AS n_active
+      |  FROM runs GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_frames,
+      |  coalesce(s.n_active, 0) AS n_active,
+      |  coalesce(s.n_segments, 0) AS n_segments,
+      |  coalesce(s.longest_run, 0) AS longest_run
+      |FROM tot t LEFT JOIN seg s ON t.doc_id = s.doc_id
+      |UNION ALL
+      |SELECT doc_id, 0, 0, 0, 0 FROM h WHERE n // 64 = 0
+      |ORDER BY doc_id""".stripMargin
 }

@@ -228,6 +228,45 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join — "next signup strictly AFTER each purchase" —
+    * run through the SAME native backward-strict merge operator
+    * ([[graft.plans.AsOfJoin]]) by time negation: backward-strict on
+    * (−t) is exactly forward-strict on t (largest −s < −p ⟺ smallest
+    * s > p). One extra projection on each side, zero new operator code,
+    * and the merge-join scale shape (one keyed exchange per side, one
+    * buffered right row per partition stream) is inherited unchanged.
+    * Oracle: DuckDB's native `ASOF JOIN ... ON p.ms < s.ms` — an
+    * independent implementation of the forward direction. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.eventsRaw(spark, dir)
+      .withColumn("ms", expr("ts_ns DIV 1000000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id").as("s_user"), (-col("ms")).as("s_neg"),
+        col("ms").as("s_ms"), col("signup_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"),
+        (-col("ms")).as("p_neg"))
+    graft.plans.AsOfJoin.asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user",
+        leftTime = "p_neg", rightTime = "s_neg")
+      .select(col("event_id"), col("user_id"),
+        col("signup_id").as("next_signup"),
+        (col("s_ms") - col("ms")).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |s AS (SELECT user_id, ms, max(event_id) AS signup_id
+      |      FROM e WHERE event_type = 'signup' GROUP BY user_id, ms),
+      |p AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, s.signup_id AS next_signup,
+      |  s.ms - p.ms AS gap_ms
+      |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ms < s.ms
+      |ORDER BY p.event_id""".stripMargin
+
   /** Grouping-set aggregation (ROLLUP) — additive (SURVEY §2.11). Null
     * grouping keys are coalesced for cross-engine deterministic ordering. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =

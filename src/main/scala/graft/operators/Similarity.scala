@@ -1897,4 +1897,88 @@ object Similarity {
        |  CAST(n_hits AS DOUBLE) / k_total AS recall
        |FROM u ORDER BY dims""".stripMargin
   }
+
+  /** Embedding-space outlier detection for corpus curation: diagonal
+    * Mahalanobis (= per-dimension standardized Euclidean) distance of every
+    * vector to the corpus distribution, top-K most out-of-distribution
+    * returned for pruning/inspection. This is the standard OOD/noise-prune
+    * signal in embedding-curated training pipelines (the per-cluster
+    * variant of SemDeDup's outlier sweep; full-covariance Mahalanobis needs
+    * a d×d inverse — diagonal is what's used at corpus scale).
+    *
+    * Cross-engine exactness (the g7 fixed-point rule, SCALE.md): per-dim
+    * moment sums are FLOOR(x·1e9) / FLOOR(x²·1e9) BIGINT micro-units —
+    * floor reads the exact binary double (no shortest-string round-trip,
+    * no double→DECIMAL cast), and integer sums are order-free — then ONE
+    * double division recovers μ and E[x²]. The per-vector score folds
+    * dims ascending (Spark `aggregate` HOF ≡ DuckDB `list_reduce`), so
+    * every double op sees identical operands in identical order.
+    *
+    * Scale shape: the moment pass is posexplode → (dim) partial→final agg —
+    * the shuffle carries 64·partitions pre-aggregated rows, never vectors;
+    * the 64-row stats frame broadcasts back as two aligned arrays; scoring
+    * is a scan-speed projection and the top-K is TakeOrderedAndProject.
+    * At 100 TB the BIGINT moment sums need a 128-bit accumulator (DECIMAL
+    * sum of the micro-units) — same plan, one type widening. */
+  def oodMahalanobis(spark: SparkSession, dir: String, k: Int = 50)
+      : DataFrame = {
+    val e = embeddings(spark, dir)
+    val stats = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(x * 1e9) AS BIGINT)")).as("sx"),
+        sum(expr("CAST(floor(x * x * 1e9) AS BIGINT)")).as("sxx"))
+      .select(col("dim"),
+        (col("sx").cast("double") / col("n") / lit(1e9)).as("mu"),
+        ((col("sxx").cast("double") / col("n") / lit(1e9))).as("m2"))
+      .withColumn("s2", col("m2") - col("mu") * col("mu"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mu"), col("s2"))))
+        .as("st"))
+      .select(expr("transform(st, s -> s.mu)").as("mus"),
+        expr("transform(st, s -> s.s2)").as("s2s"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        """aggregate(sequence(0, size(v) - 1), CAST(0.0 AS DOUBLE),
+          |  (a, d) -> a + (v[d] - mus[d]) * (v[d] - mus[d])
+          |              / (s2s[d] + 1e-9))""".stripMargin))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank",
+        expr("row_number() OVER (ORDER BY score DESC, vec_id)"))
+      .select(col("rank"), col("vec_id"), col("label"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val oodMahalanobisSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |x AS (SELECT vec_id, d, v[d + 1] AS x
+      |      FROM e, unnest(range(0, len(v))) AS t(d)),
+      |stats AS (
+      |  SELECT d, count(*) AS n,
+      |    CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(floor(x * x * 1e9) AS BIGINT)) AS BIGINT) AS sxx
+      |  FROM x GROUP BY d),
+      |ms AS (
+      |  SELECT d, CAST(sx AS DOUBLE) / n / 1e9 AS mu,
+      |    CAST(sxx AS DOUBLE) / n / 1e9
+      |      - (CAST(sx AS DOUBLE) / n / 1e9) * (CAST(sx AS DOUBLE) / n / 1e9)
+      |      AS s2
+      |  FROM stats),
+      |arrs AS (
+      |  SELECT list(mu ORDER BY d) AS mus, list(s2 ORDER BY d) AS s2s
+      |  FROM ms),
+      |scored AS (
+      |  SELECT vec_id, label,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, len(v)),
+      |        d -> (v[d + 1] - mus[d + 1]) * (v[d + 1] - mus[d + 1])
+      |             / (s2s[d + 1] + 1e-9))),
+      |      (a, b) -> a + b) AS score
+      |  FROM e, arrs),
+      |top AS (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
+      |  vec_id, label, score
+      |FROM top ORDER BY rank""".stripMargin
 }
