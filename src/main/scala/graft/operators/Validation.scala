@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.G
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates for a training-data pipeline — the validation pass a
@@ -397,58 +397,110 @@ object Validation {
     * histogram pass is scan + broadcast + 50-group agg. The scans read
     * only the four profiled columns (column pruning). */
   def tableStats(spark: SparkSession, dir: String): DataFrame = {
-    G.table(spark, dir, "lineitem")
+    val base = G.table(spark, dir, "lineitem")
       .select(col("l_extendedprice").cast("double").as("price"),
         col("l_quantity").cast("double").as("qty"),
         col("l_partkey"), col("l_suppkey"))
-      .createOrReplaceTempView("v7_lineitem")
-    spark.sql(tableStatsCore("v7_lineitem"))
+      .cache() // four short passes (count/boundaries/hist/mcv+ndv) share it
+    // Round-7 rework (3× at sf0.1, 18.3 s → ~6 s): the nine separate
+    // percentile_disc aggregates each re-buffered and re-sorted the whole
+    // column in one task (21 s measured for the nine at sf0.1 — exact
+    // percentile in Spark is a single-aggregate value buffer, nine of
+    // them = nine full sorts). All nine boundaries are order statistics
+    // of ONE distributed sort: range-partition sort + zipWithIndex (the
+    // x6 move), pick ranks ⌈i·n/10⌉, collect 9 scalars to the driver.
+    // The rank is EXACT integer arithmetic ((i·n+9) div 10) on BOTH
+    // engines — percentile_disc's internal p·n double rounding is
+    // engine-private and one ulp from flipping a boundary at exactly-
+    // divisible sizes (the SCALE.md cast landmine class), so the rank
+    // rule is pinned instead of trusted.
+    val n = base.count()
+    val ranks = (1 to 9).map(i => (i.toLong * n + 9L) / 10L)
+    val rankSet = ranks.toSet
+    val picked = base.select(col("price")).orderBy(col("price"))
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => rankSet.contains(i + 1) }
+      .map { case (r, i) => (i + 1, r.getDouble(0)) }
+      .collect().toMap
+    val bs = ranks.map(picked) // b1..b9, duplicates fine (equal ranks n<10 impossible here)
+    val bin = lit(1) + bs.map(b =>
+      when(col("price") > lit(b), 1).otherwise(0): Column).reduce(_ + _)
+    val hist = base.groupBy(bin.as("idx"))
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"),
+        count(lit(1)).as("n"))
+      .select(lit("hist").as("stat"), col("idx").cast("long").as("idx"),
+        col("lo"), col("hi"), col("n"))
+    val mcv = base.groupBy(col("qty")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("qty")).limit(10)
+      .select(lit("mcv").as("stat"),
+        expr("row_number() OVER (ORDER BY cnt DESC, qty)").cast("long")
+          .as("idx"),
+        col("qty").as("lo"), col("qty").as("hi"), col("cnt").as("n"))
+    val scalars = base.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("ndv_p"),
+        countDistinct(col("l_suppkey")).as("ndv_s"))
+      .select(explode(array(
+        struct(lit("rows").as("stat"), lit(0L).as("idx"),
+          lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+          col("n_rows").as("n")),
+        struct(lit("ndv_partkey").as("stat"), lit(0L).as("idx"),
+          lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+          col("ndv_p").as("n")),
+        struct(lit("ndv_suppkey").as("stat"), lit(0L).as("idx"),
+          lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+          col("ndv_s").as("n")))).as("r"))
+      .select(col("r.*"))
+    hist.unionByName(mcv).unionByName(scalars)
+      .orderBy(col("stat"), col("idx"))
   }
 
-  /** Shared SQL body — Spark runs it over the temp view, the oracle over a
-    * DuckDB CTE of the same shape, so the construction is literally the
-    * same text on both engines. */
-  private def tableStatsCore(rel: String): String = {
-    val bs = (1 to 9).map(i =>
-      s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY price) AS b$i")
+  /** Oracle: the same construction with the same EXACT rank rule — the
+    * boundary stage is a row_number window (fine in DuckDB; in Spark a
+    * global row_number is a one-partition stage, which is why the engine
+    * side uses sort + zipWithIndex instead). */
+  val tableStatsSql: String = {
+    val bsel = (1 to 9).map(i =>
+      s"max(CASE WHEN rn = ($i * n + 9) // 10 THEN price END) AS b$i")
       .mkString(", ")
     val cases = (1 to 9).map(i =>
       s"CASE WHEN price > b$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH b AS (SELECT $bs FROM $rel),
+    s"""WITH v7_lineitem AS (
+       |  SELECT l_extendedprice::DOUBLE AS price, l_quantity::DOUBLE AS qty,
+       |         l_partkey, l_suppkey
+       |  FROM lineitem),
+       |r AS (SELECT price, row_number() OVER (ORDER BY price) AS rn,
+       |             count(*) OVER () AS n
+       |      FROM v7_lineitem),
+       |b AS (SELECT $bsel FROM r),
        |hist AS (
        |  SELECT 'hist' AS stat, CAST(bin AS BIGINT) AS idx,
        |         min(price) AS lo, max(price) AS hi, count(*) AS n
-       |  FROM (SELECT price, 1 + $cases AS bin FROM $rel CROSS JOIN b) t
+       |  FROM (SELECT price, 1 + $cases AS bin
+       |        FROM v7_lineitem CROSS JOIN b) t
        |  GROUP BY bin),
        |mcv AS (
        |  SELECT 'mcv' AS stat, idx, lo, hi, n FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, qty) AS BIGINT)
        |             AS idx,
        |           qty AS lo, qty AS hi, cnt AS n
-       |    FROM (SELECT qty, count(*) AS cnt FROM $rel GROUP BY qty) c) r
+       |    FROM (SELECT qty, count(*) AS cnt FROM v7_lineitem GROUP BY qty) c) r
        |  WHERE idx <= 10),
        |scalars AS (
        |  SELECT 'rows' AS stat, CAST(0 AS BIGINT) AS idx,
        |         CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
-       |         count(*) AS n FROM $rel
+       |         count(*) AS n FROM v7_lineitem
        |  UNION ALL
        |  SELECT 'ndv_partkey', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
-       |         CAST(NULL AS DOUBLE), count(DISTINCT l_partkey) FROM $rel
+       |         CAST(NULL AS DOUBLE), count(DISTINCT l_partkey) FROM v7_lineitem
        |  UNION ALL
        |  SELECT 'ndv_suppkey', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
-       |         CAST(NULL AS DOUBLE), count(DISTINCT l_suppkey) FROM $rel)
+       |         CAST(NULL AS DOUBLE), count(DISTINCT l_suppkey) FROM v7_lineitem)
        |SELECT stat, idx, lo, hi, n FROM (
        |  SELECT * FROM hist UNION ALL SELECT * FROM mcv
        |  UNION ALL SELECT * FROM scalars) u
        |ORDER BY stat, idx""".stripMargin
   }
-
-  val tableStatsSql: String =
-    s"""WITH v7_lineitem AS (
-       |  SELECT l_extendedprice::DOUBLE AS price, l_quantity::DOUBLE AS qty,
-       |         l_partkey, l_suppkey
-       |  FROM lineitem),
-       |${tableStatsCore("v7_lineitem").stripPrefix("WITH ")}""".stripMargin
 
   /** q_v8: FUNCTIONAL-DEPENDENCY audit — the schema-discovery /
     * key-validation profiling op (Metanome / HoloClean territory): for a
