@@ -1743,14 +1743,48 @@ object Dedup {
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
     sortedNeighborhoodDocs(G.table(spark, dir, "documents"))
 
+  /** Distinct char-3-gram set per doc, each gram INJECTIVELY encoded as a
+    * long (c₁·2⁴² | c₂·2²¹ | c₃ — 21 bits holds any code point, so two
+    * distinct grams can never share an encoding; Jaccard over the encoded
+    * sets is EXACTLY Jaccard over the string sets, no hash-collision
+    * caveat). A tight JVM pass: the Catalyst
+    * `array_distinct(transform(..., substring))` formulation allocates
+    * ~10 k 3-char strings per document and measured 1.8 s per evaluation
+    * at sf0.1 — run twice (both verify-join sides), it dominated x13. */
+  private[graft] def charGramSets(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = new java.util.HashSet[Long]()
+        var i = 0
+        val n = if (text == null) 0 else text.length
+        while (i + 2 < n) {
+          s.add((text.charAt(i).toLong << 42) |
+            (text.charAt(i + 1).toLong << 21) | text.charAt(i + 2).toLong)
+          i += 1
+        }
+        val arr = new Array[Long](s.size())
+        val it = s.iterator(); var j = 0
+        while (it.hasNext) { arr(j) = it.next(); j += 1 }
+        java.util.Arrays.sort(arr)
+        (id, arr)
+      }).toDF("doc_id", "grams")
+  }
+
   /** Kernel on any (doc_id, text) frame — shared by the query and specs. */
   private[graft] def sortedNeighborhoodDocs(input: DataFrame): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
+    // the 32-char key needs only the document HEAD: stripping the first
+    // 256 chars instead of the whole text is 5× on this projection at
+    // sf0.1 (regex over ~50 B vs ~10 KB per doc) and identical unless a
+    // doc opens with >224 consecutive non-alphanumerics (then the key is
+    // merely shorter — same on both engines, blocking quality unchanged)
     val docs = input
       .select(col("doc_id"),
-        substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", "")),
-          1, 32).as("k"))
+        substring(lower(regexp_replace(substring(col("text"), 1, 256),
+          "[^a-zA-Z0-9]+", "")), 1, 32).as("k"))
     // distributed sort + zipWithIndex: deterministic global rank, every
     // partition sorted in parallel, no Window over an empty partitionBy
     val ranked = docs.as[(Long, String)].rdd
@@ -1765,10 +1799,7 @@ object Dedup {
     val cand = offs.join(ranked.select(col("rn").as("rn2"),
         col("doc_id").as("doc_b")), "rn2")
       .select(col("doc_a"), col("doc_b"))
-    val grams = input
-      .select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(1, length(text)-2),
-               |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+    val grams = charGramSets(input)
     cand
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
         "doc_a")
@@ -1809,9 +1840,9 @@ object Dedup {
     * production blocker it scores never runs all-pairs. */
   def snRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = G.table(spark, dir, "documents").filter(col("doc_id") < 200)
-    val grams = docs.select(col("doc_id"),
-      expr("""array_distinct(transform(sequence(1, length(text)-2),
-             |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+    // same injective long encoding as the blocker ([[charGramSets]]):
+    // Jaccard is identical, the 3-char string allocations are not
+    val grams = charGramSets(docs)
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
     val truth = a.crossJoin(b)
@@ -1854,8 +1885,8 @@ object Dedup {
       |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
       |sk AS (
       |  SELECT doc_id,
-      |    substr(lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')),
-      |           1, 32) AS k
+      |    substr(lower(regexp_replace(substr(text, 1, 256),
+      |             '[^a-zA-Z0-9]+', '', 'g')), 1, 32) AS k
       |  FROM d),
       |r AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
@@ -2014,8 +2045,8 @@ object Dedup {
   val sortedNeighborhoodSql: String =
     """WITH sk AS (
       |  SELECT doc_id,
-      |    substr(lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')),
-      |           1, 32) AS k
+      |    substr(lower(regexp_replace(substr(text, 1, 256),
+      |             '[^a-zA-Z0-9]+', '', 'g')), 1, 32) AS k
       |  FROM documents),
       |r AS (
       |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
