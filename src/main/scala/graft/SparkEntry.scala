@@ -339,7 +339,11 @@ object SparkEntry {
     // audio VAD segmentation over the blob: energy islands per file
     "q_m9_vad_segments" -> ((s, d) => Multimodal.vadSegments(s, d)),
     // forward as-of join: the native merge operator under time negation
-    "q_r24_asof_forward" -> ((s, d) => Relational.asofJoinForward(s, d))
+    "q_r24_asof_forward" -> ((s, d) => Relational.asofJoinForward(s, d)),
+    // D1-D4 through transformWithState + RocksDB, same oracle as d3d4
+    "q_stream_tws" -> ((s, d) => graft.streaming.StreamingJobs.twsReplay(s, d)),
+    // MERGE INTO clause semantics over a keyed full-outer join
+    "q_r25_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,6 +535,8 @@ object SparkEntry {
     "q_c25_dsir_select" -> Curation.dsirSelectSql,
     "q_y23_ood_mahalanobis" -> Similarity.oodMahalanobisSql,
     "q_m9_vad_segments" -> Multimodal.vadSegmentsSql,
-    "q_r24_asof_forward" -> Relational.asofJoinForwardSql
+    "q_r24_asof_forward" -> Relational.asofJoinForwardSql,
+    "q_stream_tws" -> operators.AnomalyDetection.streamAlertCountsSql,
+    "q_r25_merge_upsert" -> Relational.mergeUpsertSql
   )
 }

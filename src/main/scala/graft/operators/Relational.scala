@@ -267,6 +267,70 @@ object Relational {
       |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ms < s.ms
       |ORDER BY p.event_id""".stripMargin
 
+  /** MERGE INTO semantics as a batch operator (q_r25) — the lakehouse
+    * upsert every CDC consumer ships (Delta/Iceberg `MERGE INTO target
+    * USING delta ON key WHEN MATCHED [AND del] THEN DELETE / THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT`). Spark's SQL MERGE needs a DSv2
+    * row-level-operation table, so over plain parquet the operator IS
+    * this plan: ONE full-outer keyed join of target and delta and a
+    * per-row clause resolution — which is also exactly what Delta's MERGE
+    * executes underneath. Complements q_p7 (latest-version-per-key apply
+    * of a whole changelog): MERGE is the two-frame batch form with
+    * explicit clause semantics.
+    *
+    * The delta is synthesized deterministically from the target (updates
+    * for key%7=0, deletes for key%13=0 taking precedence, inserts as
+    * fresh key+1000000 for key%11=0), so both engines construct the
+    * identical merge input.
+    *
+    * Scale shape: one hash-keyed exchange per side (broadcast when the
+    * delta is small — AQE decides); no window, no second pass. The
+    * `action` column makes the clause chosen for every row part of the
+    * hash-checked contract. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = G.table(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val changes = target
+      .filter(col("key") % 13 === 0 || col("key") % 7 === 0)
+      .select(col("key"),
+        when(col("key") % 13 === 0, "d").otherwise("u").as("op"),
+        (col("bal") + lit(100.0)).as("new_bal"))
+    val inserts = target.filter(col("key") % 11 === 0)
+      .select((col("key") + 1000000L).as("key"), lit("i").as("op"),
+        lit(0.0).as("new_bal"))
+    val delta = changes.unionByName(inserts)
+    target.join(delta, Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "d") // WHEN MATCHED AND del THEN DELETE
+      .select(col("key"),
+        when(col("op") === "u", col("new_bal"))      // WHEN MATCHED THEN UPDATE
+          .when(col("op") === "i", col("new_bal"))   // WHEN NOT MATCHED THEN INSERT
+          .otherwise(col("bal")).as("bal"),
+        when(col("op") === "u", "updated")
+          .when(col("op") === "i", "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy(col("key"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+      |delta AS (
+      |  SELECT key,
+      |    CASE WHEN key % 13 = 0 THEN 'd' ELSE 'u' END AS op,
+      |    bal + 100.0 AS new_bal
+      |  FROM target WHERE key % 13 = 0 OR key % 7 = 0
+      |  UNION ALL
+      |  SELECT key + 1000000 AS key, 'i' AS op, 0.0 AS new_bal
+      |  FROM target WHERE key % 11 = 0)
+      |SELECT coalesce(t.key, d.key) AS key,
+      |  CASE WHEN d.op IN ('u', 'i') THEN d.new_bal ELSE t.bal END AS bal,
+      |  CASE WHEN d.op = 'u' THEN 'updated'
+      |       WHEN d.op = 'i' THEN 'inserted'
+      |       ELSE 'kept' END AS action
+      |FROM target t FULL OUTER JOIN delta d ON t.key = d.key
+      |WHERE coalesce(d.op, '') <> 'd'
+      |ORDER BY key""".stripMargin
+
   /** Grouping-set aggregation (ROLLUP) — additive (SURVEY §2.11). Null
     * grouping keys are coalesced for cross-engine deterministic ordering. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =

@@ -552,6 +552,37 @@ object StreamingJobs {
       .orderBy(col("alert_type"))
   }
 
+  /** D1–D4 through Spark 4's `transformWithState`, HASH-CHECKED
+    * (q_stream_tws): the same replay as [[detectorReplay]] but through
+    * [[detectAnomaliesTws]] — so the NEW stateful API (typed state
+    * variables, TTL, timers, RocksDB column families) is pinned to the
+    * same DuckDB state-machine oracle as the fMGWS path, not just to a
+    * spec-level equality. Runs on a CLONED session (`newSession` shares
+    * the SparkContext but isolates runtime conf) because TWS requires the
+    * RocksDB state store provider and Verify runs queries concurrently on
+    * one session — flipping the provider globally mid-run would change
+    * the store under other streaming replays. */
+  def twsReplay(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    configureStateStore(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tws")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
+      .write.mode("overwrite").text(in)
+    val q = detectAnomaliesTws(
+        readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark0.read.parquet(out)
+      .groupBy(col("alert_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("alert_type"))
+  }
+
   /** K5/S3 STREAMING, HASH-CHECKED (q_stream_dedup): replay the envelope
     * stream WITH redelivery through [[dedupStream]]'s
     * `dropDuplicatesWithinWatermark` and read the materialized sink back

@@ -165,6 +165,34 @@ class Round7hOpsSpec extends SparkSpec {
       "forward as-of differs from brute force")
   }
 
+  // ------------------------------------------------------- MERGE upsert
+
+  test("mergeUpsert: clause laws — deletes gone, updates +100, inserts new") {
+    val target = G.table(spark, sf(), "customer")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val out = Relational.mergeUpsert(spark, sf()).cache()
+    try {
+      // every key%13=0 target row deleted (and not re-inserted)
+      assert(out.filter(col("key") % 13 === 0 && col("key") < 1000000)
+        .count() == 0)
+      // updated rows: exactly the %7 non-deleted keys, bal shifted +100
+      val upd = out.filter(col("action") === "updated")
+      val expUpd = target.filter(col("key") % 7 === 0 && col("key") % 13 =!= 0)
+      assert(upd.count() == expUpd.count())
+      val drift = upd.join(expUpd.select(col("key"), col("bal").as("old")), "key")
+        .filter(abs(col("bal") - col("old") - 100.0) > 1e-9)
+      assert(drift.count() == 0)
+      // inserted rows: one per %11 key, at key+1000000 with bal 0
+      assert(out.filter(col("action") === "inserted").count() ==
+        target.filter(col("key") % 11 === 0).count())
+      // kept rows untouched
+      val kept = out.filter(col("action") === "kept")
+        .join(target.select(col("key"), col("bal").as("old")), "key")
+        .filter(col("bal") =!= col("old"))
+      assert(kept.count() == 0)
+    } finally out.unpersist()
+  }
+
   test("asofJoinForward plan uses the native merge operator") {
     val plan: SparkPlan = {
       val df: DataFrame = Relational.asofJoinForward(spark, sf())
