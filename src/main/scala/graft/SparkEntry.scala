@@ -343,7 +343,13 @@ object SparkEntry {
     // D1-D4 through transformWithState + RocksDB, same oracle as d3d4
     "q_stream_tws" -> ((s, d) => graft.streaming.StreamingJobs.twsReplay(s, d)),
     // MERGE INTO clause semantics over a keyed full-outer join
-    "q_r25_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d))
+    "q_r25_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d)),
+    // Simpson repeat-probability lexical-diversity gate (rational, no log)
+    "q_t21_simpson_diversity" -> ((s, d) => TextAnalysis.simpsonDiversity(s, d)),
+    // deterministic epoch shuffle: content-hash (shard, pos) training order
+    "q_c26_epoch_shuffle" -> ((s, d) => Curation.epochShuffle(s, d)),
+    // text-vs-embedding near-dup pair agreement calibration
+    "q_m10_crossmodal_agree" -> ((s, d) => Multimodal.crossModalAgreement(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +543,9 @@ object SparkEntry {
     "q_m9_vad_segments" -> Multimodal.vadSegmentsSql,
     "q_r24_asof_forward" -> Relational.asofJoinForwardSql,
     "q_stream_tws" -> operators.AnomalyDetection.streamAlertCountsSql,
-    "q_r25_merge_upsert" -> Relational.mergeUpsertSql
+    "q_r25_merge_upsert" -> Relational.mergeUpsertSql,
+    "q_t21_simpson_diversity" -> TextAnalysis.simpsonDiversitySql,
+    "q_c26_epoch_shuffle" -> Curation.epochShuffleSql,
+    "q_m10_crossmodal_agree" -> Multimodal.crossModalAgreementSql
   )
 }

@@ -1047,6 +1047,45 @@ object Curation {
       |  doc_id, n_toks, score
       |FROM top ORDER BY rank""".stripMargin
 
+  /** q_c26: DETERMINISTIC EPOCH SHUFFLE — assign every doc a (shard,
+    * position) for training-order data loading, reproducible across
+    * reruns, engines, and cluster sizes. Order within an epoch must be
+    * pseudorandom but STABLE (resume-from-step needs position k to be
+    * the same doc tomorrow), so the permutation key is content+epoch
+    * hashed (md5), never rand(): shard = first byte of md5 mod 8,
+    * position = rank of the md5 within the shard. Epoch 1 here; a loader
+    * varies the salt per epoch for fresh permutations.
+    *
+    * Scale shape: this is the op that tempts a GLOBAL sort/row_number —
+    * the keyed form is equivalent and scale-safe: the window partitions
+    * by shard (8 bounded partitions of n/8 docs each... at 100 TB use
+    * 2¹⁴ shards so each window partition stays executor-sized, same
+    * query), one hash exchange + per-shard sort, no single-task stage.
+    * A loader reads shard files independently; (shard, pos) is the
+    * resume cursor. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), md5(concat(col("text"), lit("#epoch1"))).as("k"))
+      .withColumn("shard",
+        expr("CAST(conv(substr(k, 1, 2), 16, 10) AS BIGINT) % 8"))
+      .withColumn("pos", expr(
+        "row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)"))
+      .select(col("shard"), col("pos").cast("long").as("pos"),
+        col("doc_id"), col("k"))
+      .orderBy(col("shard"), col("pos"))
+
+  val epochShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text || '#epoch1') AS k FROM documents),
+      |s AS (SELECT doc_id, k,
+      |        CAST(('0x' || substr(k, 1, 2))::INT AS BIGINT) % 8 AS shard
+      |      FROM h)
+      |SELECT shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+      |       AS BIGINT) AS pos,
+      |  doc_id, k
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val crossSourceDupsSql: String =
     """WITH all_docs AS (
       |  SELECT doc_id, text, source FROM documents

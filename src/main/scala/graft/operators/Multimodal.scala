@@ -542,6 +542,65 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q_m10: CROSS-MODAL near-dup AGREEMENT — do the text pipeline (x3c
+    * banded SimHash pairs) and the embedding pipeline (y3 cosine ≥ 0.35
+    * pairs) flag the same near-duplicates? A multimodal dedup policy
+    * needs this calibration before trusting either modality alone: the
+    * report counts pairs found by text only, embedding only, both, and
+    * the pair-set Jaccard, over the id window both pipelines cover
+    * (id < 300, y3's bounded-verify contract). Low agreement is a
+    * finding, not a failure — the driver embeddings are synthetic and
+    * uncorrelated with text, and the hash check pins exactly that.
+    *
+    * Composes two independently oracle-checked operators; one
+    * full-outer join of two SMALL pair frames (candidates, not corpora)
+    * and a scalar aggregate. */
+  def crossModalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val text = Dedup.simhashNearDups(spark, dir)
+      .filter(col("doc_a") < 300 && col("doc_b") < 300)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit(1).as("t"))
+    val embed = graft.operators.Similarity.embeddingNearDups(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("e"))
+    text.join(embed, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull && col("e").isNull, 1L).otherwise(0L))
+          .as("text_only"),
+        sum(when(col("t").isNull && col("e").isNotNull, 1L).otherwise(0L))
+          .as("embed_only"),
+        sum(when(col("t").isNotNull && col("e").isNotNull, 1L).otherwise(0L))
+          .as("both"))
+      .select(col("text_only"), col("embed_only"), col("both"),
+        (col("both").cast("double") /
+          (col("text_only") + col("embed_only") + col("both")))
+          .as("pair_jaccard"))
+  }
+
+  def crossModalAgreementSql: String =
+    s"""WITH text_pairs AS (
+       |  SELECT doc_a AS id_a, doc_b AS id_b FROM (
+       |${Dedup.simhashNearDupsSql.replace("ORDER BY doc_a, doc_b", "")}) x
+       |  WHERE doc_a < 300 AND doc_b < 300),
+       |embed_pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${graft.operators.Similarity.embeddingNearDupsSql
+           .replace("ORDER BY id_a, id_b", "")}) y),
+       |j AS (
+       |  SELECT coalesce(t.id_a, e.id_a) AS id_a,
+       |         t.id_a IS NOT NULL AS in_t, e.id_a IS NOT NULL AS in_e
+       |  FROM text_pairs t FULL OUTER JOIN embed_pairs e
+       |    ON t.id_a = e.id_a AND t.id_b = e.id_b)
+       |SELECT
+       |  CAST(sum(CASE WHEN in_t AND NOT in_e THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS text_only,
+       |  CAST(sum(CASE WHEN in_e AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS embed_only,
+       |  CAST(sum(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS both,
+       |  CAST(sum(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS pair_jaccard
+       |FROM j""".stripMargin
+
   /** The per-blob VAD fold: (n_frames, n_active, n_segments, longest_run).
     * Factored out so the spec can drive it with planted byte patterns. */
   private[graft] def vadKernel(bytes: Array[Byte]): (Long, Long, Long, Long) = {

@@ -1252,4 +1252,52 @@ object TextAnalysis {
       |CROSS JOIN tot
       |ORDER BY lift DESC, b.w1, b.w2
       |LIMIT 50""".stripMargin
+
+  /** q_t21: LEXICAL DIVERSITY quality gate — per-doc Simpson repeat
+    * probability Σc²/n² (the chance two random token draws coincide; its
+    * complement is the Simpson diversity index) next to the type/token
+    * ratio. The standard entropy formulation needs log; Simpson is the
+    * RATIONAL member of the same diversity family (Hill number of order
+    * 2), so the whole gate is exact integer sums + two divisions — the
+    * t10/t12 transcendental-avoidance lever once more. Template/spam docs
+    * score high repeat probability with LOW distinct ratio, the pairing
+    * t9's top-bigram share approximates from the other direction.
+    *
+    * Scale shape: one tokenize-explode → (doc, token) count agg → doc
+    * agg; both exchanges carry partial counts (map-side combine), never
+    * text beyond the first keyed hop. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+        (col("s2").cast("double") /
+          (col("n_toks") * col("n_toks")).cast("double")).as("repeat_p"),
+        (col("n_types").cast("double") / col("n_toks")).as("ttr"))
+      .orderBy(col("doc_id"))
+
+  val simpsonDiversitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents) t
+      |  WHERE length(tok) > 0),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_toks,
+      |  count(*) AS n_types,
+      |  CAST(sum(c * c) AS DOUBLE) /
+      |    CAST(CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) AS DOUBLE)
+      |    AS repeat_p,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS ttr
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

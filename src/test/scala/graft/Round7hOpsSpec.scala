@@ -193,6 +193,51 @@ class Round7hOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // -------------------------------------------------- seventh-wave laws
+
+  test("simpsonDiversity: probability and TTR laws corpus-wide") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.simpsonDiversity(spark, sf()).cache()
+    try {
+      assert(out.count() > 0)
+      // 1/n_types <= repeat_p <= 1 (equality at single-type docs)
+      assert(out.filter(col("repeat_p") > 1.0 + 1e-12).count() == 0)
+      assert(out.filter(col("repeat_p") * col("n_types") < 1.0 - 1e-9)
+        .count() == 0)
+      assert(out.filter(col("n_types") > col("n_toks")).count() == 0)
+      val ttrBad = out.filter(
+        abs(col("ttr") - col("n_types").cast("double") / col("n_toks")) > 1e-12)
+      assert(ttrBad.count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("epochShuffle: dense per-shard positions, total bijection, stable") {
+    val out = Curation.epochShuffle(spark, sf()).cache()
+    try {
+      val docs = G.table(spark, sf(), "documents").count()
+      assert(out.count() == docs, "every doc gets exactly one slot")
+      assert(out.select(col("doc_id")).distinct().count() == docs)
+      // positions are dense 1..|shard| within every shard
+      val bad = out.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+          min(col("pos")).as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+      assert(bad.count() == 0, "positions not dense in some shard")
+      val again = Curation.epochShuffle(spark, sf())
+      assert(out.exceptAll(again).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("crossModalAgreement: marginals match the two source pipelines") {
+    import graft.operators.{Dedup, Multimodal, Similarity}
+    val row = Multimodal.crossModalAgreement(spark, sf()).collect()(0)
+    val nText = Dedup.simhashNearDups(spark, sf())
+      .filter(col("doc_a") < 300 && col("doc_b") < 300).count()
+    val nEmbed = Similarity.embeddingNearDups(spark, sf()).count()
+    assert(row.getLong(0) + row.getLong(2) == nText)
+    assert(row.getLong(1) + row.getLong(2) == nEmbed)
+  }
+
   test("asofJoinForward plan uses the native merge operator") {
     val plan: SparkPlan = {
       val df: DataFrame = Relational.asofJoinForward(spark, sf())
