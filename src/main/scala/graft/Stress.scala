@@ -235,6 +235,18 @@ object Stress {
         graft.operators.Dedup.substringDupStatsOn(docs)
           .write.mode("overwrite").format("noop").save()
       },
+      // round 7: Bloom-filter dedup (x16) over synthetic 16-token docs —
+      // the position-set build + probe join; doubling nDocs should scale
+      // ~linearly (grams linear, position set saturates at m bits)
+      time("bloom_dedup") {
+        val nDocs = math.min(n / 10, 8000000L)
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 16).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("id") * 16 + w), lit(64)))): _*)
+            .as("text"))
+        graft.operators.Dedup.bloomDedupOn(docs)
+          .write.mode("overwrite").format("noop").save()
+      },
       // connected components — the exact clustersFromPairs loop over a
       // deterministic random graph (n/10 edges over n/10 nodes, avg degree
       // 2 → giant component, diameter O(log n): the pointer-jump worst-ish

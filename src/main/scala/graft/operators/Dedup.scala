@@ -1953,9 +1953,14 @@ object Dedup {
     array(pmod(g, lit(BloomM)),
       pmod(pmod(g * lit(2654435761L) + lit(97L), lit(HashP)), lit(BloomM)))
 
-  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame =
+    bloomDedupOn(G.table(spark, dir, "documents"))
+
+  /** The pipeline on any (doc_id, text) frame — graft.Stress ladders it. */
+  private[graft] def bloomDedupOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val grams = G.table(spark, dir, "documents")
+    val grams = docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) => gramHashRows(id, text, 8) })
       .toDF("doc_id", "g")

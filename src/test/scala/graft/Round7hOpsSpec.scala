@@ -3,7 +3,9 @@ package graft
 import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Round-7 wave: Bloom-filter dedup (BFF), DSIR importance selection,
   * diagonal-Mahalanobis OOD pruning, VAD segmentation, and the forward
@@ -236,6 +238,42 @@ class Round7hOpsSpec extends SparkSpec {
     val nEmbed = Similarity.embeddingNearDups(spark, sf()).count()
     assert(row.getLong(0) + row.getLong(2) == nText)
     assert(row.getLong(1) + row.getLong(2) == nEmbed)
+  }
+
+  // ------------------------------------------------------- plan pins
+
+  private def executedPlan(df: => DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try { val d = df; d.collect(); d.queryExecution.executedPlan }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("bloomDedup plan: no text crosses a shuffle — positions and ids only") {
+    val plan = executedPlan(Dedup.bloomDedup(spark, sf()))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      val strings = e.output.filter(_.dataType == StringType)
+      assert(strings.isEmpty,
+        s"string column ${strings.map(_.name).mkString(",")} crossed a shuffle")
+    }
+  }
+
+  test("oodMahalanobis plan: corpus vectors never cross a shuffle") {
+    val plan = executedPlan(Similarity.oodMahalanobis(spark, sf()))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "v"),
+        s"vector column crossed a shuffle:\n$e")
+    }
+  }
+
+  test("dsirSelect plan: count frames broadcast, token stream never SMJ'd") {
+    val plan = executedPlan(Curation.dsirSelect(spark, sf()))
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"token-level sort-merge join crept in:\n$s")
   }
 
   test("asofJoinForward plan uses the native merge operator") {
