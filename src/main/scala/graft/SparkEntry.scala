@@ -349,7 +349,9 @@ object SparkEntry {
     // deterministic epoch shuffle: content-hash (shard, pos) training order
     "q_c26_epoch_shuffle" -> ((s, d) => Curation.epochShuffle(s, d)),
     // text-vs-embedding near-dup pair agreement calibration
-    "q_m10_crossmodal_agree" -> ((s, d) => Multimodal.crossModalAgreement(s, d))
+    "q_m10_crossmodal_agree" -> ((s, d) => Multimodal.crossModalAgreement(s, d)),
+    // MERGE maintained incrementally per micro-batch == one-shot MERGE
+    "q_stream_merge" -> ((s, d) => graft.streaming.StreamingJobs.mergeReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -546,6 +548,7 @@ object SparkEntry {
     "q_r25_merge_upsert" -> Relational.mergeUpsertSql,
     "q_t21_simpson_diversity" -> TextAnalysis.simpsonDiversitySql,
     "q_c26_epoch_shuffle" -> Curation.epochShuffleSql,
-    "q_m10_crossmodal_agree" -> Multimodal.crossModalAgreementSql
+    "q_m10_crossmodal_agree" -> Multimodal.crossModalAgreementSql,
+    "q_stream_merge" -> Relational.mergeUpsertSql
   )
 }

@@ -287,9 +287,14 @@ object Relational {
     * delta is small — AQE decides); no window, no second pass. The
     * `action` column makes the clause chosen for every row part of the
     * hash-checked contract. */
-  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val target = G.table(spark, dir, "customer")
+  /** The snapshot the MERGE targets: (key, bal) off `customer`. */
+  private[graft] def mergeTarget(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+
+  /** The deterministic merge input: (key, op ∈ d/u/i, new_bal). */
+  private[graft] def mergeDelta(spark: SparkSession, dir: String): DataFrame = {
+    val target = mergeTarget(spark, dir)
     val changes = target
       .filter(col("key") % 13 === 0 || col("key") % 7 === 0)
       .select(col("key"),
@@ -298,12 +303,29 @@ object Relational {
     val inserts = target.filter(col("key") % 11 === 0)
       .select((col("key") + 1000000L).as("key"), lit("i").as("op"),
         lit(0.0).as("new_bal"))
-    val delta = changes.unionByName(inserts)
+    changes.unionByName(inserts)
+  }
+
+  /** ONE MERGE application: clause resolution over the full-outer keyed
+    * join — shared verbatim by the batch query and the foreachBatch
+    * incremental maintenance (q_stream_merge), which is what makes
+    * "stream of disjoint-key deltas == one batch MERGE" provable. */
+  private[graft] def mergeStep(target: DataFrame, delta: DataFrame): DataFrame =
     target.join(delta, Seq("key"), "full_outer")
       .filter(coalesce(col("op"), lit("")) =!= "d") // WHEN MATCHED AND del THEN DELETE
       .select(col("key"),
         when(col("op") === "u", col("new_bal"))      // WHEN MATCHED THEN UPDATE
           .when(col("op") === "i", col("new_bal"))   // WHEN NOT MATCHED THEN INSERT
+          .otherwise(col("bal")).as("bal"))
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = mergeTarget(spark, dir)
+    val delta = mergeDelta(spark, dir)
+    target.join(delta, Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "d")
+      .select(col("key"),
+        when(col("op") === "u", col("new_bal"))
+          .when(col("op") === "i", col("new_bal"))
           .otherwise(col("bal")).as("bal"),
         when(col("op") === "u", "updated")
           .when(col("op") === "i", "inserted")

@@ -1319,6 +1319,74 @@ object StreamingJobs {
 
   val scd2ReplaySql: String = graft.operators.CdcParser.scd2HistorySql
 
+  /** INCREMENTAL MERGE maintenance (q_stream_merge): the lakehouse
+    * nightly-upsert loop run as a stream — each micro-batch of the delta
+    * is MERGEd into a versioned parquet snapshot via the SAME
+    * [[graft.operators.Relational.mergeStep]] clause resolution the batch
+    * q_r25 uses. The delta is sliced into key-range files (disjoint keys
+    * ⇒ sequential per-batch MERGEs compose to exactly the one-shot
+    * MERGE), so the final snapshot hash-matches the batch oracle — the
+    * stream-equals-batch proof for MERGE, the same move as
+    * q_stream_scd2's history maintenance.
+    *
+    * Retry idempotency: snapshot `snap_<bid>` is derived from the newest
+    * `snap_<j>`, j < bid (or the original target) — a foreachBatch retry
+    * recomputes from the same parent, the scd2/heavy-hitter state rule.
+    * Scale: each batch touches one keyed join of snapshot × delta-slice;
+    * in production the snapshot side is partition-pruned to the touched
+    * key ranges (here the whole small snapshot rewrites per batch). */
+  def mergeReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_m")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    new java.io.File(st).mkdirs()
+    val delta = Relational.mergeDelta(spark, dir)
+    delta.repartitionByRange(3, col("key"))
+      .write.mode("overwrite").parquet(in)
+    val files = new java.io.File(in).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 1000L); ()
+    }
+    def latestSnap(before: Long): Option[java.io.File] = {
+      val snaps = new java.io.File(st).listFiles()
+        .filter(_.getName.startsWith("snap_"))
+        .filter(_.getName.stripPrefix("snap_").toLong < before)
+      if (snaps.isEmpty) None
+      else Some(snaps.maxBy(_.getName.stripPrefix("snap_").toLong))
+    }
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val prev = latestSnap(bid)
+          .map(f => s.read.parquet(f.getPath))
+          .getOrElse(Relational.mergeTarget(s, dir))
+        Relational.mergeStep(prev, batch)
+          .write.mode("overwrite").parquet(s"$st/snap_$bid")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val fin = spark.read.parquet(latestSnap(Long.MaxValue).get.getPath)
+    // action relative to the ORIGINAL target — derivable because the
+    // synthetic updates always change bal and inserts use fresh keys
+    fin.join(Relational.mergeTarget(spark, dir)
+        .select(col("key"), col("bal").as("bal0")), Seq("key"), "left")
+      .select(col("key"), col("bal"),
+        when(col("bal0").isNull, "inserted")
+          .when(col("bal") =!= col("bal0"), "updated")
+          .otherwise("kept").as("action"))
+      .orderBy(col("key"))
+  }
+
   /** Streaming heavy hitters (q_stream_hh): the SpaceSaving summary
     * ([[graft.functions.SpaceSaving]]) maintained ACROSS micro-batches —
     * the continuously-updated "top n-grams this hour" panel. Per batch the

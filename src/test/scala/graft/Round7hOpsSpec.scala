@@ -240,6 +240,14 @@ class Round7hOpsSpec extends SparkSpec {
     assert(row.getLong(1) + row.getLong(2) == nEmbed)
   }
 
+  test("mergeReplay: incremental per-batch MERGE == one-shot batch MERGE") {
+    val stream = graft.streaming.StreamingJobs.mergeReplay(spark, sf())
+    val batch = Relational.mergeUpsert(spark, sf())
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streamed MERGE snapshot diverged from the batch MERGE")
+  }
+
   // ------------------------------------------------------- plan pins
 
   private def executedPlan(df: => DataFrame): SparkPlan = {
