@@ -101,14 +101,24 @@ object Bench {
     // recorded parsed:null — the full-name line is ~2.4 KB and overflows a
     // 2000-char tail once sbt's [success] trailer is appended). Stdout
     // therefore carries a COMPACT line: short query aliases (first name
-    // token, extended on collision: a10_approx vs a10_exact) and 3-decimal
-    // seconds (~1 KB at 71 queries). bench.json / bench_history.jsonl keep
-    // the full-name full-precision line for humans and the judge.
+    // token, extended on collision: a10_approx vs a10_exact). At 204
+    // queries even the aliased full map is ~2.6 KB, so the stdout line
+    // keeps only the TOP-60 slowest entries plus `_other` (the summed
+    // remainder) and `_n` (the true query count) — ~1.2 KB, always inside
+    // the tail. bench.json / bench_history.jsonl keep the full-name
+    // full-precision line for humans and the judge.
     def d(v: Double, p: Int) =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     val alias = aliases(results.map(_._1))
-    val qsShort = results
-      .map { case (k, v) => "\"" + alias(k) + "\":" + d(v, 3) }
+    val topN = 60
+    val byCost = results.sortBy(-_._2)
+    val head = byCost.take(topN).sortBy(_._1)
+    val rest = byCost.drop(topN).map(_._2).sum
+    val qsShort = (head.map { case (k, v) => "\"" + alias(k) + "\":" + d(v, 3) }
+      ++ (if (byCost.size > topN)
+            Seq("\"_other\":" + d(rest, 3),
+              "\"_n\":" + results.size)
+          else Seq.empty))
       .mkString("{", ",", "}")
     val sfName = Paths.get(sfDir).getFileName.toString
     val shortLine =
