@@ -351,7 +351,9 @@ object SparkEntry {
     // text-vs-embedding near-dup pair agreement calibration
     "q_m10_crossmodal_agree" -> ((s, d) => Multimodal.crossModalAgreement(s, d)),
     // MERGE maintained incrementally per micro-batch == one-shot MERGE
-    "q_stream_merge" -> ((s, d) => graft.streaming.StreamingJobs.mergeReplay(s, d))
+    "q_stream_merge" -> ((s, d) => graft.streaming.StreamingJobs.mergeReplay(s, d)),
+    // v1 profile maintained incrementally: mergeable scalars + holistic NDV
+    "q_stream_profile" -> ((s, d) => graft.streaming.StreamingJobs.profileReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,6 +551,7 @@ object SparkEntry {
     "q_t21_simpson_diversity" -> TextAnalysis.simpsonDiversitySql,
     "q_c26_epoch_shuffle" -> Curation.epochShuffleSql,
     "q_m10_crossmodal_agree" -> Multimodal.crossModalAgreementSql,
-    "q_stream_merge" -> Relational.mergeUpsertSql
+    "q_stream_merge" -> Relational.mergeUpsertSql,
+    "q_stream_profile" -> Validation.profileSql
   )
 }

@@ -1387,6 +1387,108 @@ object StreamingJobs {
       .orderBy(col("key"))
   }
 
+  /** INCREMENTAL DATA-QUALITY PROFILE (q_stream_profile): the q_v1 Deequ
+    * per-column profile maintained across micro-batches and hash-matched
+    * to the one-shot batch oracle. The profile splits into two state
+    * classes, and the query materializes that split honestly:
+    *  - n_rows / null counts / min / max are MERGEABLE — O(columns)
+    *    scalar state, partial(batch) ⊕ state, the shape that streams for
+    *    free at any scale;
+    *  - exact NDV is HOLISTIC — the state must be the distinct
+    *    (column, value) set itself, O(distinct) storage, unioned and
+    *    re-distinct'ed per batch. That cost is not an implementation
+    *    choice, it is what EXACT streaming cardinality costs; the O(1)
+    *    answer is the a5 HLL sketch, kept as the production variant.
+    * Values enter the distinct state as strings (double→shortest-string
+    * is injective, so stringified NDV == value NDV); the state never
+    * crosses engines — only final counts reach the oracle. */
+  def profileReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_v1")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    new java.io.File(st).mkdirs()
+    val ev = graft.G.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    ev.repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(in)
+    val files = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 1000L); ()
+    }
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    def scalarPartial(df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+          .as(s"null_$c")) ++
+        Seq("event_id", "user_id", "value").flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))): _*)
+    def distinctPartial(df: DataFrame): DataFrame =
+      cols.map(c => df.filter(col(c).isNotNull)
+          .select(lit(c).as("col_name"),
+            col(c).cast("string").as("val")).distinct())
+        .reduce(_ unionByName _)
+    def latest(prefix: String, before: Long): Option[java.io.File] = {
+      val fs = new java.io.File(st).listFiles()
+        .filter(_.getName.startsWith(prefix))
+        .filter(_.getName.stripPrefix(prefix).toLong < before)
+      if (fs.isEmpty) None
+      else Some(fs.maxBy(_.getName.stripPrefix(prefix).toLong))
+    }
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        // mergeable half: fold the batch partial into the scalar state
+        val part = scalarPartial(batch)
+        val sc = latest("sc_", bid) match {
+          case None => part
+          case Some(f) =>
+            val prev = s.read.parquet(f.getPath)
+            prev.unionByName(part).agg(
+              sum(col("n_rows")).as("n_rows"),
+              cols.map(c => sum(col(s"null_$c")).as(s"null_$c")) ++
+              Seq("event_id", "user_id", "value").flatMap(c => Seq(
+                min(col(s"min_$c")).as(s"min_$c"),
+                max(col(s"max_$c")).as(s"max_$c"))): _*)
+        }
+        sc.coalesce(1).write.mode("overwrite").parquet(s"$st/sc_$bid")
+        // holistic half: union the batch's distinct values into the set
+        val dp = distinctPartial(batch)
+        val dv = latest("dv_", bid) match {
+          case None => dp
+          case Some(f) => s.read.parquet(f.getPath).unionByName(dp).distinct()
+        }
+        dv.write.mode("overwrite").parquet(s"$st/dv_$bid")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val sc = spark.read.parquet(latest("sc_", Long.MaxValue).get.getPath)
+    val nd = spark.read.parquet(latest("dv_", Long.MaxValue).get.getPath)
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    val numeric = Set("event_id", "user_id", "value")
+    val longRows = sc.select(col("n_rows"), expr(
+      s"""stack(5, ${cols.map { c =>
+           val mn = if (numeric(c)) s"min_$c" else "CAST(NULL AS DOUBLE)"
+           val mx = if (numeric(c)) s"max_$c" else "CAST(NULL AS DOUBLE)"
+           s"'$c', null_$c, $mn, $mx"
+         }.mkString(",\n")})
+         |AS (col_name, n_null, min_num, max_num)""".stripMargin))
+    longRows.join(nd, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"))
+      .orderBy(col("col_name"))
+  }
+
   /** Streaming heavy hitters (q_stream_hh): the SpaceSaving summary
     * ([[graft.functions.SpaceSaving]]) maintained ACROSS micro-batches —
     * the continuously-updated "top n-grams this hour" panel. Per batch the

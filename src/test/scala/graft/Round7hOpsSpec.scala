@@ -248,6 +248,15 @@ class Round7hOpsSpec extends SparkSpec {
       "streamed MERGE snapshot diverged from the batch MERGE")
   }
 
+  test("profileReplay: incremental profile == one-shot batch profile") {
+    import graft.operators.Validation
+    val stream = graft.streaming.StreamingJobs.profileReplay(spark, sf())
+    val batch = Validation.profile(spark, sf())
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "incrementally-maintained profile diverged from the batch profile")
+  }
+
   // ------------------------------------------------------- plan pins
 
   private def executedPlan(df: => DataFrame): SparkPlan = {
