@@ -353,7 +353,18 @@ object SparkEntry {
     // MERGE maintained incrementally per micro-batch == one-shot MERGE
     "q_stream_merge" -> ((s, d) => graft.streaming.StreamingJobs.mergeReplay(s, d)),
     // v1 profile maintained incrementally: mergeable scalars + holistic NDV
-    "q_stream_profile" -> ((s, d) => graft.streaming.StreamingJobs.profileReplay(s, d))
+    "q_stream_profile" -> ((s, d) => graft.streaming.StreamingJobs.profileReplay(s, d)),
+    // Round 7 seventh wave
+    // Gopher quality ruleset: six named rules, per-rule flags + keep
+    "q_t22_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    // blob QC gate: byte-distribution stats, blob never crosses an exchange
+    "q_m11_blob_qc" -> ((s, d) => Multimodal.blobQc(s, d)),
+    // contrastive mining: per-anchor top-3 positives + hard negatives
+    "q_y24_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // Benford first-digit audit (literal expectations, no runtime log)
+    "q_v12_benford" -> ((s, d) => Validation.benford(s, d)),
+    // incremental cluster-label maintenance == full recompute, hash-proven
+    "q_c27_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -552,6 +563,11 @@ object SparkEntry {
     "q_c26_epoch_shuffle" -> Curation.epochShuffleSql,
     "q_m10_crossmodal_agree" -> Multimodal.crossModalAgreementSql,
     "q_stream_merge" -> Relational.mergeUpsertSql,
-    "q_stream_profile" -> Validation.profileSql
+    "q_stream_profile" -> Validation.profileSql,
+    "q_t22_gopher_rules" -> TextAnalysis.gopherRulesSql,
+    "q_m11_blob_qc" -> Multimodal.blobQcSql,
+    "q_y24_hard_negatives" -> Similarity.hardNegativesSql,
+    "q_v12_benford" -> Validation.benfordSql,
+    "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql
   )
 }

@@ -670,4 +670,81 @@ object Multimodal {
       |UNION ALL
       |SELECT doc_id, 0, 0, 0, 0 FROM h WHERE n // 64 = 0
       |ORDER BY doc_id""".stripMargin
+
+  /** q_m11: BLOB QC GATE — byte-distribution statistics per media payload,
+    * the corrupt/degenerate-asset screen a 100 TB media ingest runs before
+    * spending any decode compute: an all-zero (or near-constant) blob is a
+    * truncated download, a byte distribution that is too flat for its
+    * claimed format is noise/encrypted garbage. Per blob: distinct byte
+    * values, dominant-byte share, and the Simpson concentration Σc²/n² —
+    * the RATIONAL concentration member (byte entropy needs log; Simpson is
+    * exact integer sums + one division, the t21 move), plus the two named
+    * flags (constant-ish ≥ 0.5 dominant share; flat-ish: Simpson below
+    * 2/256, i.e. within 2× of the uniform floor 1/256).
+    *
+    * Scale shape: ONE JVM pass per partition over the blob bytes (256-slot
+    * histogram, the m2 featureHistogram pattern — a codec would init here
+    * once per partition); only (doc_id, 5 scalars) ever leaves the scan,
+    * the blob never crosses an exchange. The oracle replays bytes through
+    * hex-pair extraction (the m4/m9 pattern), so the JVM loop is
+    * hash-checked byte-for-byte. */
+  def blobQc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) {
+            hist(bytes(i) & 0xff) += 1L; i += 1
+          }
+          var distinct = 0L; var maxC = 0L; var sumSq = 0L
+          var b = 0
+          while (b < 256) {
+            val c = hist(b)
+            if (c > 0) distinct += 1
+            if (c > maxC) maxC = c
+            sumSq += c * c
+            b += 1
+          }
+          val n = bytes.length.toLong
+          val top = if (n > 0) maxC.toDouble / n else 0.0
+          val simpson = if (n > 0) sumSq.toDouble / (n.toDouble * n) else 0.0
+          (id, n, distinct, top, simpson,
+            n > 0 && top >= 0.5, n > 0 && simpson < 2.0 / 256.0)
+        }
+      }.toDF("doc_id", "n_bytes", "n_distinct_bytes", "top_byte_share",
+        "simpson", "flag_constant", "flag_flat")
+      .orderBy(col("doc_id"))
+  }
+
+  val blobQcSql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents),
+      |by AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2))::INT AS b
+      |  FROM h, unnest(range(0, n)) t(i)),
+      |cnt AS (SELECT doc_id, b, count(*) AS c FROM by GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_distinct_bytes,
+      |    CAST(max(c) AS BIGINT) AS max_c,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_sq,
+      |    CAST(sum(c) AS BIGINT) AS n
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT h.doc_id, h.n AS n_bytes,
+      |  coalesce(st.n_distinct_bytes, 0) AS n_distinct_bytes,
+      |  CASE WHEN h.n > 0 THEN CAST(st.max_c AS DOUBLE) / h.n
+      |       ELSE 0.0 END AS top_byte_share,
+      |  CASE WHEN h.n > 0
+      |       THEN CAST(st.sum_sq AS DOUBLE) / (CAST(h.n AS DOUBLE) * h.n)
+      |       ELSE 0.0 END AS simpson,
+      |  h.n > 0 AND CAST(st.max_c AS DOUBLE) / h.n >= 0.5 AS flag_constant,
+      |  h.n > 0 AND CAST(st.sum_sq AS DOUBLE) / (CAST(h.n AS DOUBLE) * h.n)
+      |    < 2.0 / 256.0 AS flag_flat
+      |FROM h LEFT JOIN st ON st.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
 }

@@ -1981,4 +1981,54 @@ object Similarity {
       |SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
       |  vec_id, label, score
       |FROM top ORDER BY rank""".stripMargin
+
+  /** q_y24: CONTRASTIVE PAIR MINING — for each anchor, the top-3 in-label
+    * neighbors (positives) and the top-3 nearest OUT-of-label neighbors
+    * (hard negatives, the pairs that actually move a contrastive loss:
+    * maximally similar yet differently labeled). This is the batch-mining
+    * pass behind every embedding-model fine-tune over curated data —
+    * exactly the corpus-scan shape of y1, reused: ONE pass over the corpus
+    * with the 10 anchors broadcast, scored by the codegen'd VectorDot,
+    * then one (anchor, kind)-keyed top-k window — positives and negatives
+    * fall out of the SAME scan (kind is a projection on the label match),
+    * no second pass, no self-join. At 100 TB: cost identical to y1
+    * brute-force kNN; mining M anchors batches into ⌈M/batch⌉ scans the
+    * t11 way. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(spark, dir)
+    val anchors = embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("anchor_id"), col("kind"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("kind",
+        when(col("label") === col("alabel"), lit("pos")).otherwise(lit("neg")))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("anchor_id"), col("kind"), col("rank"), col("vec_id"),
+        col("label"), col("sim"))
+      .orderBy(col("anchor_id"), col("kind"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, label AS alabel, v AS qv
+      |      FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT a.anchor_id,
+      |    CASE WHEN e.label = a.alabel THEN 'pos' ELSE 'neg' END AS kind,
+      |    e.vec_id, e.label,
+      |    list_dot_product(e.v, a.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(a.qv, a.qv))) AS sim
+      |  FROM e, a WHERE e.vec_id <> a.anchor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+      |    ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT anchor_id, kind, rank, vec_id, label, sim FROM ranked
+      |WHERE rank <= 3 ORDER BY anchor_id, kind, rank""".stripMargin
 }

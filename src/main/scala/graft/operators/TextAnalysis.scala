@@ -1300,4 +1300,115 @@ object TextAnalysis {
       |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS ttr
       |FROM cnt GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** q_t22: the GOPHER QUALITY RULESET (Rae et al. 2021 Table A1) as one
+    * named, auditable gate — the standard pre-training document filter
+    * bundle, emitted with per-rule pass flags and the failed-rule count so
+    * curation can report WHY a document dropped, not just that it did
+    * (the t2 scorer gives a scalar; this gives the decision surface).
+    *
+    * Six rules, every metric exact-rational (integer counts + single
+    * divisions — the t10/g7 cross-engine rule; no logs, no chained float
+    * sums): token count bounds, mean token length bounds, alphabetic-token
+    * ratio, stop-word ratio with a distinct-stop-word floor, symbol ratio,
+    * and a type-token-ratio floor (the repetition member — computable as a
+    * projection via array_distinct, no explode). One scan, zero shuffles
+    * except the presentation sort: every rule is a per-row HOF fold, so at
+    * 100 TB this runs at tokenizing-scan speed like t1–t9. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stops = "w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to'"
+    docs(spark, dir)
+      .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), w -> length(w) > 0)"))
+      .withColumn("n_tokens", expr("size(toks)").cast("long"))
+      .withColumn("sum_tok_chars",
+        expr("aggregate(toks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_alpha_toks",
+        expr("size(filter(toks, w -> w rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(toks, w -> $stops))").cast("long"))
+      .withColumn("n_distinct_stop",
+        expr(s"size(array_distinct(filter(toks, w -> $stops)))").cast("long"))
+      .withColumn("n_symbols",
+        expr("length(regexp_replace(text, '[A-Za-z0-9 ]', ''))").cast("long"))
+      .withColumn("n_types", expr("size(array_distinct(toks))").cast("long"))
+      .withColumn("mean_tok_len",
+        col("sum_tok_chars").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("alpha_ratio",
+        col("n_alpha_toks").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("ttr",
+        col("n_types").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("r1_len", col("n_tokens") >= 30 && col("n_tokens") <= 100000)
+      .withColumn("r2_mean_len",
+        col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+      .withColumn("r3_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("r4_stop",
+        col("stop_ratio") >= 0.06 && col("n_distinct_stop") >= 2)
+      .withColumn("r5_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r6_ttr", col("ttr") >= 0.3)
+      .withColumn("n_failed",
+        Seq("r1_len", "r2_mean_len", "r3_alpha", "r4_stop", "r5_symbol",
+          "r6_ttr").map(r => when(col(r), 0L).otherwise(1L)).reduce(_ + _))
+      .withColumn("keep", col("n_failed") === 0L)
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+        col("alpha_ratio"), col("stop_ratio"), col("n_distinct_stop"),
+        col("symbol_ratio"), col("ttr"), col("r1_len"), col("r2_mean_len"),
+        col("r3_alpha"), col("r4_stop"), col("r5_symbol"), col("r6_ttr"),
+        col("n_failed"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> length(w) > 0) AS toks,
+      |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbols
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+      |      AS sum_tok_chars,
+      |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+      |      AS BIGINT) AS n_alpha_toks,
+      |    CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a' OR w = 'and'
+      |      OR w = 'of' OR w = 'to')) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(list_filter(toks, w -> w = 'the' OR w = 'a'
+      |      OR w = 'and' OR w = 'of' OR w = 'to'))) AS BIGINT)
+      |      AS n_distinct_stop,
+      |    CAST(n_symbols AS BIGINT) AS n_symbols,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+      |  FROM base),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum_tok_chars AS DOUBLE) / greatest(n_tokens, 1) AS mean_tok_len,
+      |    CAST(n_alpha_toks AS DOUBLE) / greatest(n_tokens, 1) AS alpha_ratio,
+      |    CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+      |    n_distinct_stop,
+      |    CAST(n_symbols AS DOUBLE) / greatest(n_tokens, 1) AS symbol_ratio,
+      |    CAST(n_types AS DOUBLE) / greatest(n_tokens, 1) AS ttr
+      |  FROM m)
+      |SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
+      |  n_distinct_stop, symbol_ratio, ttr,
+      |  n_tokens >= 30 AND n_tokens <= 100000 AS r1_len,
+      |  mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 AS r2_mean_len,
+      |  alpha_ratio >= 0.8 AS r3_alpha,
+      |  stop_ratio >= 0.06 AND n_distinct_stop >= 2 AS r4_stop,
+      |  symbol_ratio <= 0.1 AS r5_symbol,
+      |  ttr >= 0.3 AS r6_ttr,
+      |  CAST((CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN stop_ratio >= 0.06 AND n_distinct_stop >= 2 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN ttr >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+      |  (n_tokens >= 30 AND n_tokens <= 100000)
+      |    AND (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0)
+      |    AND alpha_ratio >= 0.8
+      |    AND (stop_ratio >= 0.06 AND n_distinct_stop >= 2)
+      |    AND symbol_ratio <= 0.1 AND ttr >= 0.3 AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -838,4 +838,75 @@ object Validation {
        |  CAST(hot32_rows * 32 AS DOUBLE) / n_rows > 2.0 AS salt_recommended
        |FROM u ORDER BY key""".stripMargin
   }
+
+  /** q_v12: BENFORD first-digit audit over order totals — the classic
+    * synthetic-/fabricated-data screen: naturally-occurring monetary
+    * amounts follow P(d) = log10(1 + 1/d); a generator that draws uniforms
+    * (like this corpus's) or a copy-paste duplication shows up as a flat
+    * digit histogram. Reported per digit: observed count/share, the Benford
+    * expectation, the observed/expected ratio, and a ±25 % deviation flag.
+    *
+    * Exactness rules: the first significant digit comes from the BIGINT
+    * floor rendered as a string (both engines print integers identically —
+    * never DECIMAL/DOUBLE formatting); the Benford expectations are FIXED
+    * LITERALS in both query texts (the only way to keep log10 out of the
+    * runtime — the g7 no-transcendentals rule); shares and ratios are
+    * single divisions. No global chi² scalar BY DESIGN: a 9-term float sum
+    * has no cross-engine evaluation order, per-digit rows do. One keyed
+    * count agg on a 9-value key = one tiny exchange at any scale. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val exp = benfordExpected.map { case (d, p) =>
+      s"WHEN $d THEN ${p}E0"
+    }.mkString("CASE digit ", " ", " END")
+    // floor() BEFORE the bigint cast: DuckDB's DOUBLE->BIGINT cast rounds
+    // while Spark's truncates — floor makes both exact and identical
+    val o = G.table(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val n = o.groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    // normalizer via an O(9)-row unpartitioned window over the AGGREGATED
+    // frame (not a self-join, which would scan orders twice)
+    n.withColumn("n_total",
+        sum(col("n_orders")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share", col("n_orders").cast("double") / col("n_total"))
+      .withColumn("benford_p", expr(exp))
+      .withColumn("ratio", col("share") / col("benford_p"))
+      .withColumn("flag_deviant",
+        col("ratio") > 1.25 || col("ratio") < 0.75)
+      .select(col("digit"), col("n_orders"), col("share"), col("benford_p"),
+        col("ratio"), col("flag_deviant"))
+      .orderBy(col("digit"))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, pre-evaluated to double literals shared
+    * verbatim by the Spark expression and the DuckDB oracle text. */
+  private val benfordExpected: Seq[(Int, String)] = Seq(
+    1 -> "0.30102999566398120", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829993", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  val benfordSql: String = {
+    val exp = benfordExpected.map { case (d, p) =>
+      s"WHEN $d THEN ${p}E0"
+    }.mkString("CASE digit ", " ", " END")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1),
+       |n AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit),
+       |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM n),
+       |r AS (
+       |  SELECT digit, n_orders,
+       |    CAST(n_orders AS DOUBLE) / n_total AS share,
+       |    $exp AS benford_p
+       |  FROM n CROSS JOIN t)
+       |SELECT digit, n_orders, share, benford_p,
+       |  share / benford_p AS ratio,
+       |  share / benford_p > 1.25 OR share / benford_p < 0.75 AS flag_deviant
+       |FROM r ORDER BY digit""".stripMargin
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Validation}
+import org.apache.spark.sql.functions._
+
+/** Round-7 seventh wave: Gopher rule bundle, blob QC, contrastive mining,
+  * Benford audit, incremental cluster maintenance. */
+class Round8OpsSpec extends SparkSpec {
+
+  test("t22 gopher rules: flags, failure count and keep are consistent " +
+    "and metrics recompute from the raw text") {
+    val rows = TextAnalysis.gopherRules(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val flags = Seq("r1_len", "r2_mean_len", "r3_alpha", "r4_stop",
+        "r5_symbol", "r6_ttr").map(f => r.getAs[Boolean](f))
+      assert(r.getAs[Long]("n_failed") == flags.count(!_))
+      assert(r.getAs[Boolean]("keep") == flags.forall(identity))
+      // independent recompute of the scalar metrics
+      val toks = docs(r.getAs[Long]("doc_id")).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      val stops = Set("the", "a", "and", "of", "to")
+      val nStop = toks.count(stops)
+      assert(math.abs(r.getAs[Double]("stop_ratio") -
+        nStop.toDouble / math.max(toks.length, 1)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("ttr") -
+        toks.distinct.length.toDouble / math.max(toks.length, 1)) < 1e-12)
+    }
+  }
+
+  test("m11 blob QC: Cauchy-Schwarz and dominance bounds hold, stats " +
+    "recompute from the raw bytes") {
+    val rows = Multimodal.blobQc(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      val d = r.getAs[Long]("n_distinct_bytes")
+      val top = r.getAs[Double]("top_byte_share")
+      val simpson = r.getAs[Double]("simpson")
+      if (n > 0) {
+        // sum c^2 >= n^2/d (Cauchy-Schwarz) and sum c^2 <= maxC * n
+        assert(simpson >= 1.0 / d - 1e-12)
+        assert(simpson <= top + 1e-12)
+        assert(top >= 1.0 / d - 1e-12 && top <= 1.0)
+      }
+      // full recompute
+      val bytes = docs(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val hist = bytes.groupBy(_ & 0xff).view.mapValues(_.length.toLong)
+      assert(d == hist.size)
+      if (bytes.nonEmpty) {
+        assert(math.abs(top - hist.values.max.toDouble / bytes.length) < 1e-12)
+        val ss = hist.values.map(c => c * c).sum
+        assert(math.abs(simpson -
+          ss.toDouble / (bytes.length.toDouble * bytes.length)) < 1e-12)
+      }
+    }
+  }
+
+  test("y24 contrastive mining: kinds respect labels, ranks are dense, " +
+    "sims descend, and the top-1 positive matches brute force") {
+    val out = Similarity.hardNegatives(spark, sf()).collect()
+    val labels = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byAnchor = out.groupBy(_.getAs[Long]("anchor_id"))
+    assert(byAnchor.nonEmpty)
+    byAnchor.foreach { case (a, rows) =>
+      val (pos, neg) = rows.partition(_.getAs[String]("kind") == "pos")
+      assert(pos.length == 3 && neg.length == 3)
+      pos.foreach(r => assert(labels(r.getAs[Long]("vec_id")) == labels(a)))
+      neg.foreach(r => assert(labels(r.getAs[Long]("vec_id")) != labels(a)))
+      Seq(pos, neg).foreach { side =>
+        val sorted = side.sortBy(_.getAs[Int]("rank"))
+        assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+        val sims = sorted.map(_.getAs[Double]("sim"))
+        assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      }
+    }
+    // brute-force cross-check of one anchor's top positive
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val (aid, alabel, av) = vecs.find(_._1 == 0L).get
+    val best = vecs.filter(v => v._1 != aid && v._2 == alabel)
+      .map(v => (cos(v._3, av), v._1)).sortBy(t => (-t._1, t._2)).head._2
+    val got = byAnchor(0L).filter(r => r.getAs[String]("kind") == "pos" &&
+      r.getAs[Int]("rank") == 1).head.getAs[Long]("vec_id")
+    assert(got == best)
+  }
+
+  test("v12 benford: digits cover 1..9, shares sum to 1, ratio law holds") {
+    val rows = Validation.benford(spark, sf()).collect()
+    assert(rows.map(_.getAs[Int]("digit")).sorted.toSeq == (1 to 9))
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ratio") -
+        r.getAs[Double]("share") / r.getAs[Double]("benford_p")) < 1e-12)
+      assert(r.getAs[Boolean]("flag_deviant") ==
+        (r.getAs[Double]("ratio") > 1.25 || r.getAs[Double]("ratio") < 0.75))
+    }
+  }
+
+  test("c27 incremental cluster maintenance equals the full recompute " +
+    "and the base/delta split is non-trivial") {
+    val inc = Dedup.incrementalClusters(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.dedupClusters(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    // non-vacuous: the graph must actually split into base and delta edges
+    val pairs = Dedup.simhashNearDups(spark, sf())
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delta = pairs.count { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(delta > 0 && delta < pairs.length,
+      s"degenerate split: $delta of ${pairs.length} delta edges")
+  }
+}
