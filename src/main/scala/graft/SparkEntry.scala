@@ -364,7 +364,10 @@ object SparkEntry {
     // Benford first-digit audit (literal expectations, no runtime log)
     "q_v12_benford" -> ((s, d) => Validation.benford(s, d)),
     // incremental cluster-label maintenance == full recompute, hash-proven
-    "q_c27_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d))
+    "q_c27_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
+    // sliding-window distinct through CHAINED stateful operators
+    // (window-expand -> stateful dedup -> windowed count), append mode
+    "q_stream_sliding" -> ((s, d) => graft.streaming.StreamingJobs.slidingDistinctReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -568,6 +571,7 @@ object SparkEntry {
     "q_m11_blob_qc" -> Multimodal.blobQcSql,
     "q_y24_hard_negatives" -> Similarity.hardNegativesSql,
     "q_v12_benford" -> Validation.benfordSql,
-    "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql
+    "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql,
+    "q_stream_sliding" -> graft.streaming.StreamingJobs.slidingDistinctReplaySql
   )
 }

@@ -750,6 +750,81 @@ object StreamingJobs {
   // this object and a val here would capture null at init time.
   def windowAggReplaySql: String = fanOutReplaySql
 
+  /** SLIDING-WINDOW DISTINCT, STREAMING (q_stream_sliding): hourly active
+    * markets every 15 minutes — the overlapping-window distinct count that
+    * q_a19 computes in batch, through the REAL machinery, exercising the
+    * one streaming feature no other replay here touches: CHAINED STATEFUL
+    * OPERATORS (Spark 3.5+/4.x "multiple stateful operators"). Distinct
+    * aggregation is unsupported in streaming, so the production plan is
+    * the two-phase form: sliding window() expansion (each event lands in
+    * its 4 covering windows) → stateful dropDuplicates on (window, market)
+    * — incidence dedup, state keyed by the window's event time and
+    * evicted by watermark passage — → stateful windowed count of the
+    * surviving incidences. Two state stores chained in append mode; rows
+    * flow window-at-a-time as the watermark closes them.
+    *
+    * Input replays as ~5 event-time-ordered micro-batches (range-
+    * partitioned files, maxFilesPerTrigger = 1), so both operators carry
+    * state ACROSS batches: a market re-appearing in a window from a LATER
+    * batch must find the first batch's incidence still in the dedup state
+    * or the count inflates — cross-batch state is load-bearing, not
+    * incidental. Sentinel + trailing no-data batch flush the final
+    * windows (the sessionReplay pattern).
+    *
+    * Scale: dedup state is O(open windows × active markets), the agg
+    * state O(open windows) — both bounded by the watermark horizon;
+    * nothing rescans history. Oracle = the q_a19 slot construction over
+    * the parse CTE (boundary-free: arrivals are event-time ordered, so
+    * the watermark only ever CLOSES windows). */
+  def slidingDistinctReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sd")
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    writeEnvelopeWithSentinel(spark, dir, in, sentinels = 1, parts = 4)
+    val agg = readCdcStream(spark, in, maxFilesPerTrigger = 1)
+      .select(timestamp_millis(col("source_ts")).as("ts"), col("market"))
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "1 hour", "15 minutes").as("win"),
+        col("market"))
+      .dropDuplicates("win", "market")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_markets"))
+      .select(col("win.start").as("window_start"), col("n_markets"))
+    val q = agg.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    // the sentinel inflates its own 4 windows' counts by one market; those
+    // windows start at/after the sentinel's hour and contain nothing real,
+    // so dropping every window the real stream never touched removes them
+    val maxReal = graft.operators.CdcParser
+      .eventsAsEnvelopeJsonTs(spark, dir)
+      .agg(max(col("src_ms"))).head().getLong(0)
+    spark.read.parquet(out)
+      .filter(col("window_start") <=
+        timestamp_millis(lit(maxReal)))
+      .withColumn("window_start",
+        col("window_start").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"))
+  }
+
+  /** q_a19's slot construction (4 covering windows by integer slot
+    * arithmetic) over the parse CTE, markets distinct per window. */
+  def slidingDistinctReplaySql: String = {
+    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
+      .replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed),
+       |ev AS (SELECT market, source_ts // 900000 AS slot FROM parsed),
+       |x AS (
+       |  SELECT market, (slot - i.i) * 900000 AS win_ms
+       |  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i)
+       |SELECT make_timestamp(win_ms * 1000) AS window_start,
+       |  count(DISTINCT market) AS n_markets
+       |FROM x GROUP BY win_ms ORDER BY window_start""".stripMargin
+  }
+
   /** CHECKPOINT RESUME, HASH-CHECKED (q_stream_resume): W4's exactly-once
     * claim proven end-to-end instead of asserted — the windowed aggregate
     * runs HALF the input under AvailableNow, terminates (checkpoint

@@ -113,6 +113,23 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_sliding: chained stateful dedup + windowed count equals " +
+    "the batch slot construction") {
+    val got = graft.streaming.StreamingJobs.slidingDistinctReplay(spark, sf())
+      .selectExpr("unix_millis(cast(window_start as timestamp)) win_ms",
+        "n_markets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.CdcParser.cdcParseRoundtrip(spark, sf())
+      .select(expr("source_ts DIV 900000").as("slot"), col("market"))
+      .select(col("market"), explode(expr("sequence(0, 3)")).as("i"),
+        col("slot"))
+      .select(((col("slot") - col("i")) * 900000L).as("win_ms"), col("market"))
+      .groupBy("win_ms")
+      .agg(countDistinct(col("market")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("c27 incremental cluster maintenance equals the full recompute " +
     "and the base/delta split is non-trivial") {
     val inc = Dedup.incrementalClusters(spark, sf())
