@@ -367,7 +367,13 @@ object SparkEntry {
     "q_c27_incremental_clusters" -> ((s, d) => Dedup.incrementalClusters(s, d)),
     // sliding-window distinct through CHAINED stateful operators
     // (window-expand -> stateful dedup -> windowed count), append mode
-    "q_stream_sliding" -> ((s, d) => graft.streaming.StreamingJobs.slidingDistinctReplay(s, d))
+    "q_stream_sliding" -> ((s, d) => graft.streaming.StreamingJobs.slidingDistinctReplay(s, d)),
+    // packing lineage: the c17 examples joined back to the doc catalog
+    "q_c28_pack_lineage" -> ((s, d) => Curation.packLineage(s, d)),
+    // log-bucketed degree distribution of the co-purchase graph
+    "q_g9_degree_histogram" -> ((s, d) => Graph.degreeHistogram(s, d)),
+    // paragraph-level exact dedup: keep-first unit removal + clean digest
+    "q_x17_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -572,6 +578,9 @@ object SparkEntry {
     "q_y24_hard_negatives" -> Similarity.hardNegativesSql,
     "q_v12_benford" -> Validation.benfordSql,
     "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql,
-    "q_stream_sliding" -> graft.streaming.StreamingJobs.slidingDistinctReplaySql
+    "q_stream_sliding" -> graft.streaming.StreamingJobs.slidingDistinctReplaySql,
+    "q_c28_pack_lineage" -> Curation.packLineageSql,
+    "q_g9_degree_histogram" -> Graph.degreeHistogramSql,
+    "q_x17_paragraph_dedup" -> Dedup.paragraphDedupSql
   )
 }

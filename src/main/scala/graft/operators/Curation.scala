@@ -323,7 +323,9 @@ object Curation {
       .toDF("doc_id", "shard", "ex_id", "ex_offset", "n_tokens")
   }
 
-  val seqPackSql: String =
+  /** Shared WITH-prefix of the packing oracles: the per-shard capacity-
+    * reset fold ending in `p(shard, rn, doc_id, n, ex_id, ex_offset)`. */
+  private val seqPackCtes: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, doc_id // 64 AS shard,
       |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
@@ -338,9 +340,52 @@ object Curation {
       |    CASE WHEN p.cur + t.n > 512 THEN p.ex_id + 1 ELSE p.ex_id END,
       |    CASE WHEN p.cur + t.n > 512 THEN CAST(0 AS BIGINT) ELSE p.cur END,
       |    CASE WHEN p.cur + t.n > 512 THEN t.n ELSE p.cur + t.n END
-      |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+      |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)""".stripMargin
+
+  val seqPackSql: String = seqPackCtes +
+    """
       |SELECT doc_id, shard, ex_id, ex_offset, n AS n_tokens
       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q_c28: PACKING LINEAGE — the provenance audit over [[seqPack]]'s
+    * training examples: for every (shard, example) emitted by the packer,
+    * which documents landed in it, how full it is, and how mixed its
+    * sources are. This is the artifact a training run's data-governance
+    * side needs (data cards, per-source attribution, deletion-request
+    * lookup = "which examples contain doc X" — this table inverted), and
+    * it closes the loop on c17: the packer's output joined BACK to the
+    * catalog instead of trusted blindly.
+    *
+    * Plan: the c17 fold (bounded 64-doc shards, parallel across shards)
+    * plus ONE doc_id-keyed broadcast-or-hash join to the doc catalog and
+    * ONE (shard, ex_id)-keyed aggregate — both O(docs), text untouched.
+    * fill_ratio is a single division of exact integers. */
+  def packLineage(spark: SparkSession, dir: String): DataFrame = {
+    val packed = seqPackOn(docs(spark, dir), 512L)
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    packed.join(src, "doc_id")
+      .groupBy(col("shard"), col("ex_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens_used"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("tokens_used").cast("double") / 512.0)
+      .select(col("shard"), col("ex_id"), col("n_docs"), col("tokens_used"),
+        col("fill_ratio"), col("n_sources"), col("first_doc"), col("last_doc"))
+      .orderBy(col("shard"), col("ex_id"))
+  }
+
+  val packLineageSql: String = seqPackCtes +
+    """
+      |SELECT p.shard, p.ex_id, count(*) AS n_docs,
+      |  CAST(sum(p.n) AS BIGINT) AS tokens_used,
+      |  CAST(CAST(sum(p.n) AS BIGINT) AS DOUBLE) / 512.0 AS fill_ratio,
+      |  count(DISTINCT d.source) AS n_sources,
+      |  min(p.doc_id) AS first_doc, max(p.doc_id) AS last_doc
+      |FROM p JOIN documents d ON d.doc_id = p.doc_id
+      |GROUP BY p.shard, p.ex_id
+      |ORDER BY p.shard, p.ex_id""".stripMargin
 
   /** Corpus mix rebalancing: subsample each language down to the smallest
     * language's token total (the "equal mix" target), choosing survivors by

@@ -2166,4 +2166,68 @@ object Dedup {
     * the hash match is the proof that the incremental composition equals a
     * full recompute. */
   val incrementalClustersSql: String = dedupClustersSql
+
+  /** q_x17: PARAGRAPH-LEVEL exact dedup — the unit-granularity member of
+    * the exact-dedup ladder (x1 whole-doc, x8 overlapping 16-token spans,
+    * this one non-overlapping 20-token "paragraphs"): the CCNet/Dolma
+    * paragraph-dedup shape, where a repeated unit is REMOVED wholesale
+    * everywhere except its corpus-wide first occurrence and units never
+    * partially overlap, so no range-union bookkeeping is needed. Output
+    * per doc: paragraph count, paragraphs cut, and the md5 of the
+    * reconstructed cleaned text — byte-for-byte verified like x8.
+    *
+    * Scale: paragraphs reduce to md5 digests at the scan; the only keyed
+    * exchange carries (digest, pos) at ~40 B/unit — ~K× fewer rows than
+    * x8's per-gram exchange (one unit per 20 tokens vs one per token).
+    * The keep-first rule is one min-agg over the digest class, the same
+    * canonical-occurrence contract as x8. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val K = 20
+    val toksDf = G.table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+    val chunks = toksDf
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(ts) - 1) DIV $K AS INT)),
+           |  c -> concat_ws(' ', slice(ts, c * $K + 1, $K)))""".stripMargin))
+        .as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        (col("doc_id") * 1024 + col("idx")).as("pos"),
+        md5(col("chunk")).as("dig"))
+    val classes = chunks.groupBy("dig")
+      .agg(min("pos").as("min_pos"), count(lit(1)).as("cnt"))
+    chunks.join(classes, "dig")
+      .withColumn("cut", col("cnt") >= 2 && col("pos") =!= col("min_pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        md5(concat_ws(" ", expr(
+          """transform(filter(array_sort(collect_list(struct(idx, cut, chunk))),
+            |  s -> NOT s.cut), s -> s.chunk)""".stripMargin)))
+          .as("clean_digest"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphDedupSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |ch0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, (len(ts) - 1) // 20 + 1),
+      |    c -> {'idx': c,
+      |          'chunk': array_to_string(ts[CAST(c*20+1 AS INT):CAST(c*20+20 AS INT)], ' ')})) AS o
+      |  FROM tok),
+      |ch AS (SELECT doc_id, CAST(o.idx AS BIGINT) AS idx, o.chunk AS chunk,
+      |              doc_id * 1024 + o.idx AS pos, md5(o.chunk) AS dig
+      |       FROM ch0),
+      |cls AS (SELECT dig, min(pos) AS min_pos, count(*) AS cnt
+      |        FROM ch GROUP BY dig),
+      |mk AS (SELECT ch.doc_id, ch.idx, ch.chunk,
+      |              cls.cnt >= 2 AND ch.pos <> cls.min_pos AS cut
+      |       FROM ch JOIN cls USING (dig))
+      |SELECT doc_id, count(*) AS n_paragraphs,
+      |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+      |  md5(coalesce(string_agg(CASE WHEN cut THEN NULL ELSE chunk END,
+      |    ' ' ORDER BY idx), '')) AS clean_digest
+      |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -620,4 +620,59 @@ object Graph {
       |  2.0 * p.n_tri / (d.deg * (d.deg - 1)) AS cc
       |FROM pern p JOIN deg d ON p.n = d.n
       |ORDER BY part_id""".stripMargin
+
+  /** q_g9: DEGREE DISTRIBUTION of the co-purchase graph in log₂ buckets —
+    * the first diagnostic run on any production graph before choosing an
+    * algorithm or a partitioner: a heavy-tailed bucket profile says
+    * "salt the hubs" (r20/v11) and predicts wedge-count blowup for g1/g2;
+    * the bucket histogram is also the O(log n)-row artifact that still
+    * merges across partitions and snapshots at 100 TB (the a20 mergeable-
+    * histogram move, applied to graphs).
+    *
+    * Exactness: bucket = ⌊log₂ deg⌋ via `length(bin(deg)) − 1` — a string
+    * length, zero float arithmetic (the a20 trick), with the bucket's
+    * [2^b, 2^{b+1}) bounds reconstructed by integer shifts. One keyed agg
+    * for degrees, one 20-ish-key agg for buckets; edges never rescanned. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    deg
+      .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        sum(col("deg")).cast("long").as("sum_deg"))
+      .withColumn("bucket_lo",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+      .select(col("bucket"), col("bucket_lo"), col("n_nodes"),
+        col("min_deg"), col("max_deg"), col("sum_deg"))
+      .orderBy(col("bucket"))
+  }
+
+  val degreeHistogramSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_quantity >= 30),
+      |edges AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      |  GROUP BY n),
+      |bk AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket, deg
+      |       FROM deg)
+      |SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket AS INT) AS bucket_lo,
+      |  count(*) AS n_nodes,
+      |  CAST(min(deg) AS BIGINT) AS min_deg,
+      |  CAST(max(deg) AS BIGINT) AS max_deg,
+      |  CAST(sum(deg) AS BIGINT) AS sum_deg
+      |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
 }

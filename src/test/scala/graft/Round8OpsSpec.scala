@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Validation}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis, Validation}
 import org.apache.spark.sql.functions._
 
 /** Round-7 seventh wave: Gopher rule bundle, blob QC, contrastive mining,
@@ -128,6 +128,90 @@ class Round8OpsSpec extends SparkSpec {
       .agg(countDistinct(col("market")).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
+  }
+
+  test("c28 pack lineage: every example accounted for, token sums match " +
+    "the packer, capacity respected for multi-doc examples") {
+    val lineage = graft.operators.Curation.packLineage(spark, sf()).collect()
+    val packed = graft.operators.Curation.seqPack(spark, sf()).collect()
+    val byEx = packed.groupBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("ex_id")))
+    assert(lineage.length == byEx.size)
+    lineage.foreach { r =>
+      val k = (r.getAs[Long]("shard"), r.getAs[Long]("ex_id"))
+      val docs = byEx(k)
+      assert(r.getAs[Long]("n_docs") == docs.length)
+      val toks = docs.map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Long]("tokens_used") == toks)
+      assert(math.abs(r.getAs[Double]("fill_ratio") - toks / 512.0) < 1e-12)
+      // a multi-doc example can never exceed capacity (singletons may)
+      if (docs.length > 1) assert(toks <= 512)
+      assert(r.getAs[Long]("first_doc") ==
+        docs.map(_.getAs[Long]("doc_id")).min)
+    }
+  }
+
+  test("g9 degree histogram: buckets bracket their degrees, node and " +
+    "degree totals reconcile with the raw degree frame") {
+    val rows = Graph.degreeHistogram(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    var nodes = 0L
+    var degSum = 0L
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(r.getAs[Long]("min_deg") >= lo)
+      assert(r.getAs[Long]("max_deg") < lo * 2)
+      nodes += r.getAs[Long]("n_nodes")
+      degSum += r.getAs[Long]("sum_deg")
+    }
+    // sum of degrees = 2 * |edges|; node total = |V| of the bulk graph
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_quantity") >= 30)
+      .selectExpr("l_orderkey ok", "l_partkey pk")
+    val e = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val nEdges = e.count()
+    val nNodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct().count()
+    assert(degSum == 2 * nEdges)
+    assert(nodes == nNodes)
+  }
+
+  test("x17 paragraph dedup: cut counts match a brute-force keep-first " +
+    "replay and clean digests reconstruct") {
+    val rows = Dedup.paragraphDedup(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paragraphs"), r.getAs[Long]("n_cut"),
+          r.getAs[String]("clean_digest"))).toMap
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+      .sortBy(_._1)
+    // brute-force: global first-occurrence by (doc_id, idx) order
+    val seen = scala.collection.mutable.Map[String, (Long, Int)]()
+    val chunksOf = docs.map { case (id, ts) =>
+      val ch = ts.grouped(20).map(_.mkString(" ")).toArray
+      ch.zipWithIndex.foreach { case (c, i) =>
+        // docs iterate in ascending (doc_id, idx), so first insert is min
+        if (!seen.contains(c)) seen(c) = (id, i)
+      }
+      id -> ch
+    }
+    val counts = scala.collection.mutable.Map[String, Int]()
+    chunksOf.foreach { case (_, ch) => ch.foreach(c =>
+      counts(c) = counts.getOrElse(c, 0) + 1) }
+    chunksOf.foreach { case (id, ch) =>
+      val cut = ch.zipWithIndex.map { case (c, i) =>
+        counts(c) >= 2 && seen(c) != ((id, i)) }
+      val (np, nc, dig) = rows(id)
+      assert(np == ch.length, s"doc $id paragraph count")
+      assert(nc == cut.count(identity), s"doc $id cut count")
+      val kept = ch.zip(cut).filter(!_._2).map(_._1).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(dig == md, s"doc $id clean digest")
+    }
   }
 
   test("c27 incremental cluster maintenance equals the full recompute " +
