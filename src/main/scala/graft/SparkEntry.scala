@@ -373,7 +373,11 @@ object SparkEntry {
     // log-bucketed degree distribution of the co-purchase graph
     "q_g9_degree_histogram" -> ((s, d) => Graph.degreeHistogram(s, d)),
     // paragraph-level exact dedup: keep-first unit removal + clean digest
-    "q_x17_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d))
+    "q_x17_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    // two-stage retrieval: BM25 shortlist -> phrase-proximity rerank
+    "q_t23_rerank" -> ((s, d) => TextAnalysis.rerank(s, d)),
+    // dedup-threshold tuning curve on the bounded exact sample
+    "q_c29_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -581,6 +585,8 @@ object SparkEntry {
     "q_stream_sliding" -> graft.streaming.StreamingJobs.slidingDistinctReplaySql,
     "q_c28_pack_lineage" -> Curation.packLineageSql,
     "q_g9_degree_histogram" -> Graph.degreeHistogramSql,
-    "q_x17_paragraph_dedup" -> Dedup.paragraphDedupSql
+    "q_x17_paragraph_dedup" -> Dedup.paragraphDedupSql,
+    "q_t23_rerank" -> TextAnalysis.rerankSql,
+    "q_c29_threshold_sweep" -> Dedup.thresholdSweepSql
   )
 }

@@ -2207,6 +2207,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q_c29: DEDUP-THRESHOLD SWEEP — the tuning table a dedup deployment
+    * consults before committing to a Jaccard cutoff (the y15/p11 pattern,
+    * applied to text dedup): for each candidate τ, the exact pair count,
+    * the docs that would be REMOVED under the keep-lowest rule (distinct
+    * greater-id members of any ≥ τ pair), and the removal fraction of the
+    * sample. Computed on the bounded doc_id < 200 sample with EXACT
+    * all-pairs char-3-gram Jaccard (the x4 kernel; x14's honesty move:
+    * sample-calibrated truth, which is precisely how a 100 TB run tunes —
+    * the curve is estimated on a sample, then one τ is deployed through
+    * the x12/x2 machinery). One cross join over the bounded sample, one
+    * 7-key aggregate; every number integer-exact or a single division. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val grams = G.table(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(1, length(text)-2),
+               |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+      .cache()
+    val nSample = grams.count()
+    val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    val pairs = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("j",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .select(col("doc_a"), col("doc_b"), col("j"))
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("j"),
+        explode(expr("array(0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"))
+          .as("tau"))
+      .filter(col("j") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_removed"))
+      .withColumn("removal_frac",
+        col("n_docs_removed").cast("double") / nSample.toDouble)
+      .select(col("tau"), col("n_pairs"), col("n_docs_removed"),
+        col("removal_frac"))
+      .orderBy(col("tau"))
+  }
+
+  val thresholdSweepSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents WHERE doc_id < 200),
+      |ns AS (SELECT count(*) AS n FROM g),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.grams, b.grams))) AS j
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+      |x AS (
+      |  SELECT p.*, t.tau FROM p
+      |  CROSS JOIN (SELECT unnest([0.3E0, 0.4E0, 0.5E0, 0.6E0, 0.7E0,
+      |                             0.8E0, 0.9E0]) AS tau) t
+      |  WHERE p.j >= t.tau)
+      |SELECT tau, count(*) AS n_pairs,
+      |  count(DISTINCT doc_b) AS n_docs_removed,
+      |  CAST(count(DISTINCT doc_b) AS DOUBLE) / (SELECT n FROM ns)
+      |    AS removal_frac
+      |FROM x GROUP BY tau ORDER BY tau""".stripMargin
+
   val paragraphDedupSql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts

@@ -1301,6 +1301,79 @@ object TextAnalysis {
       |FROM cnt GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q_t23: RETRIEVE → RERANK — the deployed two-stage retrieval shape
+    * (BM25 recall stage, expensive pair-scorer precision stage) over the
+    * t11 shortlist: the top-10 per query are joined BACK to the full
+    * document text and re-scored by a PHRASE-PROXIMITY pair signal the
+    * bag-of-words stage cannot see — the count of adjacent token pairs
+    * both in the query's term set. The pair scorer stands where a
+    * cross-encoder model would (the multimodal stub philosophy: the
+    * scorer is a deterministic exact-integer stand-in; the PLUMBING —
+    * shortlist semi-join back to the corpus, per-pair scoring on the raw
+    * text, rerank window — is the real deployed shape and is what's
+    * verified).
+    *
+    * Scale: stage 2 touches |queries|·topK documents, not the corpus; the
+    * join back is doc_id-keyed with the tiny shortlist broadcast, and the
+    * phrase scan is one HOF pass over each shortlisted doc's tokens.
+    * Rerank order (phrase_hits DESC, bm25 score DESC, doc_id) is total,
+    * so the output is deterministic cross-engine. */
+  def rerank(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val shortlist = batchRetrieve(spark, dir)
+      .select(col("query_id"), col("rank").as("bm25_rank"), col("doc_id"),
+        col("score"))
+    val qterms = retrievalQueries.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq
+      .map { case (q, ts) => (q, ts) }
+      .toDF("query_id", "qterms")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("phrase_hits").desc, col("score").desc, col("doc_id"))
+    shortlist
+      .join(d, Seq("doc_id"))
+      .join(broadcast(qterms), Seq("query_id"))
+      .withColumn("phrase_hits", expr(
+        """CASE WHEN size(ts) >= 2 THEN
+          |  CAST(size(filter(sequence(1, size(ts) - 1),
+          |    i -> array_contains(qterms, element_at(ts, i))
+          |     AND array_contains(qterms, element_at(ts, i + 1)))) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("rerank", row_number().over(w))
+      .select(col("query_id"), col("rerank"), col("doc_id"),
+        col("bm25_rank"), col("phrase_hits"), col("score"))
+      .orderBy(col("query_id"), col("rerank"))
+  }
+
+  val rerankSql: String = {
+    val base = batchRetrieveSql.replace("ORDER BY query_id, rank", "")
+    s"""WITH base AS (SELECT * FROM ($base) t),
+       |qa AS (SELECT query_id, list(term) AS qterms FROM
+       |         (SELECT * FROM (VALUES ${retrievalQueries
+                   .map { case (q, t) => s"($q, '$t')" }.mkString(", ")})
+                   AS v(query_id, term)) GROUP BY query_id),
+       |dt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+       |       FROM documents),
+       |ph AS (
+       |  SELECT b.query_id, b.rank AS bm25_rank, b.doc_id, b.score,
+       |    CASE WHEN len(dt.ts) >= 2 THEN
+       |      CAST(len(list_filter(range(1, len(dt.ts)),
+       |        i -> list_contains(qa.qterms, dt.ts[CAST(i AS INT)])
+       |         AND list_contains(qa.qterms, dt.ts[CAST(i + 1 AS INT)])))
+       |        AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS phrase_hits
+       |  FROM base b JOIN dt ON dt.doc_id = b.doc_id
+       |              JOIN qa ON qa.query_id = b.query_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY phrase_hits DESC, score DESC, doc_id) AS INT) AS rerank,
+       |  doc_id, bm25_rank, phrase_hits, score
+       |FROM ph ORDER BY query_id, rerank""".stripMargin
+  }
+
   /** q_t22: the GOPHER QUALITY RULESET (Rae et al. 2021 Table A1) as one
     * named, auditable gate — the standard pre-training document filter
     * bundle, emitted with per-rule pass flags and the failed-rule count so

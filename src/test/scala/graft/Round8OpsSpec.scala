@@ -214,6 +214,69 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("t23 rerank: permutation of the bm25 shortlist, dense ranks, " +
+    "phrase hits recompute from raw text") {
+    val out = TextAnalysis.rerank(spark, sf()).collect()
+    val base = TextAnalysis.batchRetrieve(spark, sf()).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    val baseByQ = base.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == baseByQ.keySet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+        baseByQ(q).map(_.getAs[Long]("doc_id")).toSet)
+      assert(rows.map(_.getAs[Int]("rerank")).sorted.toSeq ==
+        (1 to rows.length))
+      // rerank order law: phrase desc, then bm25 score desc, then doc_id
+      val sorted = rows.sortBy(_.getAs[Int]("rerank"))
+      sorted.zip(sorted.tail).foreach { case (x, y) =>
+        val kx = (-x.getAs[Long]("phrase_hits"), -x.getAs[Double]("score"),
+          x.getAs[Long]("doc_id"))
+        val ky = (-y.getAs[Long]("phrase_hits"), -y.getAs[Double]("score"),
+          y.getAs[Long]("doc_id"))
+        assert(Ordering[(Long, Double, Long)].lt(kx, ky))
+      }
+    }
+    // independent phrase-hit recompute for every row of one query
+    val qterms = TextAnalysis.retrievalQueries.filter(_._1 == 1L).map(_._2).toSet
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byQ(1L).foreach { r =>
+      val ts = texts(r.getAs[Long]("doc_id")).toLowerCase.split("\\s+")
+      val want = ts.zip(ts.tail).count { case (x, y) =>
+        qterms(x) && qterms(y) }
+      assert(r.getAs[Long]("phrase_hits") == want)
+    }
+  }
+
+  test("c29 threshold sweep: counts are non-increasing in tau and the " +
+    "0.5 row recomputes from raw text") {
+    val rows = Dedup.thresholdSweep(spark, sf()).collect()
+      .sortBy(_.getAs[Double]("tau"))
+    assert(rows.length == 7)
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+      assert(lo.getAs[Long]("n_docs_removed") >= hi.getAs[Long]("n_docs_removed"))
+    }
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).sliding(3).filter(_.length == 3).toSet)
+    var pairs = 0L
+    val removed = scala.collection.mutable.Set[Long]()
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val (ida, ga) = docs(i); val (idb, gb) = docs(j)
+      val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+      val loG = if (ida < idb) ga else gb
+      val hiG = if (ida < idb) gb else ga
+      val j05 = (loG & hiG).size.toDouble / (loG | hiG).size
+      if (j05 >= 0.5) { pairs += 1; removed += hi }
+    }
+    val r05 = rows.find(_.getAs[Double]("tau") == 0.5).get
+    assert(r05.getAs[Long]("n_pairs") == pairs)
+    assert(r05.getAs[Long]("n_docs_removed") == removed.size)
+  }
+
   test("c27 incremental cluster maintenance equals the full recompute " +
     "and the base/delta split is non-trivial") {
     val inc = Dedup.incrementalClusters(spark, sf())
