@@ -377,7 +377,11 @@ object SparkEntry {
     // two-stage retrieval: BM25 shortlist -> phrase-proximity rerank
     "q_t23_rerank" -> ((s, d) => TextAnalysis.rerank(s, d)),
     // dedup-threshold tuning curve on the bounded exact sample
-    "q_c29_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d))
+    "q_c29_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
+    // ingest-latency SLO percentiles per op, mergeable log-histogram
+    "q_p13_latency_histogram" -> ((s, d) => CdcParser.latencyHistogram(s, d)),
+    // header-vs-detail value reconciliation per order status
+    "q_v13_order_consistency" -> ((s, d) => Validation.orderConsistency(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -587,6 +591,8 @@ object SparkEntry {
     "q_g9_degree_histogram" -> Graph.degreeHistogramSql,
     "q_x17_paragraph_dedup" -> Dedup.paragraphDedupSql,
     "q_t23_rerank" -> TextAnalysis.rerankSql,
-    "q_c29_threshold_sweep" -> Dedup.thresholdSweepSql
+    "q_c29_threshold_sweep" -> Dedup.thresholdSweepSql,
+    "q_p13_latency_histogram" -> CdcParser.latencyHistogramSql,
+    "q_v13_order_consistency" -> Validation.orderConsistencySql
   )
 }

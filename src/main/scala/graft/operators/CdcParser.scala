@@ -738,4 +738,78 @@ object CdcParser {
        |QUALIFY row_number() OVER (PARTITION BY p.trade_id
        |  ORDER BY h.valid_from DESC, h.sequential_id DESC) = 1
        |ORDER BY p.trade_id""".stripMargin
+
+  /** q_p13: INGEST-LATENCY SLO percentiles per CDC op — the ops-telemetry
+    * query a production pipeline serves next to its data (`cdc_latency_ms
+    * = connector ts − source commit ts`, the lag the reference's <5 s E2E
+    * target is stated over): p50/p90/p99 per op type from the MERGEABLE
+    * integer-exact log-histogram (the a20 HDR/DDSketch layout — counts
+    * merge across partitions/windows/days, so the SLO dashboard never
+    * rescans raw envelopes; a zero-latency row gets its own bucket −1
+    * since ⌊log₂⌋ is undefined at 0). Zero float arithmetic anywhere —
+    * bucket index via length(bin(ms)), bounds via integer shifts — so the
+    * whole report replays bit-for-bit in DuckDB.
+    *
+    * Scale: ONE keyed aggregate to (op, bucket) counts with map-side
+    * partials; the percentile pick is a cumulative window over ≤ ~200
+    * aggregated rows. */
+  def latencyHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = cdcParseRoundtrip(spark, dir)
+      .select(col("op"), col("cdc_latency_ms").as("ms"))
+    val b = p
+      .withColumn("bits", length(bin(col("ms"))).cast("long"))
+      .withColumn("pow2",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bits - 1 AS INT))"))
+      .withColumn("sub",
+        ((col("ms") - col("pow2")) * 4L).divide(col("pow2")).cast("long"))
+      .withColumn("bucket", when(col("ms") === 0L, lit(-1L))
+        .otherwise((col("bits") - 1L) * 4L + col("sub")))
+      .withColumn("lo_ms", when(col("ms") === 0L, lit(0L))
+        .otherwise(col("pow2") +
+          col("sub") * col("pow2").divide(4L).cast("long")))
+    val hist = b.groupBy(col("op"), col("bucket"), col("lo_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("op")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(q: Int): Column =
+      min(when(col("cum") * 100L >= col("n") * q, col("lo_ms")))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("op"))))
+      .groupBy(col("op"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_buckets"),
+        pick(50).as("p50_lo_ms"), pick(90).as("p90_lo_ms"),
+        pick(99).as("p99_lo_ms"))
+      .orderBy(col("op"))
+  }
+
+  val latencyHistogramSql: String = {
+    val parsed = cdcParseRoundtripSql.replace("ORDER BY trade_id", "")
+    s"""WITH parsed AS ($parsed),
+       |e AS (SELECT op, cdc_latency_ms AS ms FROM parsed),
+       |b AS (SELECT op, ms, CAST(length(bin(ms)) AS BIGINT) AS bits FROM e),
+       |k AS (SELECT op, ms, bits,
+       |        CAST(1 AS BIGINT) << CAST(bits - 1 AS INT) AS pow2 FROM b),
+       |s AS (
+       |  SELECT op,
+       |    CASE WHEN ms = 0 THEN -1
+       |         ELSE (bits - 1) * 4 + ((ms - pow2) * 4) // pow2 END AS bucket,
+       |    CASE WHEN ms = 0 THEN 0
+       |         ELSE pow2 + ((ms - pow2) * 4) // pow2 * (pow2 // 4) END AS lo_ms
+       |  FROM k),
+       |hist AS (SELECT op, bucket, lo_ms, count(*) AS cnt
+       |         FROM s GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT *,
+       |    sum(cnt) OVER (PARTITION BY op ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY op) AS n
+       |  FROM hist)
+       |SELECT op, CAST(max(n) AS BIGINT) AS n, count(*) AS n_buckets,
+       |  min(CASE WHEN cum * 100 >= n * 50 THEN lo_ms END) AS p50_lo_ms,
+       |  min(CASE WHEN cum * 100 >= n * 90 THEN lo_ms END) AS p90_lo_ms,
+       |  min(CASE WHEN cum * 100 >= n * 99 THEN lo_ms END) AS p99_lo_ms
+       |FROM cum GROUP BY op ORDER BY op""".stripMargin
+  }
 }

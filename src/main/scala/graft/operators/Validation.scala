@@ -889,6 +889,70 @@ object Validation {
     7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
     9 -> "0.04575749056067514")
 
+  /** q_v13: CROSS-TABLE CONSISTENCY audit — does the denormalized header
+    * total equal the recomputed detail total? The classic reconciliation
+    * check between a fact table and its rollup (here: o_totalprice vs
+    * Σ l_extendedprice·(1−disc)·(1+tax) per order), run per order-status
+    * with headers-without-details counted separately (referential gaps are
+    * v9's job; VALUE drift is this one's). On this synthetic corpus the
+    * booked totals do NOT reconcile — the audit reports that honestly;
+    * the check's value is the exact per-status counts and totals.
+    *
+    * Exactness: per-order detail sums and per-status totals both go
+    * through DECIMAL(38,6) (the G.dsum contract) so chained float sums
+    * hash-match; the tolerance test compares \|booked − computed\| to
+    * 0.1 % of booked with both sides single IEEE ops. One keyed agg over
+    * lineitem + one broadcast-or-hash join + one 3-key agg. */
+  def orderConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val per = G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("line_val"))
+      .groupBy(col("o_orderkey"))
+      .agg(G.dsum(col("line_val")).as("computed"),
+        count(lit(1)).as("n_lines"))
+    G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .join(per, Seq("o_orderkey"), "left")
+      .withColumn("has_lines", col("n_lines").isNotNull)
+      .withColumn("consistent", col("has_lines") &&
+        abs(col("o_totalprice") - col("computed")) <=
+          col("o_totalprice") * 0.001)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(!col("has_lines"), 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("has_lines") && !col("consistent"), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        G.dsum(col("o_totalprice")).as("booked_total"),
+        G.dsum(coalesce(col("computed"), lit(0.0))).as("computed_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val orderConsistencySql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS computed,
+      |    count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderstatus, o.o_totalprice, per.computed,
+      |    per.n_lines IS NOT NULL AS has_lines,
+      |    per.n_lines IS NOT NULL AND
+      |      abs(o.o_totalprice - per.computed) <= o.o_totalprice * 0.001
+      |      AS consistent
+      |  FROM orders o LEFT JOIN per ON per.o_orderkey = o.o_orderkey)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN NOT has_lines THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_no_lines,
+      |  CAST(sum(CASE WHEN has_lines AND NOT consistent THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS booked_total,
+      |  CAST(SUM(CAST(coalesce(computed, 0.0) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS computed_total
+      |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val benfordSql: String = {
     val exp = benfordExpected.map { case (d, p) =>
       s"WHEN $d THEN ${p}E0"

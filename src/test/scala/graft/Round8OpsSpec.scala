@@ -277,6 +277,62 @@ class Round8OpsSpec extends SparkSpec {
     assert(r05.getAs[Long]("n_docs_removed") == removed.size)
   }
 
+  test("p13 latency histogram: totals reconcile with the parse and the " +
+    "percentile picks bracket the exact percentiles") {
+    val rows = graft.operators.CdcParser.latencyHistogram(spark, sf())
+      .collect()
+    val parsed = graft.operators.CdcParser.cdcParseRoundtrip(spark, sf())
+      .select("op", "cdc_latency_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byOp = parsed.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("op")).toSet == byOp.keySet)
+    rows.foreach { r =>
+      val op = r.getAs[String]("op")
+      val ms = byOp(op).map(_._2).sorted
+      assert(r.getAs[Long]("n") == ms.length)
+      Seq(50 -> "p50_lo_ms", 90 -> "p90_lo_ms", 99 -> "p99_lo_ms").foreach {
+        case (q, cname) =>
+          val exact = ms((ms.length * q + 99) / 100 - 1)
+          val lo = r.getAs[Long](cname)
+          // the pick is the lower bound of the bucket holding the exact
+          // percentile: lo <= exact < max(2*lo, 1+lo resolution); the
+          // bucket width is <= lo/4 for lo >= 4 (HDR layout), else exact
+          val hi = if (lo == 0) 1L else lo + math.max(lo / 4, 1L)
+          assert(lo <= exact && exact < hi,
+            s"$op $cname: lo=$lo exact=$exact hi=$hi")
+      }
+    }
+  }
+
+  test("v13 order consistency: counts reconcile with a direct recompute") {
+    val rows = Validation.orderConsistency(spark, sf()).collect()
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .selectExpr("l_orderkey",
+        "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .selectExpr("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+    val byStatus = orders.groupBy(_.getString(1))
+    assert(rows.map(_.getAs[String]("o_orderstatus")).toSet == byStatus.keySet)
+    rows.foreach { r =>
+      val os = byStatus(r.getAs[String]("o_orderstatus"))
+      assert(r.getAs[Long]("n_orders") == os.length)
+      val noLines = os.count(o => !li.contains(o.getLong(0)))
+      assert(r.getAs[Long]("n_no_lines") == noLines)
+      val mismatch = os.count { o =>
+        li.get(o.getLong(0)).exists { vs =>
+          math.abs(o.getDouble(2) - vs.sum) > o.getDouble(2) * 0.001
+        }
+      }
+      // the Spark side sums through DECIMAL(38,6); the plain double sum
+      // here can disagree only within rounding of the 0.1% band, so pin
+      // approximately and exactly count the far-from-boundary cases
+      assert(math.abs(r.getAs[Long]("n_mismatch") - mismatch) <= 1,
+        s"mismatch count drift: ${r.getAs[Long]("n_mismatch")} vs $mismatch")
+    }
+  }
+
   test("c27 incremental cluster maintenance equals the full recompute " +
     "and the base/delta split is non-trivial") {
     val inc = Dedup.incrementalClusters(spark, sf())
