@@ -1288,8 +1288,13 @@ object Dedup {
     // once by the sort shuffle write — and at every call site it is a join
     // or an explode. Cache across the two passes (released once the sort
     // shuffle has materialized via counts.collect below); measured ~1.3×
-    // on the x6 suffix-array build at sf0.1.
-    val cached = kv.cache()
+    // on the x6 suffix-array build at sf0.1. MEMORY_AND_DISK, not the
+    // MEMORY_ONLY default: past the executor storage fraction an evicted
+    // MEMORY_ONLY block re-runs the join (the exact cost this cache
+    // removes) — measured 3.4× superlinear blowup at the 16M ladder point
+    // under the 8g test heap; spilling keeps the ladder ratio flat.
+    val cached = kv.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rp = new org.apache.spark.RangePartitioner(n, cached)
     val sorted = cached.repartitionAndSortWithinPartitions(rp)
     val counts = sorted.mapPartitionsWithIndex { (i, it) =>
@@ -1352,7 +1357,8 @@ object Dedup {
     // rank (the tokens themselves die here — every later exchange carries
     // longs only)
     val (r0, m0) = denseRank(toks.map { case (pos, t) => (t, pos) })
-    var ranks = r0.partitionBy(part).cache()
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var ranks = r0.partitionBy(part).persist(level)
     // n = suffix-position count, fixed across rounds; once a round's
     // distinct-class count m hits n every class is a singleton and all
     // later rounds are the identity — exit without the extra no-op round
@@ -1393,7 +1399,7 @@ object Dedup {
               (r1 * (n + 2) + r2 + 2, pos)
             })
           else denseRank(pairs.map { case (pos, kk) => (kk, pos) })
-        val next = ranked.partitionBy(part).cache()
+        val next = ranked.partitionBy(part).persist(level)
         next.count() // materialize: truncate lineage growth across rounds
         ranks.unpersist()
         ranks = next
