@@ -381,7 +381,13 @@ object SparkEntry {
     // ingest-latency SLO percentiles per op, mergeable log-histogram
     "q_p13_latency_histogram" -> ((s, d) => CdcParser.latencyHistogram(s, d)),
     // header-vs-detail value reconciliation per order status
-    "q_v13_order_consistency" -> ((s, d) => Validation.orderConsistency(s, d))
+    "q_v13_order_consistency" -> ((s, d) => Validation.orderConsistency(s, d)),
+    // the p13 mergeable histogram maintained incrementally per micro-batch
+    "q_stream_latency" -> ((s, d) => graft.streaming.StreamingJobs.latencyReplay(s, d)),
+    // exact integer degree assortativity of the co-purchase graph
+    "q_g10_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    // dow x hour seasonality heatmap with exact calendar arithmetic
+    "q_a22_dow_hour_heatmap" -> ((s, d) => DashboardQueries.dowHourHeatmap(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,6 +599,9 @@ object SparkEntry {
     "q_t23_rerank" -> TextAnalysis.rerankSql,
     "q_c29_threshold_sweep" -> Dedup.thresholdSweepSql,
     "q_p13_latency_histogram" -> CdcParser.latencyHistogramSql,
-    "q_v13_order_consistency" -> Validation.orderConsistencySql
+    "q_v13_order_consistency" -> Validation.orderConsistencySql,
+    "q_stream_latency" -> graft.streaming.StreamingJobs.latencyReplaySql,
+    "q_g10_assortativity" -> Graph.assortativitySql,
+    "q_a22_dow_hour_heatmap" -> DashboardQueries.dowHourHeatmapSql
   )
 }

@@ -754,11 +754,19 @@ object CdcParser {
     * partials; the percentile pick is a cumulative window over ≤ ~200
     * aggregated rows. */
   def latencyHistogram(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = cdcParseRoundtrip(spark, dir)
       .select(col("op"), col("cdc_latency_ms").as("ms"))
-    val b = p
-      .withColumn("bits", length(bin(col("ms"))).cast("long"))
+    latencyPercentiles(
+      latencyBuckets(p).groupBy(col("op"), col("bucket"), col("lo_ms"))
+        .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The bucket projection of [[latencyHistogram]] on any (op, ms) frame —
+    * shared with the streaming incremental maintenance (q_stream_latency),
+    * which is the POINT of the layout: (op, bucket) counts merge by
+    * addition, so a stream folds per-batch partials forever. */
+  private[graft] def latencyBuckets(p: DataFrame): DataFrame =
+    p.withColumn("bits", length(bin(col("ms"))).cast("long"))
       .withColumn("pow2",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(bits - 1 AS INT))"))
       .withColumn("sub",
@@ -768,8 +776,12 @@ object CdcParser {
       .withColumn("lo_ms", when(col("ms") === 0L, lit(0L))
         .otherwise(col("pow2") +
           col("sub") * col("pow2").divide(4L).cast("long")))
-    val hist = b.groupBy(col("op"), col("bucket"), col("lo_ms"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("op"), col("bucket"), col("lo_ms"))
+
+  /** The serving stage: percentile picks from an (op, bucket, lo_ms, cnt)
+    * count table — O(ops × buckets) rows however large the data was. */
+  private[graft] def latencyPercentiles(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("op")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def pick(q: Int): Column =

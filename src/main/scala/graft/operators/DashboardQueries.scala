@@ -751,4 +751,35 @@ object DashboardQueries {
       |  l.e AS last_ewma_mc, l.b AS last_band_mc
       |FROM last l JOIN n USING (event_type) WHERE rn = 1
       |ORDER BY event_type""".stripMargin
+
+  /** q_a22: day-of-week × hour SEASONALITY heatmap — the traffic-shape
+    * panel every ops dashboard carries (when do users arrive; when can
+    * maintenance run), with per-cell share of total. Calendar fields are
+    * PURE INTEGER arithmetic on epoch millis (dow via the 1970-01-04 %-7
+    * anchor, hour via mod-day division) — never the engines' dayofweek(),
+    * whose 0-vs-1-based Sunday conventions differ; the share normalizer
+    * is a window over the ≤168-row AGGREGATED frame (the v12 move), so
+    * events scan once. */
+  def dowHourHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = G.eventsRaw(spark, dir)
+      .select(expr("ts_ns DIV 1000000").as("ms"))
+      .select(expr("((ms DIV 86400000) + 4) % 7").as("dow"),
+        expr("(ms % 86400000) DIV 3600000").as("hour"))
+    ev.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share", col("n_events").cast("double") /
+        sum(col("n_events")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val dowHourHeatmapSql: String =
+    """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events),
+      |c AS (SELECT ((ms // 86400000) + 4) % 7 AS dow,
+      |             (ms % 86400000) // 3600000 AS hour FROM e),
+      |h AS (SELECT dow, hour, count(*) AS n_events
+      |      FROM c GROUP BY dow, hour)
+      |SELECT dow, hour, n_events,
+      |  CAST(n_events AS DOUBLE) / sum(n_events) OVER () AS share
+      |FROM h ORDER BY dow, hour""".stripMargin
 }

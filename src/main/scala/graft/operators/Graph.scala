@@ -657,6 +657,80 @@ object Graph {
       .orderBy(col("bucket"))
   }
 
+  /** q_g10: degree ASSORTATIVITY of the co-purchase graph — Newman's
+    * degree-correlation coefficient, THE summary statistic after g9's
+    * distribution: hub-to-hub wiring (r > 0) vs hub-to-leaf (r < 0)
+    * decides whether salting hot keys (v11/r20) helps or the hubs drag
+    * their whole neighborhoods with them. For an UNDIRECTED graph the
+    * Pearson form collapses to r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)
+    * over symmetrized edge endpoints (Σx = Σy by symmetry — no square
+    * root survives), so every term is an EXACT INTEGER sum of degree
+    * products (DECIMAL(38,0) against overflow) and r is ONE division:
+    * hash-exact cross-engine, the g7 no-transcendentals rule.
+    *
+    * Plan: the degree frame (one keyed agg) joined to both edge
+    * endpoints, then one scalar aggregate — O(edges) longs, two
+    * broadcast-or-hash joins, nothing quadratic. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val sym = edges
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("n").as("u"), col("deg").as("x")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("y")), "v")
+    def dsum0(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)"))
+    sym.agg(
+        count(lit(1)).as("n_endpoints"),
+        dsum0(col("x")).as("sx"),
+        dsum0(col("x") * col("y")).as("sxy"),
+        dsum0(col("x") * col("x")).as("sx2"))
+      .select(col("n_endpoints"),
+        col("sx").cast("long").as("sum_deg"),
+        col("sxy").cast("long").as("sum_xy"),
+        col("sx2").cast("long").as("sum_x2"),
+        ((col("n_endpoints") * col("sxy") - col("sx") * col("sx"))
+          .cast("double") /
+          (col("n_endpoints") * col("sx2") - col("sx") * col("sx"))
+            .cast("double")).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_quantity >= 30),
+      |edges AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      |  GROUP BY n),
+      |sym AS (
+      |  SELECT e.u, e.v FROM edges e
+      |  UNION ALL SELECT e.v, e.u FROM edges e),
+      |j AS (
+      |  SELECT du.deg AS x, dv.deg AS y
+      |  FROM sym JOIN deg du ON sym.u = du.n JOIN deg dv ON sym.v = dv.n),
+      |s AS (
+      |  SELECT count(*) AS n_endpoints,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+      |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sx2
+      |  FROM j)
+      |SELECT n_endpoints, CAST(sx AS BIGINT) AS sum_deg,
+      |  CAST(sxy AS BIGINT) AS sum_xy, CAST(sx2 AS BIGINT) AS sum_x2,
+      |  CAST(n_endpoints * sxy - sx * sx AS DOUBLE) /
+      |    CAST(n_endpoints * sx2 - sx * sx AS DOUBLE) AS assortativity
+      |FROM s""".stripMargin
+
   val degreeHistogramSql: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
       |            WHERE l_quantity >= 30),

@@ -750,6 +750,71 @@ object StreamingJobs {
   // this object and a val here would capture null at init time.
   def windowAggReplaySql: String = fanOutReplaySql
 
+  /** INCREMENTAL LATENCY SLO, STREAMING (q_stream_latency): the q_p13
+    * mergeable log-histogram maintained across micro-batches — the claim
+    * behind the HDR layout ("counts merge, so streaming serves quantiles
+    * without rescanning") proven through the machinery instead of
+    * asserted: each batch parses, buckets, and ADDS its (op, bucket)
+    * counts into a versioned parquet count table (state is O(ops ×
+    * buckets) forever — compare exact percentiles, which would need every
+    * raw value retained); the final percentile picks read the merged
+    * table only. Hash-matched to the one-shot batch q_p13 oracle — and
+    * since count addition is commutative, the result is independent of
+    * how arrivals split into batches, which is exactly the property that
+    * lets a 100 TB deployment serve p99 lag from a table the size of a
+    * screenshot. */
+  def latencyReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_lat")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    new java.io.File(st).mkdirs()
+    graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+      .repartitionByRange(4, col("src_ms")).select("json")
+      .write.mode("overwrite").text(in)
+    val t0 = System.currentTimeMillis() - 3600000L
+    new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L); ()
+      }
+    def latest(before: Long): Option[java.io.File] = {
+      val fs = new java.io.File(st).listFiles()
+        .filter(_.getName.startsWith("h_"))
+        .filter(_.getName.stripPrefix("h_").toLong < before)
+      if (fs.isEmpty) None
+      else Some(fs.maxBy(_.getName.stripPrefix("h_").toLong))
+    }
+    val q = readCdcStream(spark, in, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val part = graft.operators.CdcParser
+          .latencyBuckets(batch.select(col("op"),
+            col("cdc_latency_ms").as("ms")))
+          .groupBy(col("op"), col("bucket"), col("lo_ms"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged = latest(bid) match {
+          case None => part
+          case Some(f) =>
+            s.read.parquet(f.getPath).unionByName(part)
+              .groupBy(col("op"), col("bucket"), col("lo_ms"))
+              .agg(sum(col("cnt")).as("cnt"))
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/h_$bid")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    graft.operators.CdcParser.latencyPercentiles(
+      spark.read.parquet(latest(Long.MaxValue).get.getPath))
+  }
+
+  // merge-independence means the stream serves the identical report: the
+  // oracle is batch q_p13's
+  def latencyReplaySql: String =
+    graft.operators.CdcParser.latencyHistogramSql
+
   /** SLIDING-WINDOW DISTINCT, STREAMING (q_stream_sliding): hourly active
     * markets every 15 minutes — the overlapping-window distinct count that
     * q_a19 computes in batch, through the REAL machinery, exercising the

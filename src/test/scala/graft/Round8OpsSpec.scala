@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis, Validation}
+import graft.operators.{DashboardQueries, Dedup, Graph, Multimodal, Similarity, TextAnalysis, Validation}
 import org.apache.spark.sql.functions._
 
 /** Round-7 seventh wave: Gopher rule bundle, blob QC, contrastive mining,
@@ -331,6 +331,54 @@ class Round8OpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("n_mismatch") - mismatch) <= 1,
         s"mismatch count drift: ${r.getAs[Long]("n_mismatch")} vs $mismatch")
     }
+  }
+
+  test("stream_latency: incrementally merged histogram equals the " +
+    "one-shot batch report") {
+    val got = graft.streaming.StreamingJobs.latencyReplay(spark, sf())
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.CdcParser.latencyHistogram(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("g10 assortativity: exact in-memory recompute and r in [-1, 1]") {
+    val r = Graph.assortativity(spark, sf()).collect().head
+    val rr = r.getAs[Double]("assortativity")
+    assert(rr >= -1.0 - 1e-12 && rr <= 1.0 + 1e-12)
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_quantity") >= 30)
+      .selectExpr("l_orderkey ok", "l_partkey pk").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (x <- ps; y <- ps if x < y) yield (x, y)
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = edges.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val n = sym.size.toLong
+    val sx = sym.map(e => deg(e._1)).sum
+    val sxy = sym.map(e => deg(e._1) * deg(e._2)).sum
+    val sx2 = sym.map(e => deg(e._1) * deg(e._1)).sum
+    assert(r.getAs[Long]("n_endpoints") == n)
+    assert(r.getAs[Long]("sum_deg") == sx)
+    assert(r.getAs[Long]("sum_xy") == sxy)
+    assert(r.getAs[Long]("sum_x2") == sx2)
+    val want = (n * sxy - sx * sx).toDouble / (n * sx2 - sx * sx).toDouble
+    assert(math.abs(rr - want) < 1e-12)
+  }
+
+  test("a22 heatmap: shares sum to 1, calendar fields in range, totals " +
+    "match the event count") {
+    val rows = DashboardQueries.dowHourHeatmap(spark, sf()).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dow"); val h = r.getAs[Long]("hour")
+      assert(d >= 0 && d < 7 && h >= 0 && h < 24)
+    }
+    val total = spark.read.parquet(s"${sf()}/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
   }
 
   test("c27 incremental cluster maintenance equals the full recompute " +
