@@ -1313,11 +1313,14 @@ object TextAnalysis {
     * text, rerank window — is the real deployed shape and is what's
     * verified).
     *
-    * Scale: stage 2 touches |queries|·topK documents, not the corpus; the
-    * join back is doc_id-keyed with the tiny shortlist broadcast, and the
-    * phrase scan is one HOF pass over each shortlisted doc's tokens.
-    * Rerank order (phrase_hits DESC, bm25 score DESC, doc_id) is total,
-    * so the output is deterministic cross-engine. */
+    * Scale: the pair SCORING touches |queries|·topK rows only — the
+    * shortlist broadcasts, the corpus is re-scanned once for the text
+    * fetch (column-pruned to (doc_id, text), broadcast-joined, so no
+    * corpus shuffle and the phrase HOF runs post-join on the ~30
+    * survivors; a deployment with a keyed doc store replaces that scan
+    * with point lookups). Rerank order (phrase_hits DESC, bm25 score
+    * DESC, doc_id) is total, so the output is deterministic
+    * cross-engine. */
   def rerank(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._

@@ -381,6 +381,19 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == total)
   }
 
+  test("t23 plan pin: stage-2 joins broadcast (no corpus shuffle) and " +
+    "the phrase HOF runs post-join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = TextAnalysis.rerank(spark, sf()); d.collect()
+        d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"no broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus shuffled through SMJ:\n$s")
+  }
+
   test("c27 incremental cluster maintenance equals the full recompute " +
     "and the base/delta split is non-trivial") {
     val inc = Dedup.incrementalClusters(spark, sf())
