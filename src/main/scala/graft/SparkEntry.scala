@@ -387,7 +387,9 @@ object SparkEntry {
     // exact integer degree assortativity of the co-purchase graph
     "q_g10_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
     // dow x hour seasonality heatmap with exact calendar arithmetic
-    "q_a22_dow_hour_heatmap" -> ((s, d) => DashboardQueries.dowHourHeatmap(s, d))
+    "q_a22_dow_hour_heatmap" -> ((s, d) => DashboardQueries.dowHourHeatmap(s, d)),
+    // TPC-H Q3 shape: segment-filtered top-10 unshipped orders by revenue
+    "q_r26_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -602,6 +604,7 @@ object SparkEntry {
     "q_v13_order_consistency" -> Validation.orderConsistencySql,
     "q_stream_latency" -> graft.streaming.StreamingJobs.latencyReplaySql,
     "q_g10_assortativity" -> Graph.assortativitySql,
-    "q_a22_dow_hour_heatmap" -> DashboardQueries.dowHourHeatmapSql
+    "q_a22_dow_hour_heatmap" -> DashboardQueries.dowHourHeatmapSql,
+    "q_r26_shipping_priority" -> Relational.shippingPrioritySql
   )
 }

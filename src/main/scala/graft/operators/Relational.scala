@@ -890,4 +890,46 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q_r26: TPC-H Q3-shaped SHIPPING PRIORITY — top-10 unshipped orders of
+    * one market segment by outstanding revenue. The canonical 3-table
+    * selective-join shape: segment filter pushes into the customer scan,
+    * both date filters push into their scans, customer broadcasts
+    * (dimension), and the orders⋈lineitem join pre-filters BOTH sides
+    * before the one keyed shuffle; the top-10 runs as
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * Revenue sums through DECIMAL(38,6) (G.dsum) for oracle parity. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val cust = G.table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = G.table(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(G.dsum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 }
