@@ -389,7 +389,15 @@ object SparkEntry {
     // dow x hour seasonality heatmap with exact calendar arithmetic
     "q_a22_dow_hour_heatmap" -> ((s, d) => DashboardQueries.dowHourHeatmap(s, d)),
     // TPC-H Q3 shape: segment-filtered top-10 unshipped orders by revenue
-    "q_r26_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d))
+    "q_r26_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
+    // TPC-H Q17 shape: correlated per-part avg decorrelated to a window
+    "q_r27_small_qty_revenue" -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    // LATERAL correlated top-k subquery (DomainJoin decorrelation surface)
+    "q_r28_lateral_topk" -> ((s, d) => Relational.lateralTopOrders(s, d)),
+    // TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join
+    "q_r29_sales_opportunity" -> ((s, d) => Relational.salesOpportunity(s, d)),
+    // TPC-H Q4 shape: EXISTS with equi-key + date-inequality residual
+    "q_r30_late_priority" -> ((s, d) => Relational.latePriorityAudit(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -605,6 +613,10 @@ object SparkEntry {
     "q_stream_latency" -> graft.streaming.StreamingJobs.latencyReplaySql,
     "q_g10_assortativity" -> Graph.assortativitySql,
     "q_a22_dow_hour_heatmap" -> DashboardQueries.dowHourHeatmapSql,
-    "q_r26_shipping_priority" -> Relational.shippingPrioritySql
+    "q_r26_shipping_priority" -> Relational.shippingPrioritySql,
+    "q_r27_small_qty_revenue" -> Relational.smallQtyRevenueSql,
+    "q_r28_lateral_topk" -> Relational.lateralTopOrdersSql,
+    "q_r29_sales_opportunity" -> Relational.salesOpportunitySql,
+    "q_r30_late_priority" -> Relational.latePriorityAuditSql
   )
 }

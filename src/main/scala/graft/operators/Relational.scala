@@ -920,6 +920,133 @@ object Relational {
       .limit(10)
   }
 
+  /** q_r27: TPC-H Q17-shaped small-quantity revenue — revenue locked up in
+    * lineitems whose quantity is below 20% of their part's average, by brand.
+    * The textbook form is a CORRELATED scalar subquery (per-part avg); the
+    * scale-correct Spark plan decorrelates it to a WINDOW average over
+    * `partition by l_partkey`: one keyed shuffle, one pass over lineitem, no
+    * second scan and no self-join (the agg+rejoin alternative scans lineitem
+    * twice). The DuckDB oracle keeps the correlated form, so the two engines
+    * check each other through INDEPENDENT formulations. Quantities are
+    * integral (1..50), so the double window-avg is order-independent and
+    * bit-exact on both engines. `part` stays broadcast (dimension). */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("part_avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("part_avg_qty"))
+    val part = G.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        G.dsum(col("l_extendedprice")).as("locked_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT p_brand, COUNT(*) AS n_small_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS locked_revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < 0.2 * (
+      |  SELECT AVG(l2.l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = lineitem.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q_r28: LATERAL top-k — each customer's 3 highest-value orders through a
+    * correlated LATERAL subquery, the SQL surface Spark resolves via its
+    * DomainJoin/decorrelation rewrite (and DuckDB via its own lateral-join
+    * operator — again two independent engines' formulations of one query).
+    * The rewritten plan is a keyed window top-k, NOT a per-customer nested
+    * loop: one shuffle on the join key, per-partition heaps, scale-safe.
+    * Ties on o_totalprice break on o_orderkey so top-3 is deterministic. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"r28_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    G.table(spark, dir, "customer").createOrReplaceTempView(s"cust_$tag")
+    G.table(spark, dir, "orders").createOrReplaceTempView(s"ord_$tag")
+    spark.sql(
+      s"""SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+         |FROM cust_$tag, LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM ord_$tag
+         |  WHERE o_custkey = c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val lateralTopOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** q_r29: TPC-H Q22-shaped sales opportunity — customers with
+    * above-average positive balance and no orders since 2000-09-01 (lapsed
+    * high-balance accounts), by market segment. The
+    * scalar threshold (one row) joins in by broadcast-cross rather than a
+    * driver-side collect, and the no-orders test is a LEFT ANTI join (the
+    * plan NOT EXISTS decorrelates to). `orders` projects to its key only
+    * before the anti join, so the exchange carries 8 bytes a row. */
+  def salesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = G.table(spark, dir, "customer")
+    val thresh = cust.filter(col("c_acctbal") > 0)
+      .agg((G.dsum(col("c_acctbal")) / count(col("c_acctbal")))
+        .as("avg_bal"))
+    val rich = cust.join(broadcast(thresh))
+      .filter(col("c_acctbal") > col("avg_bal"))
+    val ordKeys = G.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-09-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    rich.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        G.dsum(col("c_acctbal")).as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val salesOpportunitySql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS total_balance
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |      / COUNT(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-09-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q_r30: TPC-H Q4-shaped priority audit — orders with at least one
+    * lineitem shipped more than 60 days after the order date, counted by
+    * priority. The EXISTS becomes a LEFT SEMI join whose condition mixes the
+    * equi-key (orderkey — drives the one shuffle) with the date inequality
+    * (evaluated as a join residual, never a cartesian); lineitem projects to
+    * (orderkey, shipdate) before the exchange. */
+  def latePriorityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ord = G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val latePriorityAuditSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val shippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))

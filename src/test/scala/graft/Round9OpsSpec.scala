@@ -27,6 +27,93 @@ class Round9OpsSpec extends SparkSpec {
       s"date filters not pushed: $pushed")
   }
 
+  test("r27 small-qty revenue: decorrelated plan scans lineitem ONCE " +
+    "(window, not agg+self-join) and broadcasts part") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = Relational.smallQtyRevenue(spark, sf())
+        d.collect()
+        d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val liScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("lineitem") => f
+    }
+    assert(liScans.length == 1, s"lineitem scanned ${liScans.length}x:\n$plan")
+    assert(plan.toString.contains("BroadcastHashJoin"))
+    assert(plan.toString.contains("Window"))
+  }
+
+  test("r27 small-qty revenue: per-brand rows recompute from a brute " +
+    "per-part average") {
+    val rows = Relational.smallQtyRevenue(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_partkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val avg = li.groupBy(_._1).view
+      .mapValues(g => g.map(_._2).sum / g.length).toMap
+    val smallKeys = li.filter { case (p, q) => q < 0.2 * avg(p) }
+    val brand = spark.read.parquet(s"${sf()}/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = smallKeys.groupBy(x => brand(x._1)).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows == want)
+  }
+
+  test("r28 lateral top-k: decorrelates to a keyed plan (no cartesian / " +
+    "nested-loop), emits <=3 rows per customer in descending order") {
+    val d = Relational.lateralTopOrders(spark, sf())
+    val rows = d.collect()
+    val s = d.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s"cartesian lateral:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop lateral:\n$s")
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.forall(_.length <= 3))
+    byCust.values.foreach { g =>
+      val tp = g.map(_.getDouble(3))
+      assert(tp.zip(tp.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("r29 sales opportunity: reported customers truly have no recent " +
+    "orders and sit above the positive-balance average") {
+    val segs = Relational.salesOpportunity(spark, sf()).collect()
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet").collect()
+    val pos = cust.map(_.getAs[Double]("c_acctbal")).filter(_ > 0)
+    val thresh = pos.sum / pos.length
+    val recent = spark.read.parquet(s"${sf()}/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-09-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val want = cust
+      .filter(r => r.getAs[Double]("c_acctbal") > thresh &&
+        !recent(r.getAs[Long]("c_custkey")))
+      .groupBy(_.getAs[String]("c_mktsegment")).view
+      .mapValues(_.length.toLong).toMap
+    assert(segs.map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    assert(segs.nonEmpty, "vacuous: no lapsed high-balance customers")
+  }
+
+  test("r30 late-priority audit: semi-join counts each order once and " +
+    "matches a brute recompute") {
+    val got = Relational.latePriorityAudit(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ship = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .selectExpr("l_orderkey", "CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) ship_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = spark.read.parquet(s"${sf()}/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) ord_s",
+        "o_orderpriority").collect()
+      .filter { r =>
+        ship.get(r.getLong(0)).exists(_ > r.getLong(1) + 60L * 86400L)
+      }
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
