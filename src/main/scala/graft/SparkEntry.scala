@@ -397,7 +397,13 @@ object SparkEntry {
     // TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join
     "q_r29_sales_opportunity" -> ((s, d) => Relational.salesOpportunity(s, d)),
     // TPC-H Q4 shape: EXISTS with equi-key + date-inequality residual
-    "q_r30_late_priority" -> ((s, d) => Relational.latePriorityAudit(s, d))
+    "q_r30_late_priority" -> ((s, d) => Relational.latePriorityAudit(s, d)),
+    // end-to-end bucketed co-located join through bucketBy storage
+    "q_st6_bucketed_join" -> ((s, d) => Tables.bucketedJoin(s, d)),
+    // k-anonymity audit over the (nation, segment) quasi-identifier
+    "q_v14_k_anonymity" -> ((s, d) => Validation.kAnonymity(s, d)),
+    // Newman modularity of the co-purchase graph under the brand partition
+    "q_g11_modularity" -> ((s, d) => Graph.modularity(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -617,6 +623,9 @@ object SparkEntry {
     "q_r27_small_qty_revenue" -> Relational.smallQtyRevenueSql,
     "q_r28_lateral_topk" -> Relational.lateralTopOrdersSql,
     "q_r29_sales_opportunity" -> Relational.salesOpportunitySql,
-    "q_r30_late_priority" -> Relational.latePriorityAuditSql
+    "q_r30_late_priority" -> Relational.latePriorityAuditSql,
+    "q_st6_bucketed_join" -> Tables.bucketedJoinSql,
+    "q_v14_k_anonymity" -> Validation.kAnonymitySql,
+    "q_g11_modularity" -> Graph.modularitySql
   )
 }

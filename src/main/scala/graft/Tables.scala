@@ -153,6 +153,48 @@ object Tables {
        |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q_st6: the bucketed co-located join END TO END as a checked query —
+    * both fact tables written `bucketBy(8, key)` into a per-call temp
+    * warehouse location, joined through the bucketed scans (merge-join hint
+    * binds to the bucket layout; LayoutSpec pins that this plan contains NO
+    * Exchange), rolled up per order status. At 100 TB bucketing is the
+    * difference between shuffling two fact tables on every join and
+    * shuffling each once at ingest; this query proves results that flow
+    * through the bucketed storage path match the plain-join oracle. The
+    * result materializes to parquet before the catalog tables drop, so the
+    * returned frame stays valid for the driver's later read. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val base =
+      java.nio.file.Files.createTempDirectory(s"graft_st6_$tag").toString
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    writeBucketed(li, s"li_st6_$tag", s"$base/li", "l_orderkey", 8)
+    writeBucketed(ord, s"ord_st6_$tag", s"$base/ord", "o_orderkey", 8)
+    spark.table(s"li_st6_$tag")
+      .hint("merge")
+      .join(spark.table(s"ord_st6_$tag"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$base/out")
+    spark.sql(s"DROP TABLE IF EXISTS li_st6_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS ord_st6_$tag")
+    spark.read.parquet(s"$base/out")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Read back a table written by writePartitioned. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

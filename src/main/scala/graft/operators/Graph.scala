@@ -749,4 +749,78 @@ object Graph {
       |  CAST(max(deg) AS BIGINT) AS max_deg,
       |  CAST(sum(deg) AS BIGINT) AS sum_deg
       |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q_g11: Newman MODULARITY of the co-purchase graph under the brand
+    * partition — Q = Σ_c (e_c/m − (d_c/2m)²), the quality score that says
+    * whether a community assignment (here: each part's brand) explains the
+    * wiring better than chance. All inputs are exact integers (intra-edge
+    * counts, degree sums, total edge count); the two divisions and one
+    * square run the same IEEE double ops on both engines, so the result is
+    * hash-exact. Per-brand rows expose the decomposition (e_in, d_sum,
+    * contribution); m broadcasts as a one-row frame — no collect. Scale:
+    * edges shuffle on (u, v) once for distinct, degrees shuffle node ids
+    * only, and the brand map is a broadcast dimension. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val brand = broadcast(G.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand")))
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val dSum = deg.join(brand, col("n") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("deg")).as("d_sum"))
+    val eIn = edges
+      .join(brand.select(col("p_partkey").as("u"),
+        col("p_brand").as("bu")), "u")
+      .join(brand.select(col("p_partkey").as("v"),
+        col("p_brand").as("bv")), "v")
+      .filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("p_brand"))
+      .agg(count(lit(1)).as("e_in"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    dSum.join(eIn, Seq("p_brand"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .join(broadcast(m))
+      .select(col("p_brand"), col("e_in"), col("d_sum"), col("m"),
+        (col("e_in").cast("double") / col("m").cast("double") -
+          (col("d_sum").cast("double") / (lit(2) * col("m")).cast("double")) *
+            (col("d_sum").cast("double") / (lit(2) * col("m")).cast("double")))
+          .as("contribution"))
+      .orderBy(col("p_brand"))
+  }
+
+  val modularitySql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_quantity >= 30),
+      |edges AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, count(*) AS deg FROM (
+      |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      |  GROUP BY n),
+      |dsums AS (
+      |  SELECT p_brand, sum(deg) AS d_sum
+      |  FROM deg JOIN part ON n = p_partkey GROUP BY p_brand),
+      |eins AS (
+      |  SELECT pu.p_brand AS p_brand, count(*) AS e_in
+      |  FROM edges JOIN part pu ON u = pu.p_partkey
+      |             JOIN part pv ON v = pv.p_partkey
+      |  WHERE pu.p_brand = pv.p_brand GROUP BY pu.p_brand),
+      |mm AS (SELECT count(*) AS m FROM edges)
+      |SELECT d.p_brand, CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+      |  CAST(d.d_sum AS BIGINT) AS d_sum, mm.m,
+      |  CAST(coalesce(e.e_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE) -
+      |    (CAST(d.d_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)) *
+      |    (CAST(d.d_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+      |    AS contribution
+      |FROM dsums d LEFT JOIN eins e ON d.p_brand = e.p_brand
+      |CROSS JOIN mm ORDER BY d.p_brand""".stripMargin
 }

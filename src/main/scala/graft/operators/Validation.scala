@@ -973,4 +973,33 @@ object Validation {
        |  share / benford_p > 1.25 OR share / benford_p < 0.75 AS flag_deviant
        |FROM r ORDER BY digit""".stripMargin
   }
+
+  /** q_v14: K-ANONYMITY audit over the (nation, market-segment)
+    * quasi-identifier — the re-identification risk check a governed corpus
+    * release runs before publishing: every equivalence class with its
+    * member count, a risky flag (class smaller than 10), and the dataset's
+    * k (the global minimum class size, the number the privacy budget
+    * quotes). One keyed aggregation; the global k joins back as a broadcast
+    * one-row frame rather than a single-partition window, so the plan stays
+    * flat at any class-count scale. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = G.table(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_members"))
+    val k = classes.agg(min(col("n_members")).as("k_anonymity"))
+    classes.join(broadcast(k))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_members"),
+        (col("n_members") < 10).as("risky"), col("k_anonymity"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n_members
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+      |k AS (SELECT min(n_members) AS k_anonymity FROM classes)
+      |SELECT c_nationkey, c_mktsegment, n_members,
+      |  n_members < 10 AS risky, k_anonymity
+      |FROM classes CROSS JOIN k
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

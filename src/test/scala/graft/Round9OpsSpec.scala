@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Graph, Relational, Validation}
 import org.apache.spark.sql.functions._
 
 /** Round-7 eighth wave: TPC-H-shaped relational classics. */
@@ -112,6 +112,43 @@ class Round9OpsSpec extends SparkSpec {
       }
       .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
     assert(got == want)
+  }
+
+  test("st6 bucketed join: result through bucketed storage equals the " +
+    "direct in-memory join") {
+    val got = Tables.bucketedJoin(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val status = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = li.groupBy(status).view.mapValues(_.length.toLong).toMap
+    assert(got.map(x => x._1 -> x._2).toMap == want)
+  }
+
+  test("v14 k-anonymity: k is the minimum class size and members " +
+    "reconcile to the customer count") {
+    val rows = Validation.kAnonymity(spark, sf()).collect()
+    val sizes = rows.map(_.getAs[Long]("n_members"))
+    val k = rows.map(_.getAs[Long]("k_anonymity")).distinct
+    assert(k.length == 1 && k.head == sizes.min)
+    assert(sizes.sum ==
+      spark.read.parquet(s"${sf()}/customer.parquet").count())
+    rows.foreach(r => assert(
+      r.getAs[Boolean]("risky") == (r.getAs[Long]("n_members") < 10)))
+  }
+
+  test("g11 modularity: degree sums reconcile to 2m, intra edges to <= m, " +
+    "and Q stays in [-1, 1]") {
+    val rows = Graph.modularity(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(_.getAs[Long]("m")).distinct
+    assert(m.length == 1)
+    assert(rows.map(_.getAs[Long]("d_sum")).sum == 2 * m.head)
+    assert(rows.map(_.getAs[Long]("e_in")).sum <= m.head)
+    val q = rows.map(_.getAs[Double]("contribution")).sum
+    assert(q >= -1.0 - 1e-12 && q <= 1.0 + 1e-12)
   }
 
   test("r26 shipping priority: revenue descends and keys are distinct") {
