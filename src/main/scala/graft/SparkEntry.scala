@@ -79,7 +79,7 @@ object SparkEntry {
     "q_x2b_minhash_checked" -> ((s, d) => Dedup.minhashLshPairsChecked(s, d)),
     "q_x3_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_x3b_simhash30" -> ((s, d) => Dedup.simhash30(s, d)),
-    "q_x3c_simhash_neardup" -> ((s, d) => Dedup.simhashNearDups(s, d)),
+    "q_x3c_simhash_neardup" -> ((s, d) => Dedup.sharedNearDupPairs(s, d)),
     "q_x4_jaccard_3gram" -> ((s, d) => Dedup.jaccard3gramPairs(s, d)),
     // Similarity search
     "q_y1_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -403,7 +403,15 @@ object SparkEntry {
     // k-anonymity audit over the (nation, segment) quasi-identifier
     "q_v14_k_anonymity" -> ((s, d) => Validation.kAnonymity(s, d)),
     // Newman modularity of the co-purchase graph under the brand partition
-    "q_g11_modularity" -> ((s, d) => Graph.modularity(s, d))
+    "q_g11_modularity" -> ((s, d) => Graph.modularity(s, d)),
+    // TPC-H Q5 shape: star join, local-supplier residual condition
+    "q_r31_local_supplier" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    // TPC-H Q6 shape: pure pushed-predicate scan-agg probe
+    "q_r32_revenue_forecast" -> ((s, d) => Relational.revenueForecast(s, d)),
+    // TPC-H Q10 shape: quarter returns, post-agg dimension enrichment
+    "q_r33_returned_items" -> ((s, d) => Relational.returnedItemReport(s, d)),
+    // TPC-H Q19 shape: disjunctive brand/size/quantity clauses
+    "q_r34_disjunctive_rev" -> ((s, d) => Relational.disjunctiveRevenue(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -626,6 +634,10 @@ object SparkEntry {
     "q_r30_late_priority" -> Relational.latePriorityAuditSql,
     "q_st6_bucketed_join" -> Tables.bucketedJoinSql,
     "q_v14_k_anonymity" -> Validation.kAnonymitySql,
-    "q_g11_modularity" -> Graph.modularitySql
+    "q_g11_modularity" -> Graph.modularitySql,
+    "q_r31_local_supplier" -> Relational.localSupplierVolumeSql,
+    "q_r32_revenue_forecast" -> Relational.revenueForecastSql,
+    "q_r33_returned_items" -> Relational.returnedItemReportSql,
+    "q_r34_disjunctive_rev" -> Relational.disjunctiveRevenueSql
   )
 }

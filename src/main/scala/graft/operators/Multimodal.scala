@@ -556,7 +556,7 @@ object Multimodal {
     * full-outer join of two SMALL pair frames (candidates, not corpora)
     * and a scalar aggregate. */
   def crossModalAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val text = Dedup.simhashNearDups(spark, dir)
+    val text = Dedup.sharedNearDupPairs(spark, dir)
       .filter(col("doc_a") < 300 && col("doc_b") < 300)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         lit(1).as("t"))

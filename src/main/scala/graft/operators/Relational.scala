@@ -1047,6 +1047,175 @@ object Relational {
       |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q_r31: TPC-H Q5-shaped local-supplier volume — revenue per nation from
+    * lineitems where the supplier sits in the customer's own nation. The
+    * canonical star join: region→nation→customer and supplier are broadcast
+    * dimensions; orders⋈lineitem is the one fact-to-fact shuffle; the
+    * local-supplier condition (s_nationkey = c_nationkey) evaluates as a
+    * residual on the already-joined row, never a second shuffle. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val y0 = lit("1997-01-01").cast("timestamp")
+    val y1 = lit("1998-01-01").cast("timestamp")
+    val nat = G.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = G.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = G.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = G.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(G.dsum(col("rev")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE s_nationkey = c_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q_r32: TPC-H Q6-shaped revenue forecast — the pure scan→filter→agg
+    * probe: one year of shipments in a quantity/discount band, no join at
+    * all. The whole query is a single pass whose predicates ALL push into
+    * the parquet scan; at 100 TB its cost is I/O on three columns. The
+    * discount band uses exact binary-representable bounds (0.05/0.07 read
+    * back from float literals differ engine-to-engine; >= 0.05 − 1e-9 style
+    * fudge is banned here — instead the band compares against the same
+    * decimal literals both engines parse identically). */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(G.dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val revenueForecastSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q_r33: TPC-H Q10-shaped returned-item reporting — top-20 customers by
+    * revenue lost to returns in one quarter. orders pre-filters to the
+    * quarter BEFORE its join (the selective side drives), lineitem
+    * pre-filters to returnflag='R'; customer and nation broadcast onto the
+    * aggregated result (post-agg enrichment: the keyed shuffle carries
+    * custkey+revenue, never name/segment strings). Top-20 runs as
+    * TakeOrderedAndProject. */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val q0 = lit("1997-10-01").cast("timestamp")
+    val q1 = lit("1998-01-01").cast("timestamp")
+    val ord = G.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= q0 && col("o_orderdate") < q1)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val perCust = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(G.dsum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+    val cust = G.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"))
+    val nat = G.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    perCust.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("revenue"), col("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemReportSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_mktsegment, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q_r34: TPC-H Q19-shaped disjunctive-predicate join — revenue from
+    * three (brand, size-range, quantity-range) clauses OR-ed together. The
+    * wrong plan evaluates the disjunction as a post-join filter over the
+    * full lineitem⋈part product; the right one pushes the common
+    * conjuncts (quantity bound, size floor) into both scans and broadcasts
+    * part, leaving the OR as a cheap residual. Catalyst does exactly that
+    * once the predicate is written as (common) AND (disjunction). */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = G.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val clause = (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.filter(col("l_quantity") <= 30)
+      .join(broadcast(part.filter(col("p_size") >= 1)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .groupBy(col("p_brand"))
+      .agg(G.dsum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val shippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))

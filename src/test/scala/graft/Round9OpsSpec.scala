@@ -151,6 +151,89 @@ class Round9OpsSpec extends SparkSpec {
     assert(q >= -1.0 - 1e-12 && q <= 1.0 + 1e-12)
   }
 
+  test("r31 local-supplier volume: all three dimensions broadcast; the " +
+    "only sort-merge or shuffled join is the fact-to-fact one") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // kill the auto threshold so ONLY the explicit broadcast() hints fire —
+    // at test SF the fact join would otherwise auto-broadcast too
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try {
+        val d = Relational.localSupplierVolume(spark, sf())
+        d.collect()
+        d.queryExecution.executedPlan
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    val s = plan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(s).length
+    assert(nBroadcast == 3, s"expected 3 broadcast joins, got $nBroadcast:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"fact-to-fact join missing:\n$s")
+  }
+
+  test("r32 revenue forecast: every predicate pushes into the scan and " +
+    "only the needed columns are read") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = Relational.revenueForecast(spark, sf())
+        d.collect()
+        d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"filters not pushed: $pushed")
+    val readSchema = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("r33 returned items: returnflag filter pushes to the lineitem scan " +
+    "and the top-20 runs as TakeOrderedAndProject") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = Relational.returnedItemReport(spark, sf())
+        d.collect()
+        d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"global sort for top-20:\n$s")
+    val pushed = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("l_returnflag"), s"returnflag not pushed: $pushed")
+  }
+
+  test("r34 disjunctive revenue: rows satisfy exactly their brand clause " +
+    "(brute recompute of per-brand counts)") {
+    val got = Relational.disjunctiveRevenue(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val size = spark.read.parquet(s"${sf()}/part.parquet")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val want = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_partkey", "l_quantity").collect()
+      .flatMap { r =>
+        val (b, sz) = size(r.getLong(0)); val q = r.getDouble(1)
+        val hit =
+          (b == "Brand#1" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) ||
+          (b == "Brand#2" && sz >= 1 && sz <= 25 && q >= 10 && q <= 20) ||
+          (b == "Brand#3" && sz >= 1 && sz <= 35 && q >= 20 && q <= 30)
+        if (hit) Some(b) else None
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
