@@ -411,7 +411,13 @@ object SparkEntry {
     // TPC-H Q10 shape: quarter returns, post-agg dimension enrichment
     "q_r33_returned_items" -> ((s, d) => Relational.returnedItemReport(s, d)),
     // TPC-H Q19 shape: disjunctive brand/size/quantity clauses
-    "q_r34_disjunctive_rev" -> ((s, d) => Relational.disjunctiveRevenue(s, d))
+    "q_r34_disjunctive_rev" -> ((s, d) => Relational.disjunctiveRevenue(s, d)),
+    // TPC-H Q7 shape: bilateral nation trade, dimension-filter semi-reduce
+    "q_r35_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
+    // TPC-H Q8 shape: conditional-aggregate market-share ratio
+    "q_r36_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    // TPC-H Q18 shape: HAVING on the fact agg before any join
+    "q_r37_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -638,6 +644,9 @@ object SparkEntry {
     "q_r31_local_supplier" -> Relational.localSupplierVolumeSql,
     "q_r32_revenue_forecast" -> Relational.revenueForecastSql,
     "q_r33_returned_items" -> Relational.returnedItemReportSql,
-    "q_r34_disjunctive_rev" -> Relational.disjunctiveRevenueSql
+    "q_r34_disjunctive_rev" -> Relational.disjunctiveRevenueSql,
+    "q_r35_volume_shipping" -> Relational.volumeShippingSql,
+    "q_r36_market_share" -> Relational.marketShareSql,
+    "q_r37_large_volume" -> Relational.largeVolumeCustomersSql
   )
 }

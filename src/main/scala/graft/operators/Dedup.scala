@@ -831,12 +831,13 @@ object Dedup {
   private[graft] def sharedNearDupPairs(spark: SparkSession,
       dir: String): DataFrame =
     pairsMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir), _ => {
-        val df = simhashNearDups(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize once, under the memo's compute lock
-        df
-      })
+      (System.identityHashCode(spark), dir), _ =>
+        // localCheckpoint, not persist(): Bench clears the SQL CacheManager
+        // between queries (so intra-query .cache() frames don't accumulate),
+        // which would silently de-materialize a persist()-ed memo after its
+        // first consumer. RDD-block-backed localCheckpoint (the same choice
+        // memberLabels makes) is eager and survives catalog.clearCache().
+        simhashNearDups(spark, dir).localCheckpoint())
 
   private[graft] def sharedClusterLabels(spark: SparkSession,
       dir: String): DataFrame = {

@@ -1216,6 +1216,165 @@ object Relational {
       |       AND l_quantity BETWEEN 20 AND 30)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q_r35: TPC-H Q7-shaped volume shipping — bilateral trade between two
+    * nations by year: lineitems whose supplier sits in one nation and
+    * customer in the other, either direction. The nation filters push into
+    * the BROADCAST dimension builds (tiny), which then act as semi-join
+    * reducers on the fact rows; the only shuffle is orders⋈lineitem.
+    * year() on the ship date is GROUP-BY material computed post-join. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val y0 = lit("1997-01-01").cast("timestamp")
+    val y1 = lit("1999-01-01").cast("timestamp")
+    val nat = G.table(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = G.table(spark, dir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val sup = G.table(spark, dir, "supplier")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= y0 && col("l_shipdate") < y1)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(G.dsum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val volumeShippingSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name <> cn.n_name
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'
+      |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q_r36: TPC-H Q8-shaped market share — of all revenue shipped to ASIA
+    * customers over two years, the fraction supplied by NATION_2, by year.
+    * The share is a CONDITIONAL-AGGREGATE RATIO (sum(case)/sum) — one
+    * aggregation, no self-join, the shape reporting stacks reach for
+    * whenever they say "share of". Numerator and denominator both sum
+    * through DECIMAL, then divide once in double — hash-exact. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val y0 = lit("1997-01-01").cast("timestamp")
+    val y1 = lit("1999-01-01").cast("timestamp")
+    val asiaNat = G.table(spark, dir, "nation")
+      .join(G.table(spark, dir, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = G.table(spark, dir, "customer")
+      .join(asiaNat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supNat = G.table(spark, dir, "supplier")
+      .join(G.table(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = G.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        G.dsum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(0.0)).as("nation_rev"),
+        G.dsum(col("rev")).as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  val marketShareSql: String =
+    """WITH j AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS rev,
+      |    sn.n_name AS supp_nation
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = cn.n_regionkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01')
+      |SELECT CAST(o_year AS INT) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN rev
+      |    ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS nation_rev,
+      |  CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS total_rev,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN rev
+      |    ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) /
+      |    CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+      |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** q_r37: TPC-H Q18-shaped large-volume customers — orders whose total
+    * quantity tops 250 units, with their customer, ranked by order value.
+    * The HAVING-on-fact-agg runs FIRST (partial→final on orderkey, output
+    * a few thousand keys), then joins back to orders and a broadcast
+    * customer; the big table is aggregated before anything is joined —
+    * never the other way around. Quantities are integral doubles, so the
+    * HAVING threshold is exact. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = G.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(G.dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    val ord = G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val cust = G.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    bigOrders.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val largeVolumeCustomersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |      AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
   val shippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))

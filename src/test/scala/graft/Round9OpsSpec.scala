@@ -234,6 +234,50 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("r35 volume shipping: only cross-nation pairs appear, both " +
+    "directions, years within the window") {
+    // sf0.001 has no cross-trade between these two nations in the window;
+    // the law needs the populated graph
+    val rows = Relational.volumeShipping(spark, sf("0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != r.getString(1))
+      assert(Set("NATION_1", "NATION_2")(r.getString(0)))
+      val y = r.getInt(2)
+      assert(y >= 1997 && y <= 1998)
+    }
+  }
+
+  test("r36 market share: the ratio is numerator/denominator and stays " +
+    "in [0, 1]") {
+    val rows = Relational.marketShare(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nr = r.getAs[Double]("nation_rev")
+      val tr = r.getAs[Double]("total_rev")
+      val sh = r.getAs[Double]("mkt_share")
+      assert(nr >= 0 && nr <= tr)
+      assert(math.abs(sh - nr / tr) < 1e-15)
+      assert(sh >= 0 && sh <= 1)
+    }
+  }
+
+  test("r37 large-volume customers: every order tops the quantity " +
+    "threshold and value descends") {
+    val rows = Relational.largeVolumeCustomers(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250))
+    val tp = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(tp.zip(tp.tail).forall { case (a, b) => a >= b })
+    // threshold reconciles against a brute per-order sum
+    val want = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > 250).keySet
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet.subsetOf(want))
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
