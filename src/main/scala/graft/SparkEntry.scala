@@ -417,7 +417,13 @@ object SparkEntry {
     // TPC-H Q8 shape: conditional-aggregate market-share ratio
     "q_r36_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     // TPC-H Q18 shape: HAVING on the fact agg before any join
-    "q_r37_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d))
+    "q_r37_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    // TPC-H Q9 shape: margin per supplier nation per year
+    "q_r38_product_margin" -> ((s, d) => Relational.productMargin(s, d)),
+    // TPC-H Q16 shape: distinct-supplier diversity per brand/size band
+    "q_r39_supplier_diversity" -> ((s, d) => Relational.supplierDiversity(s, d)),
+    // TPC-H Q21 shape: last-to-ship supplier on multi-supplier open orders
+    "q_r40_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -647,6 +653,9 @@ object SparkEntry {
     "q_r34_disjunctive_rev" -> Relational.disjunctiveRevenueSql,
     "q_r35_volume_shipping" -> Relational.volumeShippingSql,
     "q_r36_market_share" -> Relational.marketShareSql,
-    "q_r37_large_volume" -> Relational.largeVolumeCustomersSql
+    "q_r37_large_volume" -> Relational.largeVolumeCustomersSql,
+    "q_r38_product_margin" -> Relational.productMarginSql,
+    "q_r39_supplier_diversity" -> Relational.supplierDiversitySql,
+    "q_r40_waiting_suppliers" -> Relational.waitingSuppliersSql
   )
 }

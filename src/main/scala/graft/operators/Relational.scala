@@ -1375,6 +1375,125 @@ object Relational {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** q_r38: TPC-H Q9-shaped product-margin — profit per supplier nation
+    * per year, margin = discounted revenue minus catalog cost
+    * (p_retailprice × quantity stands in for partsupp supplycost, which
+    * this schema does not carry). part and supplier⋈nation broadcast; the
+    * one fact-to-fact shuffle joins lineitem to orders for the order year;
+    * the margin expression folds into the scan projection. */
+  def productMargin(spark: SparkSession, dir: String): DataFrame = {
+    val part = G.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNat = G.table(spark, dir, "supplier")
+      .join(G.table(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = G.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = G.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .as("margin"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val productMarginSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS margin,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year""".stripMargin
+
+  /** q_r39: TPC-H Q16-shaped supplier diversity — how many DISTINCT
+    * suppliers serve each (brand, size-band), observed from actual trade
+    * (lineitem supplies the part↔supplier relation this schema keeps).
+    * The pre-aggregation DISTINCT runs on (partkey, suppkey) pairs BEFORE
+    * the brand rollup, so the count-distinct shuffle carries two longs —
+    * the wrong plan count-distincts strings post-broadcast. */
+  def supplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val rel = G.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val part = G.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        (col("p_size") - pmod(col("p_size"), lit(10))).as("size_band"))
+    rel.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("p_brand"), col("size_band"))
+  }
+
+  val supplierDiversitySql: String =
+    """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_size - (p_size % 10) AS size_band,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts
+      |FROM rel JOIN part ON p_partkey = l_partkey
+      |GROUP BY p_brand, p_size - (p_size % 10)
+      |ORDER BY p_brand, size_band""".stripMargin
+
+  /** q_r40: TPC-H Q21-shaped waiting-supplier audit — suppliers who were
+    * the LAST to ship on a multi-supplier open order: an EXISTS (another
+    * supplier on the same order) and a NOT EXISTS (another supplier
+    * shipping later) composed on one keyed frame. Both quantifiers resolve
+    * against per-order extremes computed in a single window pass over
+    * lineitem (max shipdate, distinct-supplier count) — no triple
+    * self-join; the shuffle key is l_orderkey throughout, so the window
+    * and the semi-join reuse one partitioning. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    val li = G.table(spark, dir, "lineitem")
+      .join(G.table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .withColumn("max_ship", max(col("l_shipdate")).over(w))
+      .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+    val waiting = li
+      .filter(col("n_supps") > 1 && col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_waiting_orders"))
+    waiting.join(broadcast(G.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+      col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate,
+      |    max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship,
+      |    COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+      |      AS n_supps
+      |  FROM lineitem
+      |  WHERE l_orderkey IN
+      |    (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')),
+      |wt AS (
+      |  SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_waiting_orders
+      |  FROM li WHERE n_supps > 1 AND l_shipdate = max_ship
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, n_waiting_orders
+      |FROM wt JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY n_waiting_orders DESC, s_suppkey LIMIT 25""".stripMargin
+
   val shippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))

@@ -278,6 +278,74 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("o_orderkey")).toSet.subsetOf(want))
   }
 
+  test("r38 product margin: brute per-nation-year recompute matches") {
+    val got = Relational.productMargin(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val nation = spark.read.parquet(s"${sf()}/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supNat = spark.read.parquet(s"${sf()}/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> nation(r.getInt(1))).toMap
+    val ordYear = spark.read.parquet(s"${sf()}/orders.parquet")
+      .selectExpr("o_orderkey", "year(o_orderdate) y").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (supNat(r.getLong(1)), ordYear(r.getLong(0))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+  }
+
+  test("r39 supplier diversity: distinct pre-aggregation means no band " +
+    "exceeds the relation's true supplier count") {
+    val rows = Relational.supplierDiversity(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val rel = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val band = spark.read.parquet(s"${sf()}/part.parquet")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2) / 10 * 10))
+      .toMap
+    val want = rel.groupBy(p => band(p._1)).view
+      .mapValues(g => (g.map(_._2).size.toLong, g.map(_._1).size.toLong))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getInt(1))
+      val (ns, np) = want(k)
+      assert(r.getAs[Long]("n_suppliers") == ns)
+      assert(r.getAs[Long]("n_parts") == np)
+    }
+  }
+
+  test("r40 waiting suppliers: every reported supplier really shipped " +
+    "last on some multi-supplier open order") {
+    val rows = Relational.waitingSuppliers(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val open = spark.read.parquet(s"${sf()}/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey",
+        "CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => open(t._1))
+    val byOrder = li.groupBy(_._1)
+    val want = byOrder.values.flatMap { g =>
+      val supps = g.map(_._2).distinct
+      if (supps.length <= 1) Nil
+      else {
+        val mx = g.map(_._3).max
+        g.filter(_._3 == mx).map(_._2).distinct
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(want(r.getAs[Long]("s_suppkey")) ==
+        r.getAs[Long]("n_waiting_orders"))
+    }
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
