@@ -475,6 +475,32 @@ object Stress {
         graft.operators.Curation.seqPackOn(docs, 512L)
           .write.mode("overwrite").format("noop").save()
       },
+      // round 8: the TPC-H star-join shape (r31/r35/r38) at synthetic
+      // scale — fact⋈fact shuffle on the order key plus two broadcast
+      // dimensions and a residual nation-match; the ladder measures the
+      // one-exchange claim as rows double (join + partial agg should scale
+      // ~linearly; a second exchange would show as a super-linear knee)
+      time("star_join") {
+        val nOrd = math.max(n / 4, 1L)
+        val ord = spark.range(nOrd).select(col("id").as("o_orderkey"),
+          pmod(xxhash64(col("id")), lit(nKeys)).as("o_custkey"))
+        val li = spark.range(n).select(
+          pmod(xxhash64(col("id") + 3), lit(nOrd)).as("l_orderkey"),
+          pmod(xxhash64(col("id") + 5), lit(1000L)).as("l_suppkey"),
+          (pmod(xxhash64(col("id") + 7), lit(100000)).cast("double")
+            / 100.0).as("rev"))
+        val cust = spark.range(nKeys).select(col("id").as("c_custkey"),
+          pmod(col("id"), lit(25)).as("c_nation"))
+        val sup = spark.range(1000).select(col("id").as("s_suppkey"),
+          pmod(col("id"), lit(25)).as("s_nation"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .where(col("s_nation") === col("c_nation"))
+          .groupBy(col("c_nation"))
+          .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+          .write.mode("overwrite").format("noop").save()
+      },
       time("kmeans_argmin_window") {
         import org.apache.spark.sql.expressions.Window
         val nVecs = math.min(n, 500000L)
