@@ -330,6 +330,8 @@ object SparkEntry {
     "q_p12_forward_compat" -> ((s, d) => CdcParser.forwardCompatParse(s, d)),
     // kill-and-resume from checkpoint: restart is invisible, hash-proven
     "q_stream_resume" -> ((s, d) => graft.streaming.StreamingJobs.resumeReplay(s, d)),
+    // two-source union into one stateful agg, min-watermark coordination
+    "q_stream_union" -> ((s, d) => graft.streaming.StreamingJobs.unionReplay(s, d)),
     // Bloom-filter dedup (DCLM BFF): 80%-gram-seen probe vs the index set
     "q_x16_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
     // DSIR importance selection: target-likeness ratio over hashed unigrams
@@ -611,6 +613,7 @@ object SparkEntry {
     "q_y22_matryoshka" -> Similarity.matryoshkaRecallSql(),
     "q_p12_forward_compat" -> CdcParser.forwardCompatParseSql,
     "q_stream_resume" -> graft.streaming.StreamingJobs.resumeReplaySql,
+    "q_stream_union" -> graft.streaming.StreamingJobs.unionReplaySql,
     "q_x16_bloom_dedup" -> Dedup.bloomDedupSql,
     "q_c25_dsir_select" -> Curation.dsirSelectSql,
     "q_y23_ood_mahalanobis" -> Similarity.oodMahalanobisSql,

@@ -947,6 +947,47 @@ object StreamingJobs {
   // restart must be invisible: the oracle is the one-shot batch window SQL
   def resumeReplaySql: String = fanOutReplaySql
 
+  /** MULTI-SOURCE UNION, HASH-CHECKED (q_stream_union): the CDC feed split
+    * across TWO file-stream sources (the two-topic deployment shape: a
+    * partitioned Kafka feed, one reader per topic) unioned BEFORE the
+    * stateful windowed aggregate and drained under AvailableNow. The
+    * read-back hash-matches the one-shot batch aggregate over the WHOLE
+    * feed (q_stream_a1's oracle): equality proves the union multiplexes
+    * without loss or duplication, and that the stateful operator's global
+    * watermark advances as the MIN across sources — each source carries
+    * its OWN sentinel, because one lagging source would pin the global
+    * watermark at its last event and append mode would hold every tail
+    * window open forever. Split key is a hash of the raw envelope line, so
+    * the halves are time-interleaved (the adversarial case for watermark
+    * coordination), not time-partitioned. */
+  def unionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_union")
+    val inA = s"$tmp/a"; val inB = s"$tmp/b"
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val split = pmod(xxhash64(col("json")), lit(2L))
+    writeEnvelopeWithSentinel(spark, dir, inA, sentinels = 1, parts = 2,
+      keep = split === 0L)
+    writeEnvelopeWithSentinel(spark, dir, inB, sentinels = 1, parts = 2,
+      keep = split === 1L)
+    val united = readCdcStream(spark, inA, maxFilesPerTrigger = 1)
+      .unionByName(readCdcStream(spark, inB, maxFilesPerTrigger = 1))
+    val q = windowAggStream(united).writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(out)
+      .filter(col("user_id") =!= "ZSENTINEL")
+      .withColumn("window_start",
+        col("window_start").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  // the union of the two halves must equal the whole feed's batch windows
+  def unionReplaySql: String = fanOutReplaySql
+
   /** LATE DATA, HASH-CHECKED (q_stream_late): the real watermark DROPPING
     * real late rows — the one streaming behavior every other replay here
     * avoids (their inputs arrive in event-time order, so their watermarks
@@ -1102,9 +1143,10 @@ object StreamingJobs {
     * partitioning; single-batch callers). */
   private def writeEnvelopeWithSentinel(spark: SparkSession, dir: String,
       in: String, sentinels: Int = 1, parts: Int = 0,
-      minMs: Long = Long.MinValue): Unit = {
+      minMs: Long = Long.MinValue,
+      keep: org.apache.spark.sql.Column = lit(true)): Unit = {
     val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
-      .filter(col("src_ms") >= minMs)
+      .filter(col("src_ms") >= minMs && keep)
     val t0 = System.currentTimeMillis() - 3600000L
     if (parts > 0) {
       env.repartitionByRange(parts, col("src_ms")).select("json")

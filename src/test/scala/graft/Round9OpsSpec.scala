@@ -346,6 +346,18 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_union: the hash split is non-degenerate (both sources " +
+    "carry rows) and the union replay emits windows") {
+    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, sf())
+    val cnt = env.select(pmod(xxhash64(col("json")), lit(2L)).as("h"))
+      .groupBy("h").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cnt.getOrElse(0L, 0L) > 0 && cnt.getOrElse(1L, 0L) > 0,
+      s"degenerate split: $cnt")
+    val rows = graft.streaming.StreamingJobs.unionReplay(spark, sf())
+    assert(rows.count() > 0)
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
