@@ -361,6 +361,8 @@ object SparkEntry {
     "q_t22_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     // blob QC gate: byte-distribution stats, blob never crosses an exchange
     "q_m11_blob_qc" -> ((s, d) => Multimodal.blobQc(s, d)),
+    // scene-change detection over 64-byte frames, integer cut rule
+    "q_m12_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     // contrastive mining: per-anchor top-3 positives + hard negatives
     "q_y24_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // Benford first-digit audit (literal expectations, no runtime log)
@@ -628,6 +630,7 @@ object SparkEntry {
     "q_stream_profile" -> Validation.profileSql,
     "q_t22_gopher_rules" -> TextAnalysis.gopherRulesSql,
     "q_m11_blob_qc" -> Multimodal.blobQcSql,
+    "q_m12_scene_cuts" -> Multimodal.sceneCutsSql,
     "q_y24_hard_negatives" -> Similarity.hardNegativesSql,
     "q_v12_benford" -> Validation.benfordSql,
     "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql,

@@ -628,6 +628,102 @@ object Multimodal {
     (nFrames.toLong, nActive, nSeg, longest)
   }
 
+  /** q_m12 kernel: SCENE-CHANGE detection over the media payload — the
+    * video-curation primitive that decides where to cut clips. Frames are
+    * the same 64-byte windows as VAD; a CUT fires between consecutive
+    * frames when the energy jump exceeds 256 (mean byte shift > 4 — on
+    * this corpus the p90 jump is 228 and the p99 is 353, so the rule is
+    * selective but NON-vacuous; a mean-relative rule was measured
+    * unfirable here because text frame energy sits uniformly near 6k
+    * while jumps top out at ~500). Exact integer comparison, so the rule
+    * replays bit-for-bit in SQL (the m9 move). One JVM pass per payload,
+    * zero shuffles except the output sort. */
+  private[graft] def sceneKernel(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val nFrames = bytes.length / 64
+    if (nFrames == 0) return (0L, 0L, 0L, 0L)
+    val energy = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0L; var i = f * 64
+      val end = i + 64
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      energy(f) = s; f += 1
+    }
+    var cuts = 0L; var longest = 1L; var run = 1L
+    f = 1
+    while (f < nFrames) {
+      if (math.abs(energy(f) - energy(f - 1)) > 256L) {
+        cuts += 1; run = 1L
+      } else {
+        run += 1
+        if (run > longest) longest = run
+      }
+      f += 1
+    }
+    (nFrames.toLong, cuts, cuts + 1L, longest)
+  }
+
+  /** q_m12: scene segmentation report per media payload. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (nf, nc, ns, ls) = sceneKernel(bytes)
+        (id, nf, nc, ns, ls)
+      })
+      .toDF("doc_id", "n_frames", "n_cuts", "n_scenes", "longest_scene")
+      .orderBy(col("doc_id"))
+  }
+
+  val sceneCutsSql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             octet_length(encode(text)) AS n FROM documents),
+      |fr AS (
+      |  SELECT doc_id, CAST(t.f AS BIGINT) AS f, n
+      |  FROM h, unnest(range(0, n // 64)) t(f)),
+      |u AS (SELECT doc_id, f, CAST(t.i AS BIGINT) AS i
+      |      FROM fr, unnest(range(0, 64)) t(i)),
+      |en AS (
+      |  SELECT u.doc_id, u.f,
+      |    CAST(sum(('0x' || substr(h.hx,
+      |           CAST(2 * (u.f * 64 + u.i) + 1 AS INT), 2))::INT)
+      |      AS BIGINT) AS e
+      |  FROM u JOIN h ON h.doc_id = u.doc_id
+      |  GROUP BY u.doc_id, u.f),
+      |tot AS (
+      |  SELECT doc_id, count(*) AS n_frames, CAST(sum(e) AS BIGINT) AS total
+      |  FROM en GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, f, e,
+      |    lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+      |  FROM en),
+      |c AS (
+      |  SELECT doc_id, f,
+      |    CASE WHEN pe IS NOT NULL AND abs(e - pe) > 256
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM d),
+      |sc AS (
+      |  SELECT doc_id, f,
+      |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+      |  FROM c),
+      |lens AS (
+      |  SELECT doc_id, scene_id, count(*) AS len
+      |  FROM sc GROUP BY doc_id, scene_id),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_scenes,
+      |    CAST(max(len) AS BIGINT) AS mx
+      |  FROM lens GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_frames,
+      |  CAST(a.n_scenes - 1 AS BIGINT) AS n_cuts, a.n_scenes,
+      |  a.mx AS longest_scene
+      |FROM tot t JOIN agg a ON t.doc_id = a.doc_id
+      |UNION ALL
+      |SELECT doc_id, 0, 0, 0, 0 FROM h WHERE n // 64 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val vadSegmentsSql: String =
     """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
       |             octet_length(encode(text)) AS n FROM documents),

@@ -358,6 +358,34 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.count() > 0)
   }
 
+  test("m12 scene kernel: planted two-scene payload cuts exactly once " +
+    "and corpus laws hold") {
+    // 4 quiet frames (all 0x01) then 4 loud frames (all 0xff): one jump of
+    // 64*(255-1) >> 256 at frame 4, zero jump everywhere else
+    val planted = Array.fill(4 * 64)(1.toByte) ++
+      Array.fill(4 * 64)(0xff.toByte)
+    val (nf, nc, ns, ls) = graft.operators.Multimodal.sceneKernel(planted)
+    assert(nf == 8 && nc == 1 && ns == 2 && ls == 4, s"($nf,$nc,$ns,$ls)")
+    // flat payload: one scene spanning everything
+    val flat = Array.fill(6 * 64)(42.toByte)
+    val (f2, c2, s2, l2) = graft.operators.Multimodal.sceneKernel(flat)
+    assert(f2 == 6 && c2 == 0 && s2 == 1 && l2 == 6)
+    assert(graft.operators.Multimodal.sceneKernel(Array.emptyByteArray) ==
+      ((0L, 0L, 0L, 0L)))
+    val rows = graft.operators.Multimodal.sceneCuts(spark, sf()).collect()
+    rows.foreach { r =>
+      val (nfr, ncu, nsc, lsc) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      if (nfr > 0) {
+        assert(nsc == ncu + 1)
+        assert(lsc >= 1 && lsc <= nfr)
+      } else assert(ncu == 0 && nsc == 0 && lsc == 0)
+    }
+    // the threshold must actually fire on the corpus, or the operator
+    // degenerates into a frame counter
+    assert(rows.map(_.getLong(2)).sum > 0, "no cuts fired on the corpus")
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
