@@ -782,4 +782,51 @@ object DashboardQueries {
       |SELECT dow, hour, n_events,
       |  CAST(n_events AS DOUBLE) / sum(n_events) OVER () AS share
       |FROM h ORDER BY dow, hour""".stripMargin
+
+  /** q_a23: inter-arrival GAP analysis — the silence-detection panel a
+    * monitoring stack runs on every feed (did a producer stall?). Gaps are
+    * computed per (event_type, user_id) — a HIGH-cardinality window key,
+    * so the one keyed shuffle spreads across the cluster instead of
+    * serializing per type (partitioning by type alone would put each
+    * type's full global sort on one task at 100 TB) — then rolled up per
+    * type: stream count, gap count, worst silence, count of gaps over an
+    * hour. Tie-handling is order-free: the multiset of consecutive-sorted
+    * differences is invariant under permutations of equal timestamps, so
+    * both engines agree without a tiebreaker. Pure integer epoch-ms
+    * arithmetic end to end. */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ms"))
+    G.eventsRaw(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_ns DIV 1000000").as("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_streams"),
+        count(lit(1)).as("n_gaps"),
+        max(col("gap")).as("max_gap_ms"),
+        sum(when(col("gap") > 3600000L, 1L).otherwise(0L))
+          .as("n_gaps_over_1h"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventGapsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, epoch_ms(ts) AS ms FROM events),
+      |g AS (
+      |  SELECT event_type, user_id,
+      |    ms - lag(ms) OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY ms) AS gap
+      |  FROM e)
+      |SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_streams,
+      |  COUNT(*) AS n_gaps,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_ms,
+      |  CAST(sum(CASE WHEN gap > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_gaps_over_1h
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

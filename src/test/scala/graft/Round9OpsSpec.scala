@@ -386,6 +386,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "no cuts fired on the corpus")
   }
 
+  test("a23 event gaps: per-type counts reconcile (gaps = rows - streams) " +
+    "and a brute max-gap recompute agrees") {
+    val rows = graft.operators.DashboardQueries.eventGaps(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = G.eventsRaw(spark, sf())
+      .selectExpr("event_type", "user_id", "ts_ns DIV 1000000 ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val streams = byType(t).groupBy(_._2)
+      // only streams with >= 2 events produce gaps
+      val gappy = streams.filter(_._2.length >= 2)
+      assert(r.getAs[Long]("n_streams") == gappy.size)
+      assert(r.getAs[Long]("n_gaps") ==
+        gappy.values.map(_.length - 1).sum.toLong)
+      val maxGap = gappy.values.map { g =>
+        val s = g.map(_._3).sorted
+        s.zip(s.tail).map { case (a, b) => b - a }.max
+      }.max
+      assert(r.getAs[Long]("max_gap_ms") == maxGap)
+    }
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
