@@ -394,6 +394,8 @@ object SparkEntry {
     "q_a22_dow_hour_heatmap" -> ((s, d) => DashboardQueries.dowHourHeatmap(s, d)),
     // inter-arrival gap / silence detection per stream, rolled up per type
     "q_a23_event_gaps" -> ((s, d) => DashboardQueries.eventGaps(s, d)),
+    // sentence segmentation stats, HOF projections at scan speed
+    "q_t24_sentences" -> ((s, d) => TextAnalysis.sentenceStats(s, d)),
     // TPC-H Q3 shape: segment-filtered top-10 unshipped orders by revenue
     "q_r26_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
     // TPC-H Q17 shape: correlated per-part avg decorrelated to a window
@@ -648,6 +650,7 @@ object SparkEntry {
     "q_g10_assortativity" -> Graph.assortativitySql,
     "q_a22_dow_hour_heatmap" -> DashboardQueries.dowHourHeatmapSql,
     "q_a23_event_gaps" -> DashboardQueries.eventGapsSql,
+    "q_t24_sentences" -> TextAnalysis.sentenceStatsSql,
     "q_r26_shipping_priority" -> Relational.shippingPrioritySql,
     "q_r27_small_qty_revenue" -> Relational.smallQtyRevenueSql,
     "q_r28_lateral_topk" -> Relational.lateralTopOrdersSql,

@@ -1487,4 +1487,48 @@ object TextAnalysis {
       |    AND (stop_ratio >= 0.06 AND n_distinct_stop >= 2)
       |    AND symbol_ratio <= 0.1 AND ttr >= 0.3 AS keep
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q_t24: SENTENCE segmentation stats — the unit every chunker,
+    * context-window packer, and extractive summarizer cuts on. Sentences
+    * split on `[.!?]+` runs; whitespace-only fragments drop (normalizing
+    * the engines' trailing-empty-segment differences); per doc: sentence
+    * count, trimmed char totals, longest sentence, mean length as an
+    * exact int/int double. All higher-order-function projections — the
+    * whole query runs at scan speed, the only exchange is the output
+    * sort. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("""filter(transform(split(text, '[.!?]+'), s -> trim(s)),
+               |       s -> length(s) > 0)""".stripMargin).as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).as("n_sentences"),
+        expr("aggregate(sents, 0L, (a, s) -> a + length(s))")
+          .as("sent_chars"),
+        expr("array_max(transform(sents, s -> length(s)))")
+          .as("max_sent_chars"))
+      .withColumn("mean_sent_chars",
+        when(col("n_sentences") > 0,
+          col("sent_chars").cast("double") /
+            col("n_sentences").cast("double")).otherwise(0.0))
+      .orderBy(col("doc_id"))
+
+  val sentenceStatsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+      |                s -> trim(s)), s -> length(s) > 0) AS sents
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(sents) AS INT) AS n_sentences,
+      |  CAST(coalesce(list_sum(list_transform(sents, s -> length(s))), 0)
+      |    AS BIGINT) AS sent_chars,
+      |  CAST(list_max(list_transform(sents, s -> length(s)))
+      |    AS INT) AS max_sent_chars,
+      |  CASE WHEN len(sents) > 0
+      |       THEN CAST(coalesce(list_sum(list_transform(sents,
+      |              s -> length(s))), 0)
+      |              AS DOUBLE) / CAST(len(sents) AS DOUBLE)
+      |       ELSE 0.0 END AS mean_sent_chars
+      |FROM s ORDER BY doc_id""".stripMargin
 }

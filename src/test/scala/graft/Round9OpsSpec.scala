@@ -411,6 +411,26 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("t24 sentence stats: brute split recompute matches and laws hold") {
+    val rows = graft.operators.TextAnalysis.sentenceStats(spark, sf())
+      .collect()
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val sents = docs(r.getLong(0)).split("[.!?]+").map(_.trim)
+        .filter(_.nonEmpty)
+      assert(r.getInt(1) == sents.length)
+      assert(r.getLong(2) == sents.map(_.length.toLong).sum)
+      if (sents.nonEmpty) {
+        assert(r.getInt(3) == sents.map(_.length).max)
+        assert(math.abs(r.getDouble(4) -
+          sents.map(_.length.toLong).sum.toDouble / sents.length) < 1e-12)
+      }
+    }
+    assert(rows.map(_.getInt(1).toLong).sum > 0)
+  }
+
   test("r26 shipping priority: revenue descends and keys are distinct") {
     val rows = Relational.shippingPriority(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= 10)
