@@ -306,6 +306,22 @@ object CdcParser {
     * contract). The column is replay plumbing only; it never appears in
     * the envelope. */
   private[graft] def eventsAsEnvelopeJsonTs(spark: SparkSession,
+      dir: String): DataFrame =
+    envelopeMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir), _ =>
+        // localCheckpoint (survives catalog.clearCache, the pairs-memo
+        // lesson): the JSON-encode pass over events is paid once per
+        // session; every streaming replay's fixture writer reuses it
+        envelopeBuild(spark, dir).localCheckpoint())
+
+  /** Every streaming replay starts by JSON-encoding the events table into
+    * Debezium envelopes — a dozen fixture writers per bench/verify run
+    * paying the same projection. Session-scoped memo, same pattern as
+    * [[graft.operators.Dedup.sharedNearDupPairs]]. */
+  private val envelopeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+
+  private def envelopeBuild(spark: SparkSession,
       dir: String): DataFrame = {
     val ev = G.eventsRaw(spark, dir)
       .withColumn("k", G.propsK(col("props")))
