@@ -431,7 +431,21 @@ object SparkEntry {
     // TPC-H Q16 shape: distinct-supplier diversity per brand/size band
     "q_r39_supplier_diversity" -> ((s, d) => Relational.supplierDiversity(s, d)),
     // TPC-H Q21 shape: last-to-ship supplier on multi-supplier open orders
-    "q_r40_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d))
+    "q_r40_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
+    // TPC-H Q2 shape: correlated min-cost supplier decorrelated to a window
+    "q_r41_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    // TPC-H Q11 shape: scalar-subquery total as a broadcast one-row frame
+    "q_r42_important_parts" -> ((s, d) => Relational.importantParts(s, d)),
+    // TPC-H Q12 shape: conditional priority counts per delay band
+    "q_r43_delay_bands" -> ((s, d) => Relational.shippingDelayBands(s, d)),
+    // TPC-H Q13 shape: left-outer order counts -> customer distribution
+    "q_r44_order_count_dist" -> ((s, d) => Relational.orderCountDistribution(s, d)),
+    // TPC-H Q14 shape: conditional-aggregate promo revenue ratio
+    "q_r45_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
+    // TPC-H Q15 shape: view+MAX as agg + broadcast one-row rejoin
+    "q_r46_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
+    // TPC-H Q20 shape: nested INs as semi-reducer + window share test
+    "q_r47_dominant_suppliers" -> ((s, d) => Relational.dominantSuppliers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -668,6 +682,13 @@ object SparkEntry {
     "q_r37_large_volume" -> Relational.largeVolumeCustomersSql,
     "q_r38_product_margin" -> Relational.productMarginSql,
     "q_r39_supplier_diversity" -> Relational.supplierDiversitySql,
-    "q_r40_waiting_suppliers" -> Relational.waitingSuppliersSql
+    "q_r40_waiting_suppliers" -> Relational.waitingSuppliersSql,
+    "q_r41_min_cost_supplier" -> Relational.minCostSupplierSql,
+    "q_r42_important_parts" -> Relational.importantPartsSql,
+    "q_r43_delay_bands" -> Relational.shippingDelayBandsSql,
+    "q_r44_order_count_dist" -> Relational.orderCountDistributionSql,
+    "q_r45_promo_revenue" -> Relational.promoRevenueSql,
+    "q_r46_top_supplier" -> Relational.topSupplierSql,
+    "q_r47_dominant_suppliers" -> Relational.dominantSuppliersSql
   )
 }
