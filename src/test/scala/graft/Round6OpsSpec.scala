@@ -168,18 +168,27 @@ class Round6OpsSpec extends SparkSpec {
 
   test("plan audit: semdedup broadcasts centroids, never cross-joins the corpus pairs") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val plan =
-      try {
-        val d = Similarity.semDedup(spark, sf())
-        d.collect(); d.queryExecution.executedPlan
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    val str = plan.toString
-    // k-means assignment: centroids reach the corpus via broadcast
-    assert(str.contains("BroadcastNestedLoopJoin") ||
-      str.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$str")
-    // the pair stage is the cid-keyed equi-join, NOT an all-pairs product
-    assert(!str.contains("CartesianProduct"),
-      s"within-cluster pair scan degraded to all-pairs:\n$str")
+    try {
+      // the k-means BUILD (behind the session memo since the shared-
+      // intermediate rework): centroids reach the corpus via broadcast
+      val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      val (assign, _) = Similarity.ivfAssignCentOn(e, 8, 2)
+      assign.collect()
+      val bstr = assign.queryExecution.executedPlan.toString
+      assert(bstr.contains("BroadcastNestedLoopJoin") ||
+        bstr.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$bstr")
+      // the CONSUMER: semDedup reads the materialized shared assignment
+      // (no rebuild in its plan) and its pair stage is the cid-keyed
+      // equi-join, NOT an all-pairs product
+      val d = Similarity.semDedup(spark, sf())
+      d.collect()
+      val str = d.queryExecution.executedPlan.toString
+      assert(str.contains("ExistingRDD"),
+        s"semdedup did not consume the materialized assignment:\n$str")
+      assert(!str.contains("CartesianProduct"),
+        s"within-cluster pair scan degraded to all-pairs:\n$str")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("plan audit: profile + constraints are each ONE scan of events") {
