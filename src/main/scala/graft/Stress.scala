@@ -501,6 +501,29 @@ object Stress {
           .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_lines"))
           .write.mode("overwrite").format("noop").save()
       },
+      // decorrelated-subquery shape (r27/r41/r42/r46/r47: the window
+      // rewrite of TPC-H's correlated quantifiers): per-(key, subkey)
+      // DECIMAL agg -> window total over key -> share threshold. Two
+      // keyed exchanges — (key, subkey) for the agg, key for the window;
+      // the window input is the AGGREGATED frame (|keys|·|subkeys| rows,
+      // not n), which is what makes the rewrite scale: the raw table
+      // never sorts.
+      time("decorrelated_window") {
+        import org.apache.spark.sql.expressions.Window
+        val pk = math.max(nKeys / 10, 1L)
+        val li = ev.select(
+          pmod(col("user_id"), lit(pk)).as("pk"),
+          pmod(xxhash64(col("event_id")), lit(100L)).as("sk"),
+          col("value"))
+        val pair = li.groupBy(col("pk"), col("sk"))
+          .agg(G.dsum(col("value")).as("q"))
+        val w = Window.partitionBy(col("pk"))
+        pair
+          .withColumn("tot",
+            sum(col("q").cast("decimal(38,6)")).over(w).cast("double"))
+          .filter(col("q") > lit(0.3) * col("tot"))
+          .write.mode("overwrite").format("noop").save()
+      },
       time("kmeans_argmin_window") {
         import org.apache.spark.sql.expressions.Window
         val nVecs = math.min(n, 500000L)
