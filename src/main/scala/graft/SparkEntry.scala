@@ -445,7 +445,15 @@ object SparkEntry {
     // TPC-H Q15 shape: view+MAX as agg + broadcast one-row rejoin
     "q_r46_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
     // TPC-H Q20 shape: nested INs as semi-reducer + window share test
-    "q_r47_dominant_suppliers" -> ((s, d) => Relational.dominantSuppliers(s, d))
+    "q_r47_dominant_suppliers" -> ((s, d) => Relational.dominantSuppliers(s, d)),
+    // Zipf/hapax vocabulary audit: trigram freqs in exact log2 buckets
+    "q_t25_zipf" -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
+    // per-partition ordering audit under the p11 arrival perturbation
+    "q_p14_ordering_audit" -> ((s, d) => CdcParser.orderingAudit(s, d)),
+    // multi-source landmark BFS: 4 landmarks in one vectorized traversal
+    "q_g12_landmarks" -> ((s, d) => Graph.landmarkDistances(s, d)),
+    // filtered ANN: pre-filter exact vs post-filter IVF, recall per query
+    "q_y25_filtered_search" -> ((s, d) => Similarity.filteredSearch(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -689,6 +697,10 @@ object SparkEntry {
     "q_r44_order_count_dist" -> Relational.orderCountDistributionSql,
     "q_r45_promo_revenue" -> Relational.promoRevenueSql,
     "q_r46_top_supplier" -> Relational.topSupplierSql,
-    "q_r47_dominant_suppliers" -> Relational.dominantSuppliersSql
+    "q_r47_dominant_suppliers" -> Relational.dominantSuppliersSql,
+    "q_t25_zipf" -> TextAnalysis.zipfAuditSql,
+    "q_p14_ordering_audit" -> CdcParser.orderingAuditSql,
+    "q_g12_landmarks" -> Graph.landmarkDistancesSql,
+    "q_y25_filtered_search" -> Similarity.filteredSearchSql
   )
 }

@@ -21,7 +21,8 @@ object Verify {
     // c10/c15/c16/c22/c27/m10 then reuse — starting it first converts six
     // recomputes into one
     "q_x3c_simhash_neardup",
-    "q_x7_repeated_span", "q_stream_late", "q_stream_sliding",
+    "q_x7_repeated_span", "q_stream_union", "q_stream_late",
+    "q_stream_sliding",
     "q_stream_resume", "q_x12_simjoin", "q_x6_suffix_array",
     "q_stream_scd2", "q_stream_dedup", "q_stream_ivm", "q_stream_backfill",
     "q_stream_profile", "q_c29_threshold_sweep", "q_stream_latency",

@@ -840,4 +840,61 @@ object CdcParser {
        |  min(CASE WHEN cum * 100 >= n * 99 THEN lo_ms END) AS p99_lo_ms
        |FROM cum GROUP BY op ORDER BY op""".stripMargin
   }
+
+  /** q_p14: PER-PARTITION ORDERING AUDIT — the exactly-once/ordering QA a
+    * CDC consumer runs against its broker: within each market (the natural
+    * Kafka-partition key of the reference feed), replay events in ARRIVAL
+    * order and count `sequential_id` regressions (an inversion = the
+    * upstream total order was violated by transport) plus the worst
+    * backward jump. The raw synthetic feed is perfectly ordered (the audit
+    * would report a vacuous all-zero), so arrivals go through the SAME
+    * deterministic perturbation q_p11's late-data tuning table is built on
+    * (every 101st trade redelivered 7 days late, every 103rd lagging 6
+    * hours) — the audit then measures real damage: ~97 inversions across
+    * half the markets at sf0.01, exactly what the watermark/dedup settings
+    * tuned by p11/s3 have to absorb.
+    *
+    * Scale shape: one window pass partitioned by market (the feed's own
+    * partition key — state is one lag row per partition) over a 4-column
+    * projection, then a keyed count; the tie-break (arrival,
+    * sequential_id, trade_id) is total, so the lag sequence is
+    * deterministic cross-engine. Shared SQL body, zero dialect forks. */
+  def orderingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val p = cdcParseRoundtrip(spark, dir)
+      .select(col("market"), col("sequential_id"), col("trade_id"),
+        col("cdc_ts"))
+    p.createOrReplaceTempView("p14_parsed")
+    spark.sql(orderingAuditBody("p14_parsed"))
+  }
+
+  private def orderingAuditBody(rel: String): String =
+    s"""WITH cm AS (SELECT max(cdc_ts) AS cmax FROM $rel),
+       |arr AS (
+       |  SELECT market, sequential_id, trade_id,
+       |    cdc_ts + CASE
+       |      WHEN trade_id % 101 = 0 AND cdc_ts <= cmax - 691200000
+       |        THEN 604800000
+       |      WHEN trade_id % 103 = 0 AND trade_id % 101 <> 0
+       |        THEN 21600000
+       |      ELSE 0 END AS arrival
+       |  FROM $rel CROSS JOIN cm),
+       |seq AS (
+       |  SELECT market, sequential_id, arrival,
+       |    lag(sequential_id) OVER (PARTITION BY market
+       |      ORDER BY arrival, sequential_id, trade_id) AS prev_seq
+       |  FROM arr)
+       |SELECT market,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CASE WHEN prev_seq > sequential_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_inversions,
+       |  CAST(coalesce(MAX(CASE WHEN prev_seq > sequential_id
+       |    THEN prev_seq - sequential_id END), 0) AS BIGINT)
+       |    AS max_regression
+       |FROM seq GROUP BY market ORDER BY market""".stripMargin
+
+  val orderingAuditSql: String = {
+    val parsed = cdcParseRoundtripSql.replace("ORDER BY trade_id", "")
+    s"WITH parsed AS ($parsed),\n" +
+      orderingAuditBody("parsed").stripPrefix("WITH ")
+  }
 }

@@ -823,4 +823,101 @@ object Graph {
       |    AS contribution
       |FROM dsums d LEFT JOIN eins e ON d.p_brand = e.p_brand
       |CROSS JOIN mm ORDER BY d.p_brand""".stripMargin
+
+  /** q_g12: LANDMARK DISTANCES — per-landmark BFS distance histogram from
+    * the 4 smallest co-purchase nodes, radius 4. This is the multi-SOURCE
+    * generalization of g5 (g5 computes distance from a seed SET — one
+    * number per node; landmarks need one number per node PER landmark):
+    * the state is a fixed-width distance VECTOR per node, relaxed for all
+    * landmarks simultaneously in the same rounds — 4 landmarks cost ONE
+    * BFS's shuffles, not four (the bit-parallel frontier idea, with exact
+    * distances instead of visited bits). Landmark distance tables are the
+    * standard primitive under graph-embedding features and shortest-path
+    * sketches (Das Sarma et al.).
+    *
+    * Scale shape per round (same discipline as bfsFromEdges): adjacency
+    * and state share one HashPartitioner, so the per-round join is
+    * narrow; the round's one shuffle is the reduceByKey carrying
+    * (node, 4×long) — state width is |landmarks|, chosen small and fixed.
+    * The landmark pick (`takeOrdered(4)` on node ids) moves 32 bytes to
+    * the driver. The oracle replays 4 unrolled min-agg rounds as CTEs. */
+  def landmarkDistances(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val adj = edges.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .partitionBy(part).cache()
+    val nodes = adj.mapValues(_ => 1L).reduceByKey(part, (x, _) => x)
+    val landmarks = nodes.keys.takeOrdered(4)
+    val lmIdx = landmarks.zipWithIndex.toMap
+    val nL = landmarks.length
+    val INF = Long.MaxValue
+    var dist = nodes.mapPartitions(_.map { case (n, _) =>
+      val arr = Array.fill(nL)(INF)
+      lmIdx.get(n).foreach(i => arr(i) = 0L)
+      (n, arr)
+    }, preservesPartitioning = true).cache()
+    dist.count()
+    for (_ <- 1 to 4) {
+      val relaxed = adj.join(dist) // co-partitioned: narrow
+        .map { case (_, (nb, arr)) =>
+          (nb, arr.map(d => if (d == INF) INF else d + 1L)) }
+        .reduceByKey(part, (x: Array[Long], y: Array[Long]) =>
+          Array.tabulate(nL)(i => math.min(x(i), y(i)))) // one shuffle
+      val next = dist.join(relaxed) // both on `part`: narrow
+        .mapValues { case (d0, d1) =>
+          Array.tabulate(nL)(i => math.min(d0(i), d1(i))) }
+        .cache()
+      next.count()
+      dist.unpersist()
+      dist = next
+    }
+    val hist = dist.flatMap { case (_, arr) =>
+      arr.iterator.zipWithIndex.collect {
+        case (d, i) if d != INF => (landmarks(i), d)
+      }
+    }.toDF("landmark", "dist")
+    adj.unpersist()
+    hist.groupBy(col("landmark"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("landmark"), col("dist"))
+  }
+
+  val landmarkDistancesSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT landmark, node, min(dist) AS dist FROM (
+         |    SELECT landmark, node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT d.landmark, a.nb AS node, d.dist + 1 AS dist
+         |    FROM $prev d JOIN adj a ON a.c = d.node)
+         |  GROUP BY landmark, node)"""
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_quantity >= 30),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS (
+       |  SELECT u AS c, v AS nb FROM edges
+       |  UNION ALL SELECT v AS c, u AS nb FROM edges),
+       |lm AS (SELECT DISTINCT c AS landmark FROM adj
+       |       ORDER BY landmark LIMIT 4),
+       |d0 AS (SELECT landmark, landmark AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM lm),
+       |${round("d0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |${round("r3", "r4")}
+       |SELECT landmark, dist, count(*) AS n_nodes
+       |FROM r4 GROUP BY landmark, dist
+       |ORDER BY landmark, dist""".stripMargin
+  }
 }

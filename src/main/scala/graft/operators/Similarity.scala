@@ -551,6 +551,132 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** q_y25: FILTERED VECTOR SEARCH — ANN under a metadata predicate, the
+    * production shape every vector store wrestles with (filtered search:
+    * Weaviate/pgvector/FAISS IDSelector all special-case it). Two
+    * strategies on the same index, compared per query: PRE-FILTER exact
+    * (brute top-3 cosine over only the predicate-passing corpus — the
+    * ground truth, affordable when the predicate is selective) vs
+    * POST-FILTER IVF (route to nprobe=2 cells via the SHARED
+    * [[ivfAssignCent]] memo, drop candidates failing the predicate, top-3
+    * of what survives). The output row per query carries the surviving
+    * candidate count and recall@3 — the table that shows the
+    * filtered-search failure mode: when the predicate thins a probed cell,
+    * post-filtering silently loses neighbors that pre-filtering keeps
+    * (recall < 1 rows). Predicate is `vec_id % 3 = 0` (a deterministic
+    * metadata stand-in, selectivity 1/3).
+    *
+    * Scale shape: the pre-filter path is one predicate-pushed corpus scan
+    * against broadcast queries; the post-filter path joins the
+    * cell-assigned corpus on cid (no corpus shuffle) with the predicate
+    * applied before the join. Counts integer; recall is one double
+    * division by the literal 3. */
+  def filteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (assignRaw, cent) = ivfAssignCent(spark, dir, 8, 2)
+    val corpus = assignRaw.select(col("vec_id"), col("cid"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val pred = pmod(col("vec_id"), lit(3L)) === 0L
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    // pre-filter exact truth
+    val exact = corpus.filter(pred)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    // post-filter IVF: route to 2 cells, filter, re-rank
+    val cells = queries
+      .crossJoin(broadcast(cent.select(col("cid").as("pcid"), col("c"))))
+      .withColumn("qdist2", expr(
+        """aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      .withColumn("cellrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("qdist2"), col("pcid"))))
+      .filter(col("cellrank") <= 2)
+      .select(col("query_id"), col("pcid").as("cid"), col("qv"),
+        col("qnrm"))
+    val cand = corpus.filter(pred).join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .cache()
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_postfilter_cand"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(nCand, "query_id")
+      .select(col("query_id"), col("n_postfilter_cand"),
+        col("k_returned"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(3.0)).as("recall_at_3"))
+      .orderBy(col("query_id"))
+  }
+
+  val filteredSearchSql: String = {
+    val rounds = ivfRoundsSql(8, 2, 64)
+    s"""$rounds,
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, c1.cid, c1.c,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(0, 64), i ->
+       |          (q.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)])
+       |        * (q.v[CAST(i+1 AS INT)] - c1.c[CAST(i+1 AS INT)]))),
+       |        (a, b) -> a + b), c1.cid) AS cellrank
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q
+       |  CROSS JOIN c1),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_dot_product(e.v, q.qv) /
+       |          (sqrt(list_dot_product(e.v, e.v))
+       |           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |        e.vec_id) AS rank
+       |    FROM e CROSS JOIN
+       |      (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10) q
+       |    WHERE e.vec_id % 3 = 0 AND e.vec_id <> q.query_id) t
+       |  WHERE rank <= 3),
+       |cand AS (
+       |  SELECT cl.query_id, a2.vec_id,
+       |    list_dot_product(a2.v, cl.qv) /
+       |      (sqrt(list_dot_product(a2.v, a2.v))
+       |       * sqrt(list_dot_product(cl.qv, cl.qv))) AS sim
+       |  FROM a2 JOIN (SELECT query_id, cid, qv FROM qd
+       |                WHERE cellrank <= 2) cl
+       |    ON a2.cid = cl.cid
+       |  WHERE a2.vec_id % 3 = 0 AND a2.vec_id <> cl.query_id),
+       |nc AS (SELECT query_id, count(*) AS n_postfilter_cand
+       |       FROM cand GROUP BY query_id),
+       |top AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, vec_id) AS rank
+       |    FROM cand) t WHERE rank <= 3)
+       |SELECT c.query_id, nc.n_postfilter_cand,
+       |  count(*) AS k_returned,
+       |  CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM top c JOIN nc ON c.query_id = nc.query_id
+       |LEFT JOIN ex ON c.query_id = ex.query_id AND c.vec_id = ex.vec_id
+       |GROUP BY c.query_id, nc.n_postfilter_cand
+       |ORDER BY c.query_id""".stripMargin
+  }
+
   /** SemDeDup (q_y9, Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication = k-means cluster the embedding space, then search for
     * near-duplicates ONLY within each cluster — the trick that turns the

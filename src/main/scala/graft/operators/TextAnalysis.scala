@@ -1531,4 +1531,69 @@ object TextAnalysis {
       |              AS DOUBLE) / CAST(len(sents) AS DOUBLE)
       |       ELSE 0.0 END AS mean_sent_chars
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q_t25: ZIPF / HAPAX VOCABULARY AUDIT — the corpus-health histogram a
+    * tokenizer-training or dedup run reads first: token-trigram frequencies
+    * folded into log₂ buckets (`length(bin(f)) − 1`, the a20/g9 exact-
+    * integer layout — no runtime log, the g7 rule), with each bucket's
+    * share of the vocabulary and of the token mass. Bucket 0 IS the hapax
+    * class, so `gram_share` of bucket 0 is the hapax rate (58% on this
+    * corpus) and a healthy Zipfian corpus shows geometrically decaying
+    * `n_grams` per bucket. Trigrams, not unigrams: the generator's word
+    * vocabulary is ~31 types (every bucket would collapse); the trigram
+    * space (~16k types at sf0.01) has real Zipf structure.
+    *
+    * Scale shape: explode is O(total tokens), the frequency agg shuffles
+    * (gram, partial count) with map-side combine, the histogram agg is ≤
+    * ~20 rows, and the share normalizers are a window over THAT aggregated
+    * frame (the a22 precedent — never a single-partition pass over data).
+    * Integer counts end-to-end; the two share divisions are one double op
+    * each, bit-identical cross-engine. */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(expr("split(lower(text), '\\\\s+')").as("t"))
+      .filter(size(col("t")) >= 3)
+    val freq = toks
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))""".stripMargin))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy()
+    freq
+      .withColumn("bucket", (length(bin(col("freq"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("freq")).cast("long").as("n_occurrences"))
+      .withColumn("freq_lo",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+      .withColumn("gram_share", col("n_grams").cast("double") /
+        sum(col("n_grams")).over(w).cast("double"))
+      .withColumn("mass_share", col("n_occurrences").cast("double") /
+        sum(col("n_occurrences")).over(w).cast("double"))
+      .select(col("bucket"), col("freq_lo"), col("n_grams"),
+        col("n_occurrences"), col("gram_share"), col("mass_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val zipfAuditSql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |tri AS (
+      |  SELECT unnest(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |freq AS (SELECT gram, count(*) AS freq FROM tri GROUP BY gram),
+      |hist AS (
+      |  SELECT CAST(length(bin(freq)) - 1 AS BIGINT) AS bucket,
+      |    count(*) AS n_grams, CAST(sum(freq) AS BIGINT) AS n_occurrences
+      |  FROM freq GROUP BY 1)
+      |SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket AS INT) AS freq_lo,
+      |  n_grams, n_occurrences,
+      |  CAST(n_grams AS DOUBLE) / CAST(SUM(n_grams) OVER () AS DOUBLE)
+      |    AS gram_share,
+      |  CAST(n_occurrences AS DOUBLE)
+      |    / CAST(SUM(n_occurrences) OVER () AS DOUBLE) AS mass_share
+      |FROM hist ORDER BY bucket""".stripMargin
 }
