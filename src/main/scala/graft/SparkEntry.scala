@@ -453,7 +453,9 @@ object SparkEntry {
     // multi-source landmark BFS: 4 landmarks in one vectorized traversal
     "q_g12_landmarks" -> ((s, d) => Graph.landmarkDistances(s, d)),
     // filtered ANN: pre-filter exact vs post-filter IVF, recall per query
-    "q_y25_filtered_search" -> ((s, d) => Similarity.filteredSearch(s, d))
+    "q_y25_filtered_search" -> ((s, d) => Similarity.filteredSearch(s, d)),
+    // y18's centroid refresh maintained incrementally per micro-batch
+    "q_stream_centroids" -> ((s, d) => graft.streaming.StreamingJobs.centroidsReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -701,6 +703,7 @@ object SparkEntry {
     "q_t25_zipf" -> TextAnalysis.zipfAuditSql,
     "q_p14_ordering_audit" -> CdcParser.orderingAuditSql,
     "q_g12_landmarks" -> Graph.landmarkDistancesSql,
-    "q_y25_filtered_search" -> Similarity.filteredSearchSql
+    "q_y25_filtered_search" -> Similarity.filteredSearchSql,
+    "q_stream_centroids" -> graft.streaming.StreamingJobs.centroidsReplaySql
   )
 }

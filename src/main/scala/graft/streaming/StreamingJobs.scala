@@ -815,6 +815,125 @@ object StreamingJobs {
   def latencyReplaySql: String =
     graft.operators.CdcParser.latencyHistogramSql
 
+  /** INCREMENTAL CENTROID MAINTENANCE, STREAMING (q_stream_centroids):
+    * q_y18's index refresh run as a stream — the delta vectors arrive in
+    * micro-batches, each batch is assigned against the FIXED serving
+    * centroids (per-vector argmin — independent of batching, so the
+    * assignment is batch-boundary-invariant by construction) and folded
+    * into a versioned (cid, dim) → (DECIMAL sum, count) state table
+    * (the latencyReplay pattern: state is O(k·dims) FOREVER, decimal
+    * addition is commutative+exact, so the merged sums equal the one-shot
+    * batch sums regardless of how the delta was sliced). The final report
+    * recombines streamed delta sums with the batch base sums into the
+    * refreshed exact-mean centroids and hash-matches q_y18's DuckDB
+    * oracle — proving a vector store can keep its IVF index fresh from
+    * the CDC feed without ever re-scanning the base corpus.
+    *
+    * This is the vector-surface member of the incremental-maintenance
+    * family (x15 LSH, stream_ivm join MV, stream_merge snapshot,
+    * stream_latency histogram, c27 clusters). */
+  def centroidsReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cent")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    new java.io.File(st).mkdirs()
+    val eAll = graft.G.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val isDelta = col("vec_id") % 5 === 4 && col("vec_id") >= 8
+    // base index: the y18 build (base slice only), materialized once
+    val (assignRaw, centRaw) =
+      Similarity.ivfAssignCentOn(eAll.filter(!isDelta), 8, 2)
+    val baseAssign = assignRaw.select(col("vec_id"), col("cid"), col("v"))
+      .localCheckpoint()
+    val cent = centRaw.localCheckpoint()
+    // the delta feed: JSON lines, range-partitioned into ~4 files so the
+    // stream replays as multiple micro-batches
+    eAll.filter(isDelta)
+      .repartitionByRange(4, col("vec_id"))
+      .select(to_json(struct(col("vec_id"), col("v"))).as("value"))
+      .write.mode("overwrite").text(in)
+    val t0 = System.currentTimeMillis() - 3600000L
+    new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L); ()
+      }
+    def latest(before: Long): Option[java.io.File] = {
+      val fs = new java.io.File(st).listFiles()
+        .filter(_.getName.startsWith("sc_"))
+        .filter(_.getName.stripPrefix("sc_").toLong < before)
+      if (fs.isEmpty) None
+      else Some(fs.maxBy(_.getName.stripPrefix("sc_").toLong))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val vecs = batch
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id BIGINT, v ARRAY<DOUBLE>")).as("r"))
+          .select(col("r.vec_id").as("vec_id"), col("r.v").as("v"))
+        val part = vecs.crossJoin(broadcast(cent))
+          .withColumn("dist2", expr(
+            """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+              |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("x").cast("decimal(38,6)")).as("dsum"),
+            count(lit(1)).as("cnt"))
+        val merged = latest(bid) match {
+          case None => part
+          case Some(f) =>
+            s.read.parquet(f.getPath).unionByName(part)
+              .groupBy(col("cid"), col("dim"))
+              .agg(sum(col("dsum")).as("dsum"), sum(col("cnt")).as("cnt"))
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/sc_$bid")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    // recombine streamed delta sums with the batch base sums
+    val delta = spark.read.parquet(latest(Long.MaxValue).get.getPath)
+      .select(col("cid"), col("dim"),
+        col("dsum").as("d_sum"), col("cnt").as("d_cnt"))
+    val base = baseAssign
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("x").cast("decimal(38,6)")).as("b_sum"),
+        count(lit(1)).as("b_cnt"))
+    val c2 = base.join(delta, Seq("cid", "dim"), "left")
+      .withColumn("m",
+        (col("b_sum") + coalesce(col("d_sum"), lit(0).cast("decimal(38,6)")))
+          .cast("double") /
+          (col("b_cnt") + coalesce(col("d_cnt"), lit(0L))).cast("double"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+        .as("c2"),
+        max(col("b_cnt")).as("n_base"),
+        max(coalesce(col("d_cnt"), lit(0L))).as("n_delta"))
+    c2.join(cent, "cid")
+      .withColumn("drift2", expr(
+        """aggregate(zip_with(c2, c, (x, y) -> (x - y) * (x - y)),
+          |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+      .select(col("cid"), col("n_base"), col("n_delta"), col("drift2"))
+      .orderBy(col("cid"))
+  }
+
+  // assignment against fixed centroids is per-vector independent and the
+  // state sums are exact decimals: the stream serves the identical
+  // refresh report, so the oracle is batch q_y18's
+  def centroidsReplaySql: String =
+    graft.operators.Similarity.centroidRefreshSql()
+
   /** SLIDING-WINDOW DISTINCT, STREAMING (q_stream_sliding): hourly active
     * markets every 15 minutes — the overlapping-window distinct count that
     * q_a19 computes in batch, through the REAL machinery, exercising the

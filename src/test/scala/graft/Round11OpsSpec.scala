@@ -124,4 +124,15 @@ class Round11OpsSpec extends SparkSpec {
     val again = Similarity.filteredSearch(spark, sf()).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("stream_centroids: the micro-batch-maintained refresh is " +
+    "byte-identical to the one-shot batch y18 report") {
+    val streamed = graft.streaming.StreamingJobs
+      .centroidsReplay(spark, sf()).collect()
+    val batch = Similarity.centroidRefresh(spark, sf()).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    // the refresh must absorb real deltas, or the stream proved nothing
+    assert(streamed.map(_.getAs[Long]("n_delta")).sum > 0)
+  }
 }
