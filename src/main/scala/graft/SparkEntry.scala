@@ -455,7 +455,9 @@ object SparkEntry {
     // filtered ANN: pre-filter exact vs post-filter IVF, recall per query
     "q_y25_filtered_search" -> ((s, d) => Similarity.filteredSearch(s, d)),
     // y18's centroid refresh maintained incrementally per micro-batch
-    "q_stream_centroids" -> ((s, d) => graft.streaming.StreamingJobs.centroidsReplay(s, d))
+    "q_stream_centroids" -> ((s, d) => graft.streaming.StreamingJobs.centroidsReplay(s, d)),
+    // exact water-filling token-budget allocation across sources
+    "q_c30_waterfill" -> ((s, d) => Curation.waterfillAllocation(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -704,6 +706,7 @@ object SparkEntry {
     "q_p14_ordering_audit" -> CdcParser.orderingAuditSql,
     "q_g12_landmarks" -> Graph.landmarkDistancesSql,
     "q_y25_filtered_search" -> Similarity.filteredSearchSql,
-    "q_stream_centroids" -> graft.streaming.StreamingJobs.centroidsReplaySql
+    "q_stream_centroids" -> graft.streaming.StreamingJobs.centroidsReplaySql,
+    "q_c30_waterfill" -> Curation.waterfillAllocationSql
   )
 }

@@ -1155,4 +1155,102 @@ object Curation {
       |FROM cross_p
       |GROUP BY src_a, src_b
       |ORDER BY src_a, src_b""".stripMargin
+
+  /** q_c30: WATER-FILLING BUDGET ALLOCATION — the fair-division step of a
+    * mixing recipe: given each source's available token mass and a global
+    * budget (90% of the total, integer-exact as `total·9 DIV 10` — the
+    * fraction is chosen so this corpus exercises BOTH branches: the two
+    * smallest sources sit below the level and keep everything, the rest
+    * are capped), find
+    * the unique level L such that granting every source min(avail, L)
+    * spends the budget. Small sources keep everything; sources above the
+    * level are capped at a common allocation — max-min fairness, the
+    * allocator behind "no source may dominate the mixture" recipes
+    * (Dolma/RedPajama-style mixing caps, solved exactly instead of by
+    * iteration). The classic O(n log n) construction: sort sources by
+    * avail ascending, prefix-sum, find the first index i* where
+    * `prefix(i*−1) + avail(i*)·(n−i*+1) ≥ budget`; everyone before i*
+    * gets full avail, the m = n−i*+1 capped sources share
+    * rem = budget − prefix(i*−1) as q = rem DIV m each, the r = rem mod m
+    * leftover tokens going one each to the r smallest capped sources
+    * (total-order deterministic). Every quantity is a BIGINT — the whole
+    * allocation is hash-exact, and Σ allocation = budget BY CONSTRUCTION
+    * (a law the spec asserts).
+    *
+    * Scale shape: one keyed agg over documents (source, partial sums),
+    * then every window runs over the ≤|sources| aggregated frame (the
+    * a22 precedent — sources are O(100s) at any corpus scale, never
+    * O(docs)). */
+  def waterfillAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val avail = docs(spark, dir)
+      .select(col("source"), expr("size(split(text, '\\\\s+'))").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("long").as("avail"))
+    val wAll = Window.partitionBy()
+    val wAsc = Window.partitionBy().orderBy(col("avail"), col("source"))
+    avail
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("budget", expr("total * 9 DIV 10"))
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("prefix", sum(col("avail")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("would",
+        col("prefix") - col("avail") +
+          col("avail") * (col("n") - col("i") + 1))
+      .withColumn("istar",
+        min(when(col("would") >= col("budget"), col("i"))).over(wAll))
+      .withColumn("prefix_before",
+        max(when(col("i") === col("istar"),
+          col("prefix") - col("avail"))).over(wAll))
+      .withColumn("m", col("n") - col("istar") + 1)
+      .withColumn("rem", col("budget") - col("prefix_before"))
+      .withColumn("q", expr("rem DIV m"))
+      .withColumn("r", expr("rem % m"))
+      .withColumn("allocation",
+        when(col("istar").isNull || col("i") < col("istar"), col("avail"))
+          .otherwise(col("q") +
+            when(col("i") - col("istar") < col("r"), lit(1L))
+              .otherwise(lit(0L))))
+      .withColumn("capped",
+        col("istar").isNotNull && col("i") >= col("istar"))
+      .select(col("source"), col("avail"), col("budget"),
+        col("allocation"), col("capped"))
+      .orderBy(col("source"))
+  }
+
+  val waterfillAllocationSql: String =
+    """WITH avail AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+      |      AS avail
+      |  FROM documents GROUP BY source),
+      |ranked AS (
+      |  SELECT source, avail,
+      |    CAST(SUM(avail) OVER () AS BIGINT) AS total,
+      |    (CAST(SUM(avail) OVER () AS BIGINT) * 9) // 10 AS budget,
+      |    row_number() OVER (ORDER BY avail, source) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(avail) OVER (ORDER BY avail, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS prefix
+      |  FROM avail),
+      |flagged AS (
+      |  SELECT *, prefix - avail + avail * (n - i + 1) AS would
+      |  FROM ranked),
+      |star AS (
+      |  SELECT min(CASE WHEN would >= budget THEN i END) AS istar
+      |  FROM flagged),
+      |pb AS (
+      |  SELECT f.prefix - f.avail AS prefix_before
+      |  FROM flagged f JOIN star s ON f.i = s.istar)
+      |SELECT source, avail, budget,
+      |  CAST(CASE WHEN istar IS NULL OR i < istar THEN avail
+      |    ELSE (budget - prefix_before) // (n - istar + 1)
+      |      + (CASE WHEN i - istar <
+      |           (budget - prefix_before) % (n - istar + 1)
+      |         THEN 1 ELSE 0 END) END AS BIGINT) AS allocation,
+      |  (istar IS NOT NULL AND i >= istar) AS capped
+      |FROM flagged CROSS JOIN star LEFT JOIN pb ON TRUE
+      |ORDER BY source""".stripMargin
 }

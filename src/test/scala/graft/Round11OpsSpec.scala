@@ -125,6 +125,46 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("c30 waterfill: brute max-min allocation recompute agrees and " +
+    "the allocations spend the budget exactly") {
+    val rows = graft.operators.Curation.waterfillAllocation(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val avail = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("source", "size(split(text, '\\\\s+')) AS nt").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getInt(1).toLong).sum).toMap
+    val total = avail.values.sum
+    val budget = total * 9 / 10
+    // brute water-fill: sort ascending, fill
+    val asc = avail.toSeq.sortBy { case (s, a) => (a, s) }
+    var rem = budget; var m = asc.length
+    val expect = scala.collection.mutable.Map.empty[String, Long]
+    var capped = List.empty[String]
+    asc.zipWithIndex.foreach { case ((s, a), idx) =>
+      if (capped.isEmpty && a * (asc.length - idx) <= rem) {
+        // a full grant here still leaves >= level a for every later
+        // source (the <= vs < boundary is allocation-equivalent: at
+        // equality the common level equals this avail exactly)
+        expect(s) = a; rem -= a; m -= 1
+      } else capped = capped :+ s
+    }
+    val q = if (m > 0) rem / m else 0L
+    val r = if (m > 0) rem % m else 0L
+    capped.zipWithIndex.foreach { case (s, j) =>
+      expect(s) = q + (if (j < r) 1L else 0L)
+    }
+    rows.foreach { row =>
+      val s = row.getString(0)
+      assert(row.getAs[Long]("avail") == avail(s))
+      assert(row.getAs[Long]("allocation") == expect(s),
+        s"source $s: got ${row.getAs[Long]("allocation")}, want ${expect(s)}")
+      assert(row.getAs[Long]("allocation") <= avail(s))
+    }
+    assert(rows.map(_.getAs[Long]("allocation")).sum ==
+      math.min(budget, total))
+  }
+
   test("stream_centroids: the micro-batch-maintained refresh is " +
     "byte-identical to the one-shot batch y18 report") {
     val streamed = graft.streaming.StreamingJobs
