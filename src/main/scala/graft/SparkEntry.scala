@@ -457,7 +457,9 @@ object SparkEntry {
     // y18's centroid refresh maintained incrementally per micro-batch
     "q_stream_centroids" -> ((s, d) => graft.streaming.StreamingJobs.centroidsReplay(s, d)),
     // exact water-filling token-budget allocation across sources
-    "q_c30_waterfill" -> ((s, d) => Curation.waterfillAllocation(s, d))
+    "q_c30_waterfill" -> ((s, d) => Curation.waterfillAllocation(s, d)),
+    // dynamic partition pruning through real partitioned storage
+    "q_st7_dpp" -> ((s, d) => Tables.dppJoin(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -707,6 +709,7 @@ object SparkEntry {
     "q_g12_landmarks" -> Graph.landmarkDistancesSql,
     "q_y25_filtered_search" -> Similarity.filteredSearchSql,
     "q_stream_centroids" -> graft.streaming.StreamingJobs.centroidsReplaySql,
-    "q_c30_waterfill" -> Curation.waterfillAllocationSql
+    "q_c30_waterfill" -> Curation.waterfillAllocationSql,
+    "q_st7_dpp" -> Tables.dppJoinSql
   )
 }

@@ -198,4 +198,57 @@ object Tables {
   /** Read back a table written by writePartitioned. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** q_st7: DYNAMIC PARTITION PRUNING end to end — the runtime analogue
+    * of ST1's static monthly layout: the fact table is written
+    * `partitionBy(ship_month)` to real storage, the month dimension is
+    * filtered on a DERIVED attribute (quarter — not statically resolvable
+    * to month values at plan time), and Spark's DPP injects the
+    * `dynamicpruning` subquery into the fact scan so only the quarter's 3
+    * month partitions are read, at runtime, from the broadcast build side.
+    * THE mechanism that makes dimension-filtered star joins touch 3/85ths
+    * of a 100 TB fact table instead of all of it; Round12OpsSpec pins the
+    * `dynamicpruning` PartitionFilter and that static pruning alone could
+    * not have done it. The oracle recomputes the same quarter from the
+    * unpartitioned table — the hash match proves the pruned scan lost no
+    * rows. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val base =
+      java.nio.file.Files.createTempDirectory(s"graft_st7_$tag").toString
+    G.table(spark, dir, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.partitionBy("ship_month").mode("overwrite")
+      .parquet(s"$base/li")
+    val fact = spark.read.parquet(s"$base/li")
+    val dim = G.table(spark, dir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .distinct()
+      .withColumn("quarter", expr(
+        """concat(substring(month, 1, 4), '-Q',
+          |  CAST((CAST(substring(month, 6, 2) AS INT) - 1) DIV 3 + 1
+          |       AS STRING))""".stripMargin))
+    fact
+      .join(broadcast(dim.filter(col("quarter") === "1997-Q1")),
+        col("ship_month") === col("month"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        G.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  val dppJoinSql: String =
+    """WITH m AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |    l_extendedprice, l_discount
+      |  FROM lineitem)
+      |SELECT ship_month, count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM m
+      |WHERE substring(ship_month, 1, 4) || '-Q' ||
+      |    CAST((CAST(substring(ship_month, 6, 2) AS INT) - 1) // 3 + 1
+      |         AS VARCHAR) = '1997-Q1'
+      |GROUP BY ship_month ORDER BY ship_month""".stripMargin
 }
