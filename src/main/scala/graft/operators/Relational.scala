@@ -1649,12 +1649,14 @@ object Relational {
   /** q_r44: TPC-H Q13-shaped CUSTOMER ORDER-COUNT DISTRIBUTION — how many
     * customers placed 0, 1, 2, … qualifying orders. The left outer join
     * keeps order-less customers (their COUNT(o_orderkey) is 0 — counting
-    * the nullable key, never *), the first aggregation groups by the SAME
-    * key the join shuffled on (custkey — Spark reuses the partitioning, no
-    * second exchange; pinned in Round10OpsSpec), and the histogram
-    * aggregation runs over one row per customer. The priority filter
-    * stands in for Q13's comment filter and pushes into the orders scan
-    * before the join. */
+    * the nullable key, never *), the first aggregation groups by the
+    * join key itself (custkey), and the histogram aggregation runs over
+    * one row per customer. Plan (pinned in Round10OpsSpec): exactly TWO
+    * hash exchanges — one per aggregation level — with the join adding
+    * none (at this scale orders broadcasts; at fact scale the sort-merge
+    * join's custkey exchange doubles as the first agg's, so the count
+    * stays two either way). The priority filter stands in for Q13's
+    * comment filter and pushes into the orders scan before the join. */
   def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
     val ord = G.table(spark, dir, "orders")
       .filter(col("o_orderpriority") =!= "5-LOW")

@@ -88,6 +88,19 @@ class Round10OpsSpec extends SparkSpec {
       r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum == nOrd)
   }
 
+  test("r44 plan: exactly two hash exchanges — one per aggregation " +
+    "level — the join adds none") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val d = Relational.orderCountDistribution(spark, sf())
+        d.collect(); d.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val hashEx = plan.toString.split('\n')
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$plan")
+  }
+
   test("r45 promo revenue: ratio within (0,100) and a brute recompute " +
     "over the quarter agrees") {
     val r = Relational.promoRevenue(spark, sf()).collect().head
