@@ -459,7 +459,9 @@ object SparkEntry {
     // exact water-filling token-budget allocation across sources
     "q_c30_waterfill" -> ((s, d) => Curation.waterfillAllocation(s, d)),
     // dynamic partition pruning through real partitioned storage
-    "q_st7_dpp" -> ((s, d) => Tables.dppJoin(s, d))
+    "q_st7_dpp" -> ((s, d) => Tables.dppJoin(s, d)),
+    // interleaved text+image sequence packing (text tokens + patch cost)
+    "q_m13_multimodal_pack" -> ((s, d) => Multimodal.multimodalPack(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -710,6 +712,7 @@ object SparkEntry {
     "q_y25_filtered_search" -> Similarity.filteredSearchSql,
     "q_stream_centroids" -> graft.streaming.StreamingJobs.centroidsReplaySql,
     "q_c30_waterfill" -> Curation.waterfillAllocationSql,
-    "q_st7_dpp" -> Tables.dppJoinSql
+    "q_st7_dpp" -> Tables.dppJoinSql,
+    "q_m13_multimodal_pack" -> Multimodal.multimodalPackSql
   )
 }

@@ -298,10 +298,21 @@ object Curation {
   private[graft] def seqPackOn(docsDf: DataFrame, capacity: Long): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
-    val t = docsDf
+    packSized(docsDf
       .select(col("doc_id"), expr("doc_id DIV 64").as("shard"),
         expr("size(split(text, '\\\\s+'))").cast("long").as("n_tokens"))
-      .as[(Long, Long, Long)]
+      .as[(Long, Long, Long)], capacity)
+  }
+
+  /** The capacity-reset greedy fold on an already-SIZED
+    * (doc_id, shard, n_tokens) frame — the packer itself, independent of
+    * how token cost was computed (c17 sizes by text tokens; m13 adds the
+    * per-image patch cost). */
+  private[graft] def packSized(
+      t: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      capacity: Long): DataFrame = {
+    val spark = t.sparkSession
+    import spark.implicits._
     t.groupByKey(_._2)
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
         val ds = it.toArray.sortBy(_._1)
@@ -325,22 +336,30 @@ object Curation {
 
   /** Shared WITH-prefix of the packing oracles: the per-shard capacity-
     * reset fold ending in `p(shard, rn, doc_id, n, ex_id, ex_offset)`. */
-  private val seqPackCtes: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, doc_id // 64 AS shard,
-      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
-      |    row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
-      |  FROM documents),
-      |p AS (
-      |  SELECT shard, rn, doc_id, n,
-      |    CAST(0 AS BIGINT) AS ex_id, CAST(0 AS BIGINT) AS ex_offset, n AS cur
-      |  FROM t WHERE rn = 1
-      |  UNION ALL
-      |  SELECT t.shard, t.rn, t.doc_id, t.n,
-      |    CASE WHEN p.cur + t.n > 512 THEN p.ex_id + 1 ELSE p.ex_id END,
-      |    CASE WHEN p.cur + t.n > 512 THEN CAST(0 AS BIGINT) ELSE p.cur END,
-      |    CASE WHEN p.cur + t.n > 512 THEN t.n ELSE p.cur + t.n END
-      |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)""".stripMargin
+  /** The recursive-fold oracle of [[packSized]], parameterized on the SQL
+    * expression computing each document's token cost (and the example
+    * capacity) — c17 instantiates it with plain text tokens, m13 with
+    * text + per-image patch cost. */
+  private[graft] def seqPackCtesFor(nExpr: String,
+      capacity: Long = 512L): String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, doc_id // 64 AS shard,
+       |    $nExpr AS n,
+       |    row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT shard, rn, doc_id, n,
+       |    CAST(0 AS BIGINT) AS ex_id, CAST(0 AS BIGINT) AS ex_offset, n AS cur
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.shard, t.rn, t.doc_id, t.n,
+       |    CASE WHEN p.cur + t.n > $capacity THEN p.ex_id + 1 ELSE p.ex_id END,
+       |    CASE WHEN p.cur + t.n > $capacity THEN CAST(0 AS BIGINT) ELSE p.cur END,
+       |    CASE WHEN p.cur + t.n > $capacity THEN t.n ELSE p.cur + t.n END
+       |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)""".stripMargin
+
+  private val seqPackCtes: String = seqPackCtesFor(
+    "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)")
 
   val seqPackSql: String = seqPackCtes +
     """

@@ -843,4 +843,54 @@ object Multimodal {
       |    < 2.0 / 256.0 AS flag_flat
       |FROM h LEFT JOIN st ON st.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
+
+  /** q_m13: MULTIMODAL SEQUENCE PACKING — interleaved text+image training
+    * examples (the LLaVA/Flamingo input shape): each document's cost is
+    * its text tokens PLUS a fixed 144-token patch budget per attached
+    * image (the ViT-patch-count stand-in; qualifying media = the m1
+    * n_bytes ≥ 50 gate), packed into 1024-token examples by the SAME
+    * capacity-reset greedy fold as c17 ([[Curation.packSized]] — the
+    * packer is cost-agnostic, only the sizing differs). The lineage join
+    * back to the per-doc text/media split is what a multimodal loader
+    * needs to place `<image>` placeholders. Oracle: the c17 recursive
+    * fold parameterized with the multimodal cost expression
+    * ([[Curation.seqPackCtesFor]]) — a shared-code bug would need to
+    * break Spark and DuckDB identically to pass.
+    *
+    * Scale shape: identical to c17 (bounded 64-doc shards, parallel
+    * across shards, blob column never read — the cost uses only
+    * metadata), plus one doc_id-keyed join for the split columns. */
+  def multimodalPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sized = withMedia(spark, dir)
+      .select(col("doc_id"), expr("doc_id DIV 64").as("shard"),
+        expr("size(split(text, '\\\\s+'))").cast("long")
+          .as("n_text_tokens"),
+        when(col("media_meta.n_bytes") >= 50, lit(144L)).otherwise(lit(0L))
+          .as("n_media_tokens"))
+      .withColumn("n_tokens", col("n_text_tokens") + col("n_media_tokens"))
+    val packed = Curation.packSized(
+      sized.select(col("doc_id"), col("shard"), col("n_tokens"))
+        .as[(Long, Long, Long)], 1024L)
+    packed
+      .join(sized.select(col("doc_id"), col("n_text_tokens"),
+        col("n_media_tokens")), "doc_id")
+      .select(col("doc_id"), col("shard"), col("ex_id"), col("ex_offset"),
+        col("n_text_tokens"), col("n_media_tokens"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalPackSql: String = Curation.seqPackCtesFor(
+    """CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+      |      + CASE WHEN strlen(text) >= 50 THEN 144 ELSE 0 END"""
+      .stripMargin, 1024L) +
+    """
+      |SELECT p.doc_id, p.shard, p.ex_id, p.ex_offset,
+      |  CAST(len(string_split_regex(d.text, '\s+')) AS BIGINT)
+      |    AS n_text_tokens,
+      |  CAST(CASE WHEN strlen(d.text) >= 50 THEN 144 ELSE 0 END AS BIGINT)
+      |    AS n_media_tokens,
+      |  p.n AS n_tokens
+      |FROM p JOIN documents d ON d.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
 }

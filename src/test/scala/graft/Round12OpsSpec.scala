@@ -34,4 +34,39 @@ class Round12OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_lines") == want(r.getString(0)))
     }
   }
+
+  test("m13 multimodal pack: brute greedy recompute agrees, capacity is " +
+    "respected, and the text/media split reconciles") {
+    val rows = graft.operators.Multimodal.multimodalPack(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cost(text: String): (Long, Long) = {
+      val t = text.split("\\s+").length.toLong
+      val m = if (text.length >= 50) 144L else 0L
+      (t, m)
+    }
+    rows.foreach { r =>
+      val (t, m) = cost(docs(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_text_tokens") == t)
+      assert(r.getAs[Long]("n_media_tokens") == m)
+      assert(r.getAs[Long]("n_tokens") == t + m)
+      assert(r.getAs[Long]("ex_offset") + r.getAs[Long]("n_tokens") <= 1024L,
+        s"doc ${r.getAs[Long]("doc_id")} overflows its example")
+    }
+    // brute greedy fold per shard
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("doc_id"))
+      var ex = 0L; var cur = 0L; var first = true
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        if (first) { cur = n; first = false }
+        else if (cur + n > 1024L) { ex += 1; cur = n }
+        else { cur += n }
+        assert(r.getAs[Long]("ex_id") == ex)
+      }
+    }
+  }
 }
