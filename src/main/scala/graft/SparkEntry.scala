@@ -461,7 +461,9 @@ object SparkEntry {
     // dynamic partition pruning through real partitioned storage
     "q_st7_dpp" -> ((s, d) => Tables.dppJoin(s, d)),
     // interleaved text+image sequence packing (text tokens + patch cost)
-    "q_m13_multimodal_pack" -> ((s, d) => Multimodal.multimodalPack(s, d))
+    "q_m13_multimodal_pack" -> ((s, d) => Multimodal.multimodalPack(s, d)),
+    // 4 personalized PageRanks in one loop, seed as a key column
+    "q_g13_ppr_multi" -> ((s, d) => Graph.pprMulti(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -713,6 +715,7 @@ object SparkEntry {
     "q_stream_centroids" -> graft.streaming.StreamingJobs.centroidsReplaySql,
     "q_c30_waterfill" -> Curation.waterfillAllocationSql,
     "q_st7_dpp" -> Tables.dppJoinSql,
-    "q_m13_multimodal_pack" -> Multimodal.multimodalPackSql
+    "q_m13_multimodal_pack" -> Multimodal.multimodalPackSql,
+    "q_g13_ppr_multi" -> Graph.pprMultiSql
   )
 }

@@ -824,6 +824,98 @@ object Graph {
       |FROM dsums d LEFT JOIN eins e ON d.p_brand = e.p_brand
       |CROSS JOIN mm ORDER BY d.p_brand""".stripMargin
 
+  /** q_g13: MULTI-SEED PERSONALIZED PAGERANK — per-seed neighborhood
+    * affinity from the 4 smallest co-purchase nodes (the g12 landmarks),
+    * top-10 parts per seed. Where g7 spreads ONE personalization vector
+    * over a seed SET, this runs 4 independent personalizations in the
+    * SAME rounds by carrying `seed` as a key column: the per-round plan
+    * is unchanged (one adjacency⋈ranks join, one keyed agg), the shuffles
+    * just carry |seeds|× rows — the batch-PPR shape a recommender uses to
+    * score candidate neighborhoods for many anchors at once. Arithmetic
+    * is the g7 exact-integer scheme verbatim (mass in units of 1e-12,
+    * restart 15%, damping 85%, floor division), so the whole trajectory
+    * is hash-exact and the oracle replays 3 unrolled (seed, node)-keyed
+    * rounds. */
+  def pprMulti(spark: SparkSession, dir: String, iters: Int = 3)
+      : DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.select(col("u").as("c"), col("v").as("nb"))
+      .unionByName(edges.select(col("v").as("c"), col("u").as("nb")))
+      .cache()
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg")).cache()
+    val seeds = deg.select(col("c").as("seed"))
+      .orderBy(col("seed")).limit(4)
+      .withColumn("node", col("seed")).cache()
+    val unit = 1000000000000L
+    val restartU = 15L * unit / 100L
+    var ranks = seeds.select(col("seed"), col("node"), lit(unit).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks, adj("c") === ranks("node"))
+        .join(deg, "c")
+        .groupBy(col("seed"), col("nb").as("node"))
+        .agg(sum(expr("r DIV deg")).as("contrib"))
+      ranks = contrib
+        .join(seeds.withColumn("s", lit(1L)), Seq("seed", "node"),
+          "full_outer")
+        .select(col("seed"), col("node"),
+          (when(col("s").isNotNull, lit(restartU)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, 0)) DIV 100")).as("r"))
+    }
+    val w = Window.partitionBy(col("seed"))
+      .orderBy(col("r").desc, col("node"))
+    ranks.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("seed"), col("rnk"), col("node"),
+        (col("r").cast("double") / lit(1.0e12)).as("ppr"))
+      .orderBy(col("seed"), col("rnk"))
+  }
+
+  val pprMultiSql: String = {
+    def round(prev: String, r: Int): String =
+      s"""c$r AS (
+         |  SELECT p.seed, a.nb AS node,
+         |    CAST(SUM(p.r // d.deg) AS BIGINT) AS contrib
+         |  FROM adj a JOIN $prev p ON a.c = p.node JOIN deg d ON a.c = d.c
+         |  GROUP BY p.seed, a.nb),
+         |r$r AS (
+         |  SELECT coalesce(c.seed, s.seed) AS seed,
+         |    coalesce(c.node, s.node) AS node,
+         |    (CASE WHEN s.seed IS NOT NULL
+         |          THEN (15 * 1000000000000) // 100 ELSE 0 END)
+         |      + (85 * coalesce(c.contrib, 0)) // 100 AS r
+         |  FROM c$r c FULL JOIN sd s
+         |    ON c.seed = s.seed AND c.node = s.node)"""
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_quantity >= 30),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS (
+       |  SELECT u AS c, v AS nb FROM edges
+       |  UNION ALL SELECT v AS c, u AS nb FROM edges),
+       |deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+       |lm AS (SELECT c AS seed FROM deg ORDER BY seed LIMIT 4),
+       |sd AS (SELECT seed, seed AS node FROM lm),
+       |r0 AS (SELECT seed, seed AS node,
+       |         CAST(1000000000000 AS BIGINT) AS r FROM lm),
+       |${round("r0", 1)},
+       |${round("r1", 2)},
+       |${round("r2", 3)}
+       |SELECT seed, rnk, node, CAST(r AS DOUBLE) / 1e12 AS ppr FROM (
+       |  SELECT seed, node, r,
+       |    row_number() OVER (PARTITION BY seed
+       |      ORDER BY r DESC, node) AS rnk
+       |  FROM r3) t
+       |WHERE rnk <= 10 ORDER BY seed, rnk""".stripMargin
+  }
+
   /** q_g12: LANDMARK DISTANCES — per-landmark BFS distance histogram from
     * the 4 smallest co-purchase nodes, radius 4. This is the multi-SOURCE
     * generalization of g5 (g5 computes distance from a seed SET — one

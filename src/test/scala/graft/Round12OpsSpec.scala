@@ -69,4 +69,50 @@ class Round12OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("g13 multi-seed ppr: brute integer recompute of all four " +
+    "personalizations matches the top-10s exactly") {
+    val rows = graft.operators.Graph.pprMulti(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // rebuild the graph in memory
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_quantity") >= 30)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    li.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).distinct
+      for (u <- ps; v <- ps if u != v)
+        adj(u) = v :: adj.getOrElse(u, Nil)
+    }
+    val adjD = adj.map { case (k, v) => k -> v.distinct }
+    val deg = adjD.map { case (k, v) => k -> v.length.toLong }
+    val seeds = adjD.keys.toSeq.sorted.take(4)
+    val unit = 1000000000000L
+    val restartU = 15L * unit / 100L
+    val expect = seeds.flatMap { seed =>
+      var r = Map(seed -> unit)
+      for (_ <- 1 to 3) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        r.foreach { case (c, rc) =>
+          val d = deg(c)
+          adjD(c).foreach { nb =>
+            contrib(nb) = contrib.getOrElse(nb, 0L) + rc / d
+          }
+        }
+        val nodes = contrib.keySet + seed
+        r = nodes.map { n =>
+          n -> ((if (n == seed) restartU else 0L) +
+            85L * contrib.getOrElse(n, 0L) / 100L)
+        }.toMap
+      }
+      r.toSeq.sortBy { case (n, v) => (-v, n) }.take(10).zipWithIndex
+        .map { case ((n, v), i) => (seed, (i + 1).toLong, n, v) }
+    }
+    val got = rows.map(r => (r.getAs[Long]("seed"), r.getAs[Long]("rnk"),
+      r.getAs[Long]("node"),
+      math.round(r.getAs[Double]("ppr") * 1e12)))
+    assert(got.toSeq == expect,
+      s"mismatch:\n got ${got.toSeq}\nwant $expect")
+  }
 }
