@@ -463,7 +463,9 @@ object SparkEntry {
     // interleaved text+image sequence packing (text tokens + patch cost)
     "q_m13_multimodal_pack" -> ((s, d) => Multimodal.multimodalPack(s, d)),
     // 4 personalized PageRanks in one loop, seed as a key column
-    "q_g13_ppr_multi" -> ((s, d) => Graph.pprMulti(s, d))
+    "q_g13_ppr_multi" -> ((s, d) => Graph.pprMulti(s, d)),
+    // c30's allocation maintained incrementally per micro-batch
+    "q_stream_waterfill" -> ((s, d) => graft.streaming.StreamingJobs.waterfillReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -716,6 +718,7 @@ object SparkEntry {
     "q_c30_waterfill" -> Curation.waterfillAllocationSql,
     "q_st7_dpp" -> Tables.dppJoinSql,
     "q_m13_multimodal_pack" -> Multimodal.multimodalPackSql,
-    "q_g13_ppr_multi" -> Graph.pprMultiSql
+    "q_g13_ppr_multi" -> Graph.pprMultiSql,
+    "q_stream_waterfill" -> graft.streaming.StreamingJobs.waterfillReplaySql
   )
 }

@@ -1205,6 +1205,14 @@ object Curation {
       .select(col("source"), expr("size(split(text, '\\\\s+'))").as("nt"))
       .groupBy(col("source"))
       .agg(sum(col("nt")).cast("long").as("avail"))
+    waterfillFromAvail(avail)
+  }
+
+  /** The allocation construction on an already-aggregated
+    * (source, avail) frame — shared by the batch query and the streaming
+    * incremental maintenance (q_stream_waterfill), which feeds it the
+    * per-source sums merged across micro-batches. */
+  private[graft] def waterfillFromAvail(avail: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val wAsc = Window.partitionBy().orderBy(col("avail"), col("source"))
     avail

@@ -934,6 +934,73 @@ object StreamingJobs {
   def centroidsReplaySql: String =
     graft.operators.Similarity.centroidRefreshSql()
 
+  /** INCREMENTAL WATER-FILLING, STREAMING (q_stream_waterfill): the c30
+    * mixing-recipe allocation maintained as documents arrive — per
+    * micro-batch the per-source token sums are ADDED into a versioned
+    * (source, avail) state table (token addition is commutative, so the
+    * merged sums are slice-independent), and the allocation is
+    * re-derived from the merged sums only ([[graft.operators.Curation
+    * .waterfillFromAvail]] — windows over the ≤|sources| state, never
+    * the document stream). The final report hash-matches c30's one-shot
+    * batch oracle: the budget allocator a live ingest pipeline re-reads
+    * after every batch without rescanning the corpus. */
+  def waterfillReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_wf")
+    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    new java.io.File(st).mkdirs()
+    graft.G.table(spark, dir, "documents")
+      .select(col("source"),
+        expr("size(split(text, '\\\\s+'))").cast("long").as("nt"))
+      .repartitionByRange(4, col("source"), col("nt"))
+      .select(to_json(struct(col("source"), col("nt"))).as("value"))
+      .write.mode("overwrite").text(in)
+    val t0 = System.currentTimeMillis() - 3600000L
+    new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L); ()
+      }
+    def latest(before: Long): Option[java.io.File] = {
+      val fs = new java.io.File(st).listFiles()
+        .filter(_.getName.startsWith("wf_"))
+        .filter(_.getName.stripPrefix("wf_").toLong < before)
+      if (fs.isEmpty) None
+      else Some(fs.maxBy(_.getName.stripPrefix("wf_").toLong))
+    }
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        val part = batch
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "source STRING, nt BIGINT")).as("r"))
+          .groupBy(col("r.source").as("source"))
+          .agg(sum(col("r.nt")).as("avail"))
+        val merged = latest(bid) match {
+          case None => part
+          case Some(f) =>
+            s.read.parquet(f.getPath).unionByName(part)
+              .groupBy(col("source")).agg(sum(col("avail")).as("avail"))
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/wf_$bid")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    graft.operators.Curation.waterfillFromAvail(
+      spark.read.parquet(latest(Long.MaxValue).get.getPath))
+  }
+
+  // token addition is commutative, the allocation depends only on the
+  // merged sums: the oracle is batch q_c30's
+  def waterfillReplaySql: String =
+    graft.operators.Curation.waterfillAllocationSql
+
   /** SLIDING-WINDOW DISTINCT, STREAMING (q_stream_sliding): hourly active
     * markets every 15 minutes — the overlapping-window distinct count that
     * q_a19 computes in batch, through the REAL machinery, exercising the

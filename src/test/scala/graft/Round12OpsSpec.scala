@@ -70,6 +70,16 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_waterfill: the micro-batch-maintained allocation is " +
+    "byte-identical to the one-shot batch c30 report") {
+    val streamed = graft.streaming.StreamingJobs
+      .waterfillReplay(spark, sf()).collect()
+    val batch = graft.operators.Curation
+      .waterfillAllocation(spark, sf()).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("g13 multi-seed ppr: brute integer recompute of all four " +
     "personalizations matches the top-10s exactly") {
     val rows = graft.operators.Graph.pprMulti(spark, sf()).collect()
