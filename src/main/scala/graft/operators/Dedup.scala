@@ -1358,13 +1358,17 @@ object Dedup {
   private val saMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), org.apache.spark.rdd.RDD[(Long, Long)]]()
   private def saRanks(spark: SparkSession, dir: String)
-      : org.apache.spark.rdd.RDD[(Long, Long)] =
-    saMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val key = (System.identityHashCode(spark), dir)
+    val hit = saMemo.get(key)
+    if (hit != null && hit.sparkContext.isStopped) saMemo.remove(key, hit)
+    saMemo.computeIfAbsent(key, _ => {
       val r = saRanksOn(spark, G.table(spark, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
     })
+  }
 
   /** Stress entry: the SA build over any (doc_id, text) frame. Doc length
     * must stay under 192 tokens (position stride 256 minus the max shift

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The co-purchase graph shared by every operator in this file (and
+    * mirrored verbatim in each oracle's `edges` CTE): two parts are
+    * adjacent iff some order contains BOTH in bulk (quantity >= 30);
+    * distinct undirected (u < v) edges. One definition, ten consumers —
+    * changing the graph means changing exactly this and the SQL CTEs. */
+  private[graft] def coPurchaseEdges(spark: SparkSession,
+      dir: String): DataFrame = {
+    val li = G.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+
   /** q_g1: per-node triangle count + local clustering coefficient over the
     * co-purchase graph (two parts are adjacent iff some order contains
     * both). Triangle counting is THE canonical "Spark has no operator for
@@ -108,13 +125,7 @@ object Graph {
     * TakeOrderedAndProject (per-partition heap + driver merge), never a
     * global sort. Degree lookups broadcast (O(nodes) rows). */
   def alsoBought(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("c"), col("v").as("n"))
       .union(edges.select(col("v").as("c"), col("u").as("n"))).cache()
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
@@ -168,13 +179,7 @@ object Graph {
     * replays them as unrolled CTEs. Output is the community-size
     * histogram. */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("c"), col("v").as("nb"))
       .union(edges.select(col("v").as("c"), col("u").as("nb"))).cache()
     var labels = adj.select(col("c").as("n")).distinct()
@@ -251,13 +256,7 @@ object Graph {
     * (node, 1) longs. Entry and exit are DataFrames. */
   private[graft] def kcoreRounds(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     kcoreFromEdges(edges, rounds)
   }
 
@@ -310,13 +309,7 @@ object Graph {
     * per touched node, and only nodes on the expanding frontier propagate.
     */
   def bfs(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val seeds = G.table(spark, dir, "part")
       .filter(col("p_brand") === "Brand#23")
       .select(col("p_partkey").as("s"))
@@ -511,13 +504,7 @@ object Graph {
     * ranking use. Output: top-100 by proximity via
     * TakeOrderedAndProject. */
   def ppr(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("c"), col("v").as("nb"))
       .unionByName(edges.select(col("v").as("c"), col("u").as("nb")))
       .cache()
@@ -634,13 +621,7 @@ object Graph {
     * [2^b, 2^{b+1}) bounds reconstructed by integer shifts. One keyed agg
     * for degrees, one 20-ish-key agg for buckets; edges never rescanned. */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -672,13 +653,7 @@ object Graph {
     * endpoints, then one scalar aggregate — O(edges) longs, two
     * broadcast-or-hash joins, nothing quadratic. */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -761,13 +736,7 @@ object Graph {
     * edges shuffle on (u, v) once for distinct, degrees shuffle node ids
     * only, and the brand map is a broadcast dimension. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val brand = broadcast(G.table(spark, dir, "part")
       .select(col("p_partkey"), col("p_brand")))
     val deg = edges.select(col("u").as("n"))
@@ -838,13 +807,7 @@ object Graph {
     * rounds. */
   def pprMulti(spark: SparkSession, dir: String, iters: Int = 3)
       : DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("c"), col("v").as("nb"))
       .unionByName(edges.select(col("v").as("c"), col("u").as("nb")))
       .cache()
@@ -935,13 +898,7 @@ object Graph {
     * the driver. The oracle replays 4 unrolled min-agg rounds as CTEs. */
   def landmarkDistances(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val edges = coPurchaseEdges(spark, dir)
     val part = new org.apache.spark.HashPartitioner(
       spark.sparkContext.defaultParallelism)
     val adj = edges.as[(Long, Long)].rdd

@@ -862,6 +862,9 @@ object Multimodal {
     * metadata), plus one doc_id-keyed join for the split columns. */
   def multimodalPack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: referenced by BOTH the packer input and the split-column
+    // join-back — uncached, each lineage would re-scan and re-tokenize
+    // the documents table (blob encode included)
     val sized = withMedia(spark, dir)
       .select(col("doc_id"), expr("doc_id DIV 64").as("shard"),
         expr("size(split(text, '\\\\s+'))").cast("long")
@@ -869,6 +872,7 @@ object Multimodal {
         when(col("media_meta.n_bytes") >= 50, lit(144L)).otherwise(lit(0L))
           .as("n_media_tokens"))
       .withColumn("n_tokens", col("n_text_tokens") + col("n_media_tokens"))
+      .cache()
     val packed = Curation.packSized(
       sized.select(col("doc_id"), col("shard"), col("n_tokens"))
         .as[(Long, Long, Long)], 1024L)

@@ -1752,6 +1752,7 @@ object Relational {
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       |    AND l_shipdate < TIMESTAMP '1998-04-01'
+      |    AND l_suppkey IS NOT NULL
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, total_revenue
       |FROM rev JOIN supplier ON s_suppkey = l_suppkey

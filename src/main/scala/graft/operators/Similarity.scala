@@ -410,13 +410,19 @@ object Similarity {
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Int, Int), (DataFrame, DataFrame)]()
   private def ivfAssignCent(spark: SparkSession, dir: String, k: Int,
-      iters: Int): (DataFrame, DataFrame) =
-    ivfMemo.computeIfAbsent((System.identityHashCode(spark), dir, k, iters),
-      _ => {
-        val (a, c) = ivfAssignCentOn(
-          embeddings(spark, dir).select(col("vec_id"), col("v")), k, iters)
-        (a.localCheckpoint(), c.localCheckpoint())
-      })
+      iters: Int): (DataFrame, DataFrame) = {
+    val key = (System.identityHashCode(spark), dir, k, iters)
+    // guard against a stale hit after the memoized session was stopped
+    // (identityHashCode reuse in a long-lived JVM): drop and rebuild
+    val hit = ivfMemo.get(key)
+    if (hit != null && hit._1.sparkSession.sparkContext.isStopped)
+      ivfMemo.remove(key, hit)
+    ivfMemo.computeIfAbsent(key, _ => {
+      val (a, c) = ivfAssignCentOn(
+        embeddings(spark, dir).select(col("vec_id"), col("v")), k, iters)
+      (a.localCheckpoint(), c.localCheckpoint())
+    })
+  }
 
   /** [[ivfAssignCent]] over a caller-supplied (vec_id, v) frame — the
     * incremental refresh (q_y18) trains on the BASE slice only. */
@@ -1120,14 +1126,18 @@ object Similarity {
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Int, Int, Int), (DataFrame, DataFrame)]()
   private def pqAssign(spark: SparkSession, dir: String, m: Int, k: Int,
-      iters: Int): (DataFrame, DataFrame) =
+      iters: Int): (DataFrame, DataFrame) = {
     // same session-scoped memo as ivfAssignCent: y7/y8/y17 train the
     // identical codebook; build once per corpus snapshot
-    pqMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, m, k, iters), _ => {
-        val (a, c) = pqAssignComputed(spark, dir, m, k, iters)
-        (a.localCheckpoint(), c.localCheckpoint())
-      })
+    val key = (System.identityHashCode(spark), dir, m, k, iters)
+    val hit = pqMemo.get(key)
+    if (hit != null && hit._1.sparkSession.sparkContext.isStopped)
+      pqMemo.remove(key, hit)
+    pqMemo.computeIfAbsent(key, _ => {
+      val (a, c) = pqAssignComputed(spark, dir, m, k, iters)
+      (a.localCheckpoint(), c.localCheckpoint())
+    })
+  }
   private def pqAssignComputed(spark: SparkSession, dir: String, m: Int,
       k: Int, iters: Int): (DataFrame, DataFrame) = {
     val subDim = 64 / m

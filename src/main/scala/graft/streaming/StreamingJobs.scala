@@ -763,13 +763,29 @@ object StreamingJobs {
     * how arrivals split into batches, which is exactly the property that
     * lets a 100 TB deployment serve p99 lag from a table the size of a
     * screenshot. */
-  def latencyReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_lat")
+  /** Shared scaffolding of the incremental-maintenance replays
+    * (latency histogram / centroid refresh / waterfill): stage the input
+    * once (mtime-staggered so `maxFilesPerTrigger = 1` replays it as
+    * ordered micro-batches), fold each batch's state slice into a
+    * versioned parquet state table, return the FINAL merged state.
+    * `read` builds the streaming source over the staged dir, `slice`
+    * computes a batch's own state contribution, `merge` folds it into
+    * the previous version (must be commutative+associative in the slice
+    * argument for the replay to be batch-boundary-independent — the
+    * property every caller's oracle hash-check actually proves). Fails
+    * with a clear message if no batch committed state. */
+  private def replayVersionedState(
+      spark: SparkSession,
+      writeInput: String => Unit,
+      read: String => DataFrame,
+      statePrefix: String,
+      slice: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$statePrefix")
     val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
-    graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
-      .repartitionByRange(4, col("src_ms")).select("json")
-      .write.mode("overwrite").text(in)
+    writeInput(in)
     val t0 = System.currentTimeMillis() - 3600000L
     new java.io.File(in).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -778,36 +794,51 @@ object StreamingJobs {
       }
     def latest(before: Long): Option[java.io.File] = {
       val fs = new java.io.File(st).listFiles()
-        .filter(_.getName.startsWith("h_"))
-        .filter(_.getName.stripPrefix("h_").toLong < before)
+        .filter(_.getName.startsWith(s"${statePrefix}_"))
+        .filter(_.getName.stripPrefix(s"${statePrefix}_").toLong < before)
       if (fs.isEmpty) None
-      else Some(fs.maxBy(_.getName.stripPrefix("h_").toLong))
+      else Some(fs.maxBy(_.getName.stripPrefix(s"${statePrefix}_").toLong))
     }
-    val q = readCdcStream(spark, in, maxFilesPerTrigger = 1)
+    val q = read(in)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val s = batch.sparkSession
-        val part = graft.operators.CdcParser
-          .latencyBuckets(batch.select(col("op"),
-            col("cdc_latency_ms").as("ms")))
-          .groupBy(col("op"), col("bucket"), col("lo_ms"))
-          .agg(count(lit(1)).as("cnt"))
+        val p = slice(batch)
         val merged = latest(bid) match {
-          case None => part
-          case Some(f) =>
-            s.read.parquet(f.getPath).unionByName(part)
-              .groupBy(col("op"), col("bucket"), col("lo_ms"))
-              .agg(sum(col("cnt")).as("cnt"))
+          case None => p
+          case Some(f) => merge(p, s.read.parquet(f.getPath))
         }
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/h_$bid")
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$st/${statePrefix}_$bid")
         ()
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
-    graft.operators.CdcParser.latencyPercentiles(
-      spark.read.parquet(latest(Long.MaxValue).get.getPath))
+    val fin = latest(Long.MaxValue).getOrElse(sys.error(
+      s"replayVersionedState($statePrefix): no micro-batch committed " +
+        "state — was the staged input empty?"))
+    spark.read.parquet(fin.getPath)
+  }
+
+  def latencyReplay(spark: SparkSession, dir: String): DataFrame = {
+    val finalState = replayVersionedState(spark,
+      writeInput = in =>
+        graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+          .repartitionByRange(4, col("src_ms")).select("json")
+          .write.mode("overwrite").text(in),
+      read = in => readCdcStream(spark, in, maxFilesPerTrigger = 1),
+      statePrefix = "h",
+      slice = batch => graft.operators.CdcParser
+        .latencyBuckets(batch.select(col("op"),
+          col("cdc_latency_ms").as("ms")))
+        .groupBy(col("op"), col("bucket"), col("lo_ms"))
+        .agg(count(lit(1)).as("cnt")),
+      merge = (p, prev) => prev.unionByName(p)
+        .groupBy(col("op"), col("bucket"), col("lo_ms"))
+        .agg(sum(col("cnt")).as("cnt")))
+    graft.operators.CdcParser.latencyPercentiles(finalState)
   }
 
   // merge-independence means the stream serves the identical report: the
@@ -834,9 +865,6 @@ object StreamingJobs {
     * stream_latency histogram, c27 clusters). */
   def centroidsReplay(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cent")
-    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
-    new java.io.File(st).mkdirs()
     val eAll = graft.G.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val isDelta = col("vec_id") % 5 === 4 && col("vec_id") >= 8
@@ -846,63 +874,37 @@ object StreamingJobs {
     val baseAssign = assignRaw.select(col("vec_id"), col("cid"), col("v"))
       .localCheckpoint()
     val cent = centRaw.localCheckpoint()
-    // the delta feed: JSON lines, range-partitioned into ~4 files so the
-    // stream replays as multiple micro-batches
-    eAll.filter(isDelta)
-      .repartitionByRange(4, col("vec_id"))
-      .select(to_json(struct(col("vec_id"), col("v"))).as("value"))
-      .write.mode("overwrite").text(in)
-    val t0 = System.currentTimeMillis() - 3600000L
-    new java.io.File(in).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 1000L); ()
-      }
-    def latest(before: Long): Option[java.io.File] = {
-      val fs = new java.io.File(st).listFiles()
-        .filter(_.getName.startsWith("sc_"))
-        .filter(_.getName.stripPrefix("sc_").toLong < before)
-      if (fs.isEmpty) None
-      else Some(fs.maxBy(_.getName.stripPrefix("sc_").toLong))
-    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-    val q = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .text(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val s = batch.sparkSession
-        val vecs = batch
-          .select(from_json(col("value"),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "vec_id BIGINT, v ARRAY<DOUBLE>")).as("r"))
-          .select(col("r.vec_id").as("vec_id"), col("r.v").as("v"))
-        val part = vecs.crossJoin(broadcast(cent))
-          .withColumn("dist2", expr(
-            """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
-              |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("x").cast("decimal(38,6)")).as("dsum"),
-            count(lit(1)).as("cnt"))
-        val merged = latest(bid) match {
-          case None => part
-          case Some(f) =>
-            s.read.parquet(f.getPath).unionByName(part)
-              .groupBy(col("cid"), col("dim"))
-              .agg(sum(col("dsum")).as("dsum"), sum(col("cnt")).as("cnt"))
-        }
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/sc_$bid")
-        ()
-      }
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val finalState = replayVersionedState(spark,
+      // the delta feed: JSON lines, range-partitioned into ~4 files so
+      // the stream replays as multiple micro-batches
+      writeInput = in => eAll.filter(isDelta)
+        .repartitionByRange(4, col("vec_id"))
+        .select(to_json(struct(col("vec_id"), col("v"))).as("value"))
+        .write.mode("overwrite").text(in),
+      read = in =>
+        spark.readStream.option("maxFilesPerTrigger", 1).text(in),
+      statePrefix = "sc",
+      slice = batch => batch
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, v ARRAY<DOUBLE>")).as("r"))
+        .select(col("r.vec_id").as("vec_id"), col("r.v").as("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist2", expr(
+          """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+            |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x").cast("decimal(38,6)")).as("dsum"),
+          count(lit(1)).as("cnt")),
+      merge = (p, prev) => prev.unionByName(p)
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("dsum")).as("dsum"), sum(col("cnt")).as("cnt")))
     // recombine streamed delta sums with the batch base sums
-    val delta = spark.read.parquet(latest(Long.MaxValue).get.getPath)
+    val delta = finalState
       .select(col("cid"), col("dim"),
         col("dsum").as("d_sum"), col("cnt").as("d_cnt"))
     val base = baseAssign
@@ -945,55 +947,25 @@ object StreamingJobs {
     * batch oracle: the budget allocator a live ingest pipeline re-reads
     * after every batch without rescanning the corpus. */
   def waterfillReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_wf")
-    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
-    new java.io.File(st).mkdirs()
-    graft.G.table(spark, dir, "documents")
-      .select(col("source"),
-        expr("size(split(text, '\\\\s+'))").cast("long").as("nt"))
-      .repartitionByRange(4, col("source"), col("nt"))
-      .select(to_json(struct(col("source"), col("nt"))).as("value"))
-      .write.mode("overwrite").text(in)
-    val t0 = System.currentTimeMillis() - 3600000L
-    new java.io.File(in).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 1000L); ()
-      }
-    def latest(before: Long): Option[java.io.File] = {
-      val fs = new java.io.File(st).listFiles()
-        .filter(_.getName.startsWith("wf_"))
-        .filter(_.getName.stripPrefix("wf_").toLong < before)
-      if (fs.isEmpty) None
-      else Some(fs.maxBy(_.getName.stripPrefix("wf_").toLong))
-    }
-    val q = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .text(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val s = batch.sparkSession
-        val part = batch
-          .select(from_json(col("value"),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "source STRING, nt BIGINT")).as("r"))
-          .groupBy(col("r.source").as("source"))
-          .agg(sum(col("r.nt")).as("avail"))
-        val merged = latest(bid) match {
-          case None => part
-          case Some(f) =>
-            s.read.parquet(f.getPath).unionByName(part)
-              .groupBy(col("source")).agg(sum(col("avail")).as("avail"))
-        }
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$st/wf_$bid")
-        ()
-      }
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
-    graft.operators.Curation.waterfillFromAvail(
-      spark.read.parquet(latest(Long.MaxValue).get.getPath))
+    val finalState = replayVersionedState(spark,
+      writeInput = in => graft.G.table(spark, dir, "documents")
+        .select(col("source"),
+          expr("size(split(text, '\\\\s+'))").cast("long").as("nt"))
+        .repartitionByRange(4, col("source"), col("nt"))
+        .select(to_json(struct(col("source"), col("nt"))).as("value"))
+        .write.mode("overwrite").text(in),
+      read = in =>
+        spark.readStream.option("maxFilesPerTrigger", 1).text(in),
+      statePrefix = "wf",
+      slice = batch => batch
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, nt BIGINT")).as("r"))
+        .groupBy(col("r.source").as("source"))
+        .agg(sum(col("r.nt")).as("avail")),
+      merge = (p, prev) => prev.unionByName(p)
+        .groupBy(col("source")).agg(sum(col("avail")).as("avail")))
+    graft.operators.Curation.waterfillFromAvail(finalState)
   }
 
   // token addition is commutative, the allocation depends only on the
