@@ -23,6 +23,15 @@ class Round12OpsSpec extends SparkSpec {
     val pf = scans.map(_.metadata.getOrElse("PartitionFilters", "")).mkString
     assert(pf.contains("dynamicpruning"),
       s"fact scan has no runtime pruning subquery: $pf\n$plan")
+    // the decisive runtime metric: of the ~85 month partitions on disk,
+    // the fact scan touched only the quarter's 3
+    val factScan = scans.find(
+      _.metadata.getOrElse("PartitionFilters", "").contains("dynamicpruning"))
+    assert(factScan.isDefined)
+    val nPart = factScan.get.metrics.get("numPartitions").map(_.value)
+    assert(nPart.contains(3L),
+      s"expected 3 partitions read, metric says $nPart " +
+        s"(metrics: ${factScan.get.metrics.keys.mkString(", ")})")
     // and the reconciliation: the pruned scan lost no rows vs the
     // unpartitioned recompute
     val want = spark.read.parquet(s"${sf()}/lineitem.parquet")
