@@ -203,4 +203,61 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, n = 8)
   }
+
+  test("waterfill allocation laws hold on random avail vectors: exact " +
+    "spend, per-source cap, max-min fairness") {
+    val genAvail = Gen.listOfN(8, Gen.choose(1L, 2000L))
+    val prop = Prop.forAll(genAvail) { avails =>
+      val avail = avails.zipWithIndex
+        .map { case (a, i) => (f"s$i%02d", a) }
+        .toDF("source", "avail")
+      val rows = graft.operators.Curation.waterfillFromAvail(avail)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Long]("avail"),
+          r.getAs[Long]("budget"), r.getAs[Long]("allocation"),
+          r.getAs[Boolean]("capped")))
+      val total = avails.sum
+      val budget = total * 9 / 10
+      val spend = rows.map(_._4).sum == math.min(budget, total)
+      val cap = rows.forall { case (_, a, _, alloc, _) => alloc <= a }
+      // max-min fairness: every capped source's allocation is >= any
+      // uncapped (full) source's avail minus 1 (the remainder step), and
+      // capped allocations differ by at most 1
+      val cappedAlloc = rows.filter(_._5).map(_._4)
+      val fullAvail = rows.filterNot(_._5).map(_._2)
+      val fair = cappedAlloc.isEmpty ||
+        ((cappedAlloc.max - cappedAlloc.min) <= 1 &&
+          fullAvail.forall(a => a <= cappedAlloc.max))
+      spend && cap && fair
+    }
+    check(prop, n = 10)
+  }
+
+  test("packSized greedy fold laws on random doc sizes: offsets fit " +
+    "capacity, example ids are dense per shard, offsets reconstruct") {
+    val cap = 100L
+    val genDocs = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 200L), Gen.choose(1L, 60L)))
+    val prop = Prop.forAll(genDocs) { raw =>
+      val docs = raw.map(_._1).distinct.sorted
+        .zip(raw.map(_._2)).map { case (id, n) => (id, id / 4, n) }
+      docs.isEmpty || {
+        val got = graft.operators.Curation
+          .packSized(docs.toDS(), cap).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+        got.length == docs.length &&
+        got.forall { case (_, _, _, off, n) => n > cap || off + n <= cap } &&
+        got.groupBy(_._2).forall { case (_, g) =>
+          val exIds = g.sortBy(_._1).map(_._3)
+          // dense, non-decreasing example ids starting at 0
+          exIds.head == 0L &&
+          exIds.zip(exIds.tail).forall { case (a, b) =>
+            b == a || b == a + 1 }
+        }
+      }
+    }
+    check(prop, n = 10)
+  }
 }
