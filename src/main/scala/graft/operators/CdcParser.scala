@@ -363,8 +363,21 @@ object CdcParser {
   }
 
   /** P1/P2/S2 roundtrip: generate the envelope stream, parse it back. */
-  def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame =
-    parse(eventsAsEnvelopeJson(spark, dir), col("json"))
+  /** Session-scoped memo (the sharedNearDupPairs pattern): eleven
+    * operators consume the parsed CDC frame and each paid the full
+    * envelope encode + Jackson parse per query; the parsed frame is a
+    * few MB at sf0.1. Stale-session guard as in the IVF/SA memos. */
+  private val parseMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), DataFrame]()
+  def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    val hit = parseMemo.get(key)
+    if (hit != null && hit.sparkSession.sparkContext.isStopped)
+      parseMemo.remove(key, hit)
+    parseMemo.computeIfAbsent(key, _ =>
+      parse(eventsAsEnvelopeJson(spark, dir), col("json"))
+        .localCheckpoint())
+  }
 
   /** q_p1 entry: the roundtrip plus its presentation sort. The sort lives
     * here — not in the building block — so downstream aggregations
