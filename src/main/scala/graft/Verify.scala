@@ -17,21 +17,23 @@ object Verify {
   // longest-first scheduling hints, from bench_history (sf0.1 idle times);
   // anything not listed is "fast" and fills the tail
   private val slowFirst = Seq(
-    // x3c leads: it pays the shared near-dup pairs memo that
-    // c10/c15/c16/c22/c27/m10 then reuse — starting it first converts six
-    // recomputes into one
-    "q_x3c_simhash_neardup",
-    "q_x7_repeated_span", "q_stream_union", "q_stream_late",
-    "q_stream_sliding",
-    "q_stream_resume", "q_x12_simjoin", "q_x6_suffix_array",
-    "q_stream_scd2", "q_stream_dedup", "q_stream_ivm", "q_stream_backfill",
-    "q_stream_profile", "q_c29_threshold_sweep", "q_stream_latency",
-    "q_stream_outer", "q_stream_ohlc", "q_g6_hits", "q_stream_w1",
+    // memo payers lead: x3c builds the shared near-dup pairs
+    // (c10/c15/c16/c22/c27/m10 reuse), x6 the suffix-array ranks (x7
+    // reuses), g1 the co-purchase edges (g2..g13 reuse) — starting them
+    // first converts the fan-out recomputes into one build each
+    "q_x3c_simhash_neardup", "q_x6_suffix_array", "q_g1_triangles",
+    "q_stream_late", "q_x12_simjoin", "q_c29_threshold_sweep",
+    "q_stream_scd2", "q_stream_backfill", "q_stream_resume",
+    "q_x7_repeated_span", "q_stream_sliding", "q_stream_union",
+    "q_stream_centroids", "q_stream_dedup", "q_stream_ivm",
+    "q_stream_profile", "q_stream_latency", "q_g6_hits",
+    "q_stream_outer", "q_stream_ohlc", "q_stream_w1",
     "q_stream_sessions", "q_g2_also_bought", "q_c15_pagerank",
-    "q_c27_incremental_clusters", "q_g3_label_prop", "q_g1_triangles",
+    "q_c27_incremental_clusters", "q_g3_label_prop", "q_c16_canonical",
     "q_stream_tws", "q_stream_a1", "q_x8_dedup_cut", "q_st6_bucketed_join",
     "q_y4_lsh_neardup", "q_stream_join", "q_t15_bpe_apply",
-    "q_t14_bpe_train", "q_stream_merge", "q_stream_raw")
+    "q_t14_bpe_train", "q_stream_merge", "q_stream_waterfill",
+    "q_stream_raw")
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg (builder-local only; the driver passes two): run a
