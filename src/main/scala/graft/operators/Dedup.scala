@@ -2277,7 +2277,13 @@ object Dedup {
                |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
       .cache()
     val nSample = grams.count()
+    // the cross join broadcasts b and streams a, so the heavy per-pair
+    // gram-intersection compute inherits a's partitioning — the filtered
+    // 200-row scan arrives in 1-2 partitions and serializes ~20k
+    // intersections onto one core; spreading a across the session's
+    // shuffle parallelism is a 200-row exchange that unlocks all of them
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      .repartition(col("doc_a"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
     val pairs = a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
@@ -2289,7 +2295,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("j"),
         explode(expr("array(0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"))
           .as("tau"))
-      .filter(col("j") >= col("tau"))
+      // coalesce blocks the IsNotNull(j) constraint this filter would
+      // otherwise imply: that constraint pushes below the Generate into
+      // the cross join's condition, where the full gram-intersection
+      // expression then re-evaluates for every ORDERED pair (2× the
+      // unordered count, and once more in the projection above). j is
+      // never null (both gram arrays are non-null), so the coalesce is
+      // semantically free — it exists only to keep the heavy expression
+      // out of the join operator. Measured 4.6 s -> ~2 s at sf0.1.
+      .filter(coalesce(col("j"), lit(-1d)) >= col("tau"))
       .groupBy(col("tau"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_b")).as("n_docs_removed"))
