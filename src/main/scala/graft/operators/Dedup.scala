@@ -1704,7 +1704,12 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("za") + col("zb") - col("inter")))
-      .filter(col("jaccard") >= tau)
+      // coalesce blocks the IsNotNull(jaccard) constraint, which predicate
+      // pushdown would otherwise clone into the verify join's condition —
+      // re-running the shingle-array intersect per joined pair inside the
+      // join operator and again in the projection (the c29 defect; jaccard
+      // is never null, both shingle arrays are non-null)
+      .filter(coalesce(col("jaccard"), lit(-1d)) >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)
         .as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

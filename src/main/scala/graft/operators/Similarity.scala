@@ -272,7 +272,10 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), Seq("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
+      // coalesce blocks the inferred IsNotNull(sim) from cloning the
+      // VectorDot into the join condition (per-ordered-pair re-evaluation
+      // inside the join; sim is never null — see the c29 sweep fix)
+      .filter(coalesce(col("sim"), lit(-1d)) >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -333,7 +336,10 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), Seq("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
+      // coalesce blocks the inferred IsNotNull(sim) from cloning the
+      // VectorDot into the join condition (per-ordered-pair re-evaluation
+      // inside the join; sim is never null — see the c29 sweep fix)
+      .filter(coalesce(col("sim"), lit(-1d)) >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -712,7 +718,10 @@ object Similarity {
     a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= tau)
+      // coalesce blocks the inferred IsNotNull(sim) from cloning the
+      // VectorDot into the join condition (per-ordered-pair re-evaluation
+      // inside the join; sim is never null — see the c29 sweep fix)
+      .filter(coalesce(col("sim"), lit(-1d)) >= tau)
       .groupBy(col("id_b"), col("cid"))
       .agg(min(col("id_a")).as("kept_id"),
         count(lit(1)).as("n_dups"),
@@ -1319,7 +1328,10 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= 0.35)
+      // coalesce blocks the inferred IsNotNull(sim) from cloning the
+      // VectorDot into the join condition (per-ordered-pair re-evaluation
+      // inside the join; sim is never null — see the c29 sweep fix)
+      .filter(coalesce(col("sim"), lit(-1d)) >= 0.35)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
