@@ -748,7 +748,7 @@ object Curation {
       .withColumn("jaccard",
         size(array_intersect(col("sh_t"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_t"), col("sh_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(G.simFilter(col("jaccard"), lit(0.5)))
       .select(col("train_id"), col("bench_id"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("train_id"), col("bench_id"))

@@ -177,7 +177,7 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(G.simFilter(col("jaccard"), lit(0.5)))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -366,7 +366,7 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(G.simFilter(col("jaccard"), lit(0.5)))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -591,12 +591,12 @@ object Dedup {
       .join(deltaStage.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
       .join(baseCand.select(col("doc_id").as("base_id"), col("shingles").as("sh_b")), "base_id")
       .withColumn("j", jac(col("sh_n"), col("sh_b")))
-      .filter(col("j") >= 0.5)
+      .filter(G.simFilter(col("j"), lit(0.5)))
     val verBatch = candBatch
       .join(deltaStage.select(col("doc_id").as("da"), col("shingles").as("sh_a")), "da")
       .join(deltaStage.select(col("doc_id").as("db"), col("shingles").as("sh_b2")), "db")
       .withColumn("j", jac(col("sh_a"), col("sh_b2")))
-      .filter(col("j") >= 0.5)
+      .filter(G.simFilter(col("j"), lit(0.5)))
 
     val idxAgg = verIdx.groupBy(col("new_id").as("doc_id"))
       .agg(count(lit(1)).as("nim"), max(round(col("j"), 4)).as("bj"))
@@ -736,7 +736,7 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(G.simFilter(col("jaccard"), lit(0.5)))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1704,12 +1704,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("za") + col("zb") - col("inter")))
-      // coalesce blocks the IsNotNull(jaccard) constraint, which predicate
-      // pushdown would otherwise clone into the verify join's condition —
-      // re-running the shingle-array intersect per joined pair inside the
-      // join operator and again in the projection (the c29 defect; jaccard
-      // is never null, both shingle arrays are non-null)
-      .filter(coalesce(col("jaccard"), lit(-1d)) >= tau)
+      .filter(G.simFilter(col("jaccard"), lit(tau)))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)
         .as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1768,7 +1763,7 @@ object Dedup {
         col("n_grams")), "contained_doc")
       .withColumn("containment",
         col("common").cast("double") / col("n_grams"))
-      .filter(col("containment") >= 0.5)
+      .filter(G.simFilter(col("containment"), lit(0.5)))
       .select(col("contained_doc"), col("container_doc"), col("n_grams"),
         col("common"), col("containment"))
       .orderBy(col("contained_doc"), col("container_doc"))
@@ -1882,7 +1877,7 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(G.simFilter(col("jaccard"), lit(0.5)))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -1924,7 +1919,7 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(G.simFilter(col("jaccard"), lit(0.5)))
       .select(col("doc_a"), col("doc_b"))
     val reported = sortedNeighborhoodDocs(docs)
       .select(col("doc_a"), col("doc_b"))
@@ -2300,15 +2295,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("j"),
         explode(expr("array(0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"))
           .as("tau"))
-      // coalesce blocks the IsNotNull(j) constraint this filter would
-      // otherwise imply: that constraint pushes below the Generate into
-      // the cross join's condition, where the full gram-intersection
-      // expression then re-evaluates for every ORDERED pair (2× the
-      // unordered count, and once more in the projection above). j is
-      // never null (both gram arrays are non-null), so the coalesce is
-      // semantically free — it exists only to keep the heavy expression
-      // out of the join operator. Measured 4.6 s -> ~2 s at sf0.1.
-      .filter(coalesce(col("j"), lit(-1d)) >= col("tau"))
+      .filter(G.simFilter(col("j"), col("tau")))
       .groupBy(col("tau"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_b")).as("n_docs_removed"))

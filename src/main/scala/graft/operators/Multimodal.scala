@@ -460,7 +460,7 @@ object Multimodal {
         col("nf").as("n_b"))), col("vid_b") === col("vb"))
       .withColumn("containment",
         col("shared").cast("double") / least(col("n_a"), col("n_b")))
-      .filter(col("containment") >= tau)
+      .filter(G.simFilter(col("containment"), lit(tau)))
       .select(col("vid_a"), col("vid_b"), col("shared"), col("n_a"),
         col("n_b"), col("containment"))
       .orderBy(col("vid_a"), col("vid_b"))

@@ -272,10 +272,7 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), Seq("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      // coalesce blocks the inferred IsNotNull(sim) from cloning the
-      // VectorDot into the join condition (per-ordered-pair re-evaluation
-      // inside the join; sim is never null — see the c29 sweep fix)
-      .filter(coalesce(col("sim"), lit(-1d)) >= threshold)
+      .filter(G.simFilter(col("sim"), lit(threshold)))
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -336,10 +333,7 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), Seq("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      // coalesce blocks the inferred IsNotNull(sim) from cloning the
-      // VectorDot into the join condition (per-ordered-pair re-evaluation
-      // inside the join; sim is never null — see the c29 sweep fix)
-      .filter(coalesce(col("sim"), lit(-1d)) >= threshold)
+      .filter(G.simFilter(col("sim"), lit(threshold)))
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -718,10 +712,7 @@ object Similarity {
     a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      // coalesce blocks the inferred IsNotNull(sim) from cloning the
-      // VectorDot into the join condition (per-ordered-pair re-evaluation
-      // inside the join; sim is never null — see the c29 sweep fix)
-      .filter(coalesce(col("sim"), lit(-1d)) >= tau)
+      .filter(G.simFilter(col("sim"), lit(tau)))
       .groupBy(col("id_b"), col("cid"))
       .agg(min(col("id_a")).as("kept_id"),
         count(lit(1)).as("n_dups"),
@@ -1328,10 +1319,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      // coalesce blocks the inferred IsNotNull(sim) from cloning the
-      // VectorDot into the join condition (per-ordered-pair re-evaluation
-      // inside the join; sim is never null — see the c29 sweep fix)
-      .filter(coalesce(col("sim"), lit(-1d)) >= 0.35)
+      .filter(G.simFilter(col("sim"), lit(0.35)))
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -75,6 +75,21 @@ object G {
   def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(c)
 
+  /** `threshold filter on a heavy computed column` — `simFilter(j, tau)`
+    * instead of `col(j) >= tau`. A plain `>=` filter on a computed
+    * similarity column implies `IsNotNull(j)`; predicate pushdown clones
+    * that constraint into the upstream join's condition, where the heavy
+    * pair expression (shingle-array intersect, vector dot product) then
+    * re-evaluates for every ORDERED joined pair ahead of the cheap
+    * ordering predicate — pure waste, measured 3.7× on the threshold
+    * sweep (q_c29). The coalesce is semantically free (the similarity is
+    * never null: its inputs are non-null arrays) and exists only to block
+    * the constraint inference; the real `>= tau` check still pushes into
+    * literal-tau joins, which is correct early filtering. Pinned by
+    * Round13OpsSpec. */
+  def simFilter(j: Column, tau: Column): Column =
+    coalesce(j, lit(-1d)) >= tau
+
   /** events.props is a tiny JSON object `{"k": <int>}`; `k` plays the
     * trade-volume analogue when events stands in for the trade stream
     * (FIXTURES.md §B mapping). */
