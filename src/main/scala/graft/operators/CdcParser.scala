@@ -307,19 +307,18 @@ object CdcParser {
     * the envelope. */
   private[graft] def eventsAsEnvelopeJsonTs(spark: SparkSession,
       dir: String): DataFrame =
-    envelopeMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir), _ =>
-        // localCheckpoint (survives catalog.clearCache, the pairs-memo
-        // lesson): the JSON-encode pass over events is paid once per
-        // session; every streaming replay's fixture writer reuses it
-        envelopeBuild(spark, dir).localCheckpoint())
+    envelopeMemo.getOrBuild(spark, dir) {
+      // localCheckpoint (survives catalog.clearCache, the pairs-memo
+      // lesson): the JSON-encode pass over events is paid once per
+      // session; every streaming replay's fixture writer reuses it
+      envelopeBuild(spark, dir).localCheckpoint()
+    }
 
   /** Every streaming replay starts by JSON-encoding the events table into
     * Debezium envelopes — a dozen fixture writers per bench/verify run
     * paying the same projection. Session-scoped memo, same pattern as
     * [[graft.operators.Dedup.sharedNearDupPairs]]. */
-  private val envelopeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+  private val envelopeMemo = new graft.SessionMemo[DataFrame]()
 
   private def envelopeBuild(spark: SparkSession,
       dir: String): DataFrame = {
@@ -366,18 +365,13 @@ object CdcParser {
   /** Session-scoped memo (the sharedNearDupPairs pattern): eleven
     * operators consume the parsed CDC frame and each paid the full
     * envelope encode + Jackson parse per query; the parsed frame is a
-    * few MB at sf0.1. Stale-session guard as in the IVF/SA memos. */
-  private val parseMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), DataFrame]()
-  def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir)
-    val hit = parseMemo.get(key)
-    if (hit != null && hit.sparkSession.sparkContext.isStopped)
-      parseMemo.remove(key, hit)
-    parseMemo.computeIfAbsent(key, _ =>
+    * few MB at sf0.1. SessionMemo sweeps stopped-session entries. */
+  private val parseMemo = new graft.SessionMemo[DataFrame]()
+  def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    parseMemo.getOrBuild(spark, dir) {
       parse(eventsAsEnvelopeJson(spark, dir), col("json"))
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    }
 
   /** q_p1 entry: the roundtrip plus its presentation sort. The sort lives
     * here — not in the building block — so downstream aggregations
@@ -385,7 +379,13 @@ object CdcParser {
   def cdcParseRoundtripSorted(spark: SparkSession, dir: String): DataFrame =
     cdcParseRoundtrip(spark, dir).orderBy(col("trade_id"))
 
-  val cdcParseRoundtripSql: String =
+  /** Unordered roundtrip body — the canonical form for the eight oracles
+    * that embed the parse as a subquery. [[cdcParseRoundtripSql]] is this
+    * plus the presentation sort; consumers needing the bare parse use the
+    * body directly instead of string-replacing the ORDER BY back out
+    * (which silently produced invalid SQL whenever the sort column
+    * drifted). */
+  val cdcParseBodySql: String =
     s"""SELECT $opCaseSql AS op,
        |  event_id AS trade_id,
        |  'M' || user_id AS market,
@@ -401,8 +401,10 @@ object CdcParser {
        |  epoch_ms(ts) AS cdc_ts,
        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS cdc_latency_ms
        |FROM events
-       |WHERE event_id % 17 <> 0 AND event_id % 23 <> 0
-       |ORDER BY trade_id""".stripMargin
+       |WHERE event_id % 17 <> 0 AND event_id % 23 <> 0""".stripMargin
+
+  val cdcParseRoundtripSql: String =
+    s"$cdcParseBodySql\nORDER BY trade_id"
 
   /** q_p10: ingest DROP AUDIT — reconcile the parsed CDC stream against
     * its source, per day: which envelopes did the parser reject, and at
@@ -559,7 +561,7 @@ object CdcParser {
   }
 
   val lateAuditSql: String = {
-    val parsed = cdcParseRoundtripSql.replace("ORDER BY trade_id", "")
+    val parsed = cdcParseBodySql
     s"WITH parsed AS ($parsed),\n" +
       lateAuditBody("parsed", "//").stripPrefix("WITH ")
   }
@@ -605,7 +607,7 @@ object CdcParser {
   val changedRowCountsSql: String =
     s"""SELECT op, count(*) AS n,
        |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
-       |FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t
+       |FROM (${cdcParseBodySql}) t
        |WHERE op IN ('c','u','d')
        |GROUP BY op ORDER BY op""".stripMargin
 
@@ -639,7 +641,7 @@ object CdcParser {
        |    sequential_id,
        |    row_number() OVER (PARTITION BY trade_id % 3000
        |      ORDER BY sequential_id DESC) AS rn
-       |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
+       |  FROM (${cdcParseBodySql}) t) v
        |WHERE rn = 1 AND op <> 'd'
        |ORDER BY key""".stripMargin
 
@@ -692,7 +694,7 @@ object CdcParser {
        |    sequential_id, source_ts AS valid_from,
        |    lead(source_ts) OVER (PARTITION BY trade_id % 3000
        |      ORDER BY sequential_id) AS valid_to
-       |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
+       |  FROM (${cdcParseBodySql}) t) v
        |WHERE op <> 'd'
        |ORDER BY key, sequential_id""".stripMargin
 
@@ -754,11 +756,11 @@ object CdcParser {
        |      sequential_id, source_ts AS valid_from,
        |      lead(source_ts) OVER (PARTITION BY trade_id % 3000
        |        ORDER BY sequential_id) AS valid_to
-       |    FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t) v
+       |    FROM (${cdcParseBodySql}) t) v
        |  WHERE op <> 'd'),
        |probes AS (
        |  SELECT trade_id, trade_id % 3000 AS key, source_ts AS ts
-       |  FROM (${cdcParseRoundtripSql.replace("ORDER BY trade_id", "")}) t)
+       |  FROM (${cdcParseBodySql}) t)
        |SELECT p.trade_id, p.key, p.ts, h.sequential_id AS version_seq,
        |  h.market, h.trade_price
        |FROM probes p JOIN hist h ON p.key = h.key
@@ -826,7 +828,7 @@ object CdcParser {
   }
 
   val latencyHistogramSql: String = {
-    val parsed = cdcParseRoundtripSql.replace("ORDER BY trade_id", "")
+    val parsed = cdcParseBodySql
     s"""WITH parsed AS ($parsed),
        |e AS (SELECT op, cdc_latency_ms AS ms FROM parsed),
        |b AS (SELECT op, ms, CAST(length(bin(ms)) AS BIGINT) AS bits FROM e),
@@ -906,7 +908,7 @@ object CdcParser {
        |FROM seq GROUP BY market ORDER BY market""".stripMargin
 
   val orderingAuditSql: String = {
-    val parsed = cdcParseRoundtripSql.replace("ORDER BY trade_id", "")
+    val parsed = cdcParseBodySql
     s"WITH parsed AS ($parsed),\n" +
       orderingAuditBody("parsed").stripPrefix("WITH ")
   }

@@ -200,8 +200,7 @@ object DashboardQueries {
   }
 
   val ohlcCandlesSql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH t AS (
        |  SELECT market, trade_id, trade_price, trade_volume, source_ts,
        |    source_ts - source_ts % 900000 AS candle_ms

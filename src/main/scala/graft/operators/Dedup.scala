@@ -823,29 +823,27 @@ object Dedup {
     * and persists, later callers reuse the cached frame. Keyed by
     * (session identity, data dir) so concurrent Verify workers and
     * multi-SF test sessions never cross-contaminate. */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
-  private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+  private val pairsMemo = new graft.SessionMemo[DataFrame]()
+  private val labelsMemo = new graft.SessionMemo[DataFrame]()
 
   private[graft] def sharedNearDupPairs(spark: SparkSession,
       dir: String): DataFrame =
-    pairsMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir), _ =>
-        // localCheckpoint, not persist(): Bench clears the SQL CacheManager
-        // between queries (so intra-query .cache() frames don't accumulate),
-        // which would silently de-materialize a persist()-ed memo after its
-        // first consumer. RDD-block-backed localCheckpoint (the same choice
-        // memberLabels makes) is eager and survives catalog.clearCache().
-        simhashNearDups(spark, dir).localCheckpoint())
+    pairsMemo.getOrBuild(spark, dir) {
+      // localCheckpoint, not persist(): Bench clears the SQL CacheManager
+      // between queries (so intra-query .cache() frames don't accumulate),
+      // which would silently de-materialize a persist()-ed memo after its
+      // first consumer. RDD-block-backed localCheckpoint (the same choice
+      // memberLabels makes) is eager and survives catalog.clearCache().
+      simhashNearDups(spark, dir).localCheckpoint()
+    }
 
   private[graft] def sharedClusterLabels(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    labelsMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir), _ =>
-        memberLabels(sharedNearDupPairs(spark, dir)
-          .select(col("doc_a"), col("doc_b")).as[(Long, Long)]))
+    labelsMemo.getOrBuild(spark, dir) {
+      memberLabels(sharedNearDupPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
+    }
   }
 
   /** Connected components over any pair Dataset — split out so
@@ -1355,20 +1353,16 @@ object Dedup {
     * per query. First caller builds and persists the rank RDD (RDD
     * storage, untouched by Bench's `catalog.clearCache()`), the other
     * reuses it. */
-  private val saMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.rdd.RDD[(Long, Long)]]()
+  private val saMemo =
+    new graft.SessionMemo[org.apache.spark.rdd.RDD[(Long, Long)]]()
   private def saRanks(spark: SparkSession, dir: String)
-      : org.apache.spark.rdd.RDD[(Long, Long)] = {
-    val key = (System.identityHashCode(spark), dir)
-    val hit = saMemo.get(key)
-    if (hit != null && hit.sparkContext.isStopped) saMemo.remove(key, hit)
-    saMemo.computeIfAbsent(key, _ => {
+      : org.apache.spark.rdd.RDD[(Long, Long)] =
+    saMemo.getOrBuild(spark, dir) {
       val r = saRanksOn(spark, G.table(spark, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
-    })
-  }
+    }
 
   /** Stress entry: the SA build over any (doc_id, text) frame. Doc length
     * must stay under 192 tokens (position stride 256 minus the max shift

@@ -21,19 +21,14 @@ object Graph {
     * adjacent iff some order contains BOTH in bulk (quantity >= 30);
     * distinct undirected (u < v) edges. One definition, ten consumers —
     * changing the graph means changing exactly this and the SQL CTEs. */
-  private val edgesMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), DataFrame]()
+  private val edgesMemo = new graft.SessionMemo[DataFrame]()
   private[graft] def coPurchaseEdges(spark: SparkSession,
       dir: String): DataFrame = {
     // session-scoped memo (the sharedNearDupPairs pattern): ten operators
     // consume this graph and each paid the basket self-join per query;
     // the edge list is small (~200k rows at sf0.1) and the build is the
-    // expensive part. Stale-session guard as in the IVF/SA memos.
-    val key = (System.identityHashCode(spark), dir)
-    val hit = edgesMemo.get(key)
-    if (hit != null && hit.sparkSession.sparkContext.isStopped)
-      edgesMemo.remove(key, hit)
-    edgesMemo.computeIfAbsent(key, _ => {
+    // expensive part. SessionMemo sweeps stopped-session entries.
+    edgesMemo.getOrBuild(spark, dir) {
       val li = G.table(spark, dir, "lineitem")
         .filter(col("l_quantity") >= 30)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -42,7 +37,7 @@ object Graph {
       a.join(b, "ok").filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
         .localCheckpoint()
-    })
+    }
   }
 
 

@@ -407,22 +407,16 @@ object Similarity {
     * queries; persist() would not), later callers reuse. The per-corpus
     * index build a production vector store runs once per snapshot, not
     * once per query. */
-  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, Int), (DataFrame, DataFrame)]()
+  private val ivfMemo = new graft.SessionMemo[(DataFrame, DataFrame)]()
   private def ivfAssignCent(spark: SparkSession, dir: String, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    val key = (System.identityHashCode(spark), dir, k, iters)
-    // guard against a stale hit after the memoized session was stopped
-    // (identityHashCode reuse in a long-lived JVM): drop and rebuild
-    val hit = ivfMemo.get(key)
-    if (hit != null && hit._1.sparkSession.sparkContext.isStopped)
-      ivfMemo.remove(key, hit)
-    ivfMemo.computeIfAbsent(key, _ => {
+      iters: Int): (DataFrame, DataFrame) =
+    // (k, iters) fold into the memo tag; SessionMemo sweeps entries from
+    // stopped sessions on every access (identityHashCode reuse guard)
+    ivfMemo.getOrBuild(spark, s"$dir#k=$k#it=$iters") {
       val (a, c) = ivfAssignCentOn(
         embeddings(spark, dir).select(col("vec_id"), col("v")), k, iters)
       (a.localCheckpoint(), c.localCheckpoint())
-    })
-  }
+    }
 
   /** [[ivfAssignCent]] over a caller-supplied (vec_id, v) frame — the
     * incremental refresh (q_y18) trains on the BASE slice only. */
@@ -1123,21 +1117,15 @@ object Similarity {
     * Returns (final assignment (vec_id, m, cid, dist2), the codebook that
     * produced it). Per round: one pass over the subvectors, one tiny
     * m·k·d-group aggregate, the corpus never shuffles. */
-  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, Int, Int), (DataFrame, DataFrame)]()
+  private val pqMemo = new graft.SessionMemo[(DataFrame, DataFrame)]()
   private def pqAssign(spark: SparkSession, dir: String, m: Int, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
+      iters: Int): (DataFrame, DataFrame) =
     // same session-scoped memo as ivfAssignCent: y7/y8/y17 train the
     // identical codebook; build once per corpus snapshot
-    val key = (System.identityHashCode(spark), dir, m, k, iters)
-    val hit = pqMemo.get(key)
-    if (hit != null && hit._1.sparkSession.sparkContext.isStopped)
-      pqMemo.remove(key, hit)
-    pqMemo.computeIfAbsent(key, _ => {
+    pqMemo.getOrBuild(spark, s"$dir#m=$m#k=$k#it=$iters") {
       val (a, c) = pqAssignComputed(spark, dir, m, k, iters)
       (a.localCheckpoint(), c.localCheckpoint())
-    })
-  }
+    }
   private def pqAssignComputed(spark: SparkSession, dir: String, m: Int,
       k: Int, iters: Int): (DataFrame, DataFrame) = {
     val subDim = 64 / m

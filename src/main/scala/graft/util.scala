@@ -4,6 +4,41 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Session-scoped memo for expensive shared artifacts (parsed CDC frames,
+  * LSH pair sets, suffix-array ranks, IVF assignments, …), keyed by
+  * (SparkSession identity, data dir).
+  *
+  * Every access first SWEEPS the whole map (the maps hold a handful of
+  * entries), dropping any entry whose owning session has stopped or been
+  * collected — a stopped session's cached frames and checkpoint-RDD
+  * metadata must not pin memory for the JVM's life just because its exact
+  * key is never re-requested. The owning session is held through a
+  * WeakReference so the memo itself never keeps a session alive.
+  *
+  * `onEvict` runs for each swept value (e.g. deleting a temp directory
+  * backing a materialized fixture). */
+final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (java.lang.ref.WeakReference[SparkSession], V)]()
+
+  def getOrBuild(spark: SparkSession, dir: String)(build: => V): V = {
+    m.forEach { (k, v) =>
+      val s = v._1.get()
+      if ((s == null || s.sparkContext.isStopped) && m.remove(k, v))
+        onEvict(v._2)
+    }
+    m.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => (new java.lang.ref.WeakReference(spark), build))._2
+  }
+
+  /** Snapshot of live values (for shutdown-hook cleanup). */
+  def values: Seq[V] = {
+    val b = Seq.newBuilder[V]
+    m.forEach { (_, v) => b += v._2 }
+    b.result()
+  }
+}
+
 /** Shared helpers: table loading and oracle-exact numeric aggregation. */
 object G {
 
