@@ -58,6 +58,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // FAIR so the q_sql_concurrent panel volley shares cores across its
+      // 12 per-panel pools instead of queueing them FIFO
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,15 +90,38 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
-    val p1 = onePass().toMap
-    val p2 = onePass().toMap
-    val results = p1.keys.toSeq.sorted.map(k => k -> math.min(p1(k), p2(k)))
+    // SPARK_GRAFT_BENCH_REPS (default 2): the reported per-query number is
+    // the MIN across reps (load-spike robustness, the round-2 lesson); the
+    // full JSON line additionally records per-query RUN-TO-RUN VARIANCE
+    // (max/min across this run's own reps) so a flagged regression can be
+    // read against the query's measured noise floor instead of guessed at.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    val passes = (1 to reps).map(_ => onePass().toMap)
+    val keys = passes.head.keys.toSeq.sorted
+    val results = keys.map(k => k -> passes.map(_(k)).min)
+    val vr: Map[String, Double] =
+      keys.map(k => k -> (if (reps < 2 || passes.map(_(k)).min <= 0) 1.0
+                          else passes.map(_(k)).max / passes.map(_(k)).min))
+        .toMap
+
+    // serving-layer probe (reference SLO surface): per-panel latency under
+    // the 12-way concurrent dashboard refresh, 5 volleys = 60 samples
+    val panelMs = operators.SqlSurface.panelLatencies(spark, sfDir, 5).sorted
+    def pct(p: Double): Double =
+      if (panelMs.isEmpty) 0.0
+      else panelMs(math.min(panelMs.size - 1,
+        math.ceil(p * panelMs.size).toInt - 1))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val vrJson = keys.map(k => "\"" + k + "\":" +
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(vr(k))))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""reps":$reps,"vr":$vrJson,"sql_panel_p50_ms":${pct(0.5)},""" +
+        s""""sql_panel_p95_ms":${pct(0.95)},"sf":"$sfDir"}"""
 
     // The driver captures only a bounded stdout tail (both r1 and r2
     // recorded parsed:null — the full-name line is ~2.4 KB and overflows a
@@ -120,28 +146,38 @@ object Bench {
               "\"_n\":" + results.size)
           else Seq.empty))
       .mkString("{", ",", "}")
+    val maxVr = if (vr.isEmpty) 1.0 else vr.values.max
     val sfName = Paths.get(sfDir).getFileName.toString
     val shortLine =
-      s"""{"metric":"total","value":${d(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${d(total, 2)},"unit":"sec","queries":$qsShort,""" +
+        s""""reps":$reps,"max_vr":${d(maxVr, 2)},""" +
+        s""""sql_panel_p95_ms":${d(pct(0.95), 1)},"sf":"$sfName"}"""
 
-    // regression tracking vs the previous history entry (same sf only)
+    // regression tracking vs the previous history entry (same sf only).
+    // Jackson, not a regex over the raw line: the line now carries a "vr"
+    // object whose keys are the same query names — a regex sweep would
+    // silently read variance ratios as seconds.
     val hist = Paths.get("bench_history.jsonl")
     if (Files.exists(hist)) {
       val prev = Files.readAllLines(hist)
       if (!prev.isEmpty) {
         val last = prev.get(prev.size - 1)
-        if (last.contains("\"sf\":\"" + sfDir + "\"")) {
-          val re = """"(q_\w+)":([0-9.Ee+-]+)""".r
-          val prevTimes = re.findAllMatchIn(last)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          results.foreach { case (k, v) =>
-            prevTimes.get(k).foreach { pv =>
-              if (pv > 0.2 && v > pv * 1.5)
-                System.err.println(
-                  f"[bench] REGRESSION $k: $pv%.2fs -> $v%.2fs (${v / pv}%.1fx)")
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(last)
+          if (node.path("sf").asText() == sfDir) {
+            val q = node.path("queries")
+            results.foreach { case (k, v) =>
+              if (q.has(k)) {
+                val pv = q.get(k).asDouble()
+                if (pv > 0.2 && v > pv * 1.5)
+                  System.err.println(f"[bench] REGRESSION $k: " +
+                    f"$pv%.2fs -> $v%.2fs (${v / pv}%.1fx, this-run vr " +
+                    f"${vr(k)}%.2f)")
+              }
             }
           }
-        }
+        } catch { case _: Exception => () } // pre-Jackson history lines
       }
     }
     if (only.isEmpty) { // subset runs must not pollute the history/regression baseline

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_c8_mix_rebalance" -> ((s, d) => Curation.mixRebalance(s, d)),
     // spark.sql serving surface (SURVEY §3.3 entry point 3)
     "q_sql_scalar_panels" -> ((s, d) => SqlSurface.scalarPanels(s, d)),
+    "q_sql_concurrent" -> ((s, d) => SqlSurface.concurrentPanels(s, d)),
     // Multimodal binary-column plumbing (decode stubbed)
     "q_m1_media_metadata" -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "q_m2_extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -532,6 +533,7 @@ object SparkEntry {
     "q_c7_pack_shards" -> Curation.packShardsSql,
     "q_c8_mix_rebalance" -> Curation.mixRebalanceSql,
     "q_sql_scalar_panels" -> SqlSurface.scalarPanelsSql,
+    "q_sql_concurrent" -> SqlSurface.concurrentPanelsSql,
     "q_m1_media_metadata" -> Multimodal.mediaMetadataSql,
     "q_m2_extract_features" -> Multimodal.extractFeaturesSql,
     "q_m3_sample_frames" -> Multimodal.sampleFramesSql,

@@ -86,6 +86,87 @@ object SqlSurface {
         |ORDER BY panel""".stripMargin)
   }
 
+  /** q_sql_concurrent: THE SERVING-LAYER CHECK — all 12 panels fired at
+    * ONE session from 12 threads (the reference dashboard refreshes every
+    * panel each 10 s; `grafana/.../cdc-pipeline.json:7` "refresh": "10s"),
+    * each job tagged with its own scheduler pool (FAIR when the session
+    * enables it — Bench/Verify do — so a heavy GROUP BY panel cannot
+    * starve the scalar tiles; harmless under FIFO). Returns one row per
+    * panel: its served row count and whether the concurrently-served
+    * result is IDENTICAL to the same panel run sequentially afterward.
+    * The concurrent/sequential equality is IN the oracle-checked result:
+    * a thread-safety bug, temp-view race, or non-deterministic plan flips
+    * `matches_sequential` and fails the driver's t2 hash gate, not just a
+    * local spec. */
+  def concurrentPanels(spark: SparkSession, dir: String): DataFrame = {
+    val conc = servePanelsConcurrently(spark, dir)
+    val seq = panels.map { case (n, sql) =>
+      n -> spark.sql(sql).collect().toSeq
+    }
+    import spark.implicits._
+    panels.keys.toSeq.sorted
+      .map(n => (n, conc(n)._1.size.toLong, conc(n)._1 == seq(n)))
+      .toDF("panel", "n_rows", "matches_sequential")
+      .orderBy(col("panel"))
+  }
+
+  /** One concurrent volley: every panel collected on its own thread in
+    * its own scheduler pool. Returns per-panel (rows, wall millis). */
+  private def servePanelsConcurrently(spark: SparkSession, dir: String)
+      : Map[String, (Seq[org.apache.spark.sql.Row], Double)] = {
+    createViews(spark, dir)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(panels.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = panels.toSeq.map { case (name, sql) =>
+        Future {
+          spark.sparkContext
+            .setLocalProperty("spark.scheduler.pool", s"panel_$name")
+          val t0 = System.nanoTime()
+          val rows = spark.sql(sql).collect().toSeq
+          name -> (rows, (System.nanoTime() - t0) / 1e6)
+        }
+      }
+      Await.result(Future.sequence(fs), 10.minutes).toMap
+    } finally pool.shutdown()
+  }
+
+  /** Bench probe: `volleys` rounds of the full 12-panel concurrent volley;
+    * returns every per-panel wall latency (ms) for percentile math. The
+    * number the reference publishes SLOs for is per-panel latency under
+    * the 12-way concurrent refresh, not sequential query time. */
+  def panelLatencies(spark: SparkSession, dir: String,
+      volleys: Int): Seq[Double] =
+    (1 to volleys).flatMap(_ =>
+      servePanelsConcurrently(spark, dir).values.map(_._2))
+
+  val concurrentPanelsSql: String =
+    """WITH e AS (SELECT *, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |           FROM events)
+      |SELECT panel, n_rows, TRUE AS matches_sequential FROM (
+      |  SELECT 'avg_price' AS panel, CAST(1 AS BIGINT) AS n_rows
+      |  UNION ALL SELECT 'bid_ask_by_market',
+      |    (SELECT count(DISTINCT user_id) FROM e)
+      |  UNION ALL SELECT 'changed_rows',
+      |    (SELECT count(DISTINCT event_type) FROM e
+      |     WHERE event_type IN ('purchase', 'view', 'error'))
+      |  UNION ALL SELECT 'latency_per_minute',
+      |    (SELECT count(DISTINCT date_trunc('minute', ts)) FROM e)
+      |  UNION ALL SELECT 'liveness', 1
+      |  UNION ALL SELECT 'max_price', 1
+      |  UNION ALL SELECT 'price_chart',
+      |    (SELECT count(DISTINCT date_trunc('minute', ts)) FROM e
+      |     WHERE user_id = 1)
+      |  UNION ALL SELECT 'recent_alerts',
+      |    (SELECT least(50, count(*)) FROM e WHERE event_type = 'error')
+      |  UNION ALL SELECT 'recent_trades', (SELECT least(30, count(*)) FROM e)
+      |  UNION ALL SELECT 'total_trades', 1
+      |  UNION ALL SELECT 'total_volume', 1
+      |  UNION ALL SELECT 'uniq_markets', 1)
+      |ORDER BY panel""".stripMargin
+
   val scalarPanelsSql: String =
     """WITH e AS (SELECT *, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
       |           FROM events)

@@ -242,8 +242,7 @@ object StreamingJobs {
   }
 
   val ivmJoinSql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed)
        |SELECT t.market, CAST(floor(t.trade_price) AS BIGINT) AS price_bucket,
        |  t.trade_id AS bid_id, t.trade_price AS bid_price,
@@ -513,8 +512,7 @@ object StreamingJobs {
   val fanOutRawSql: String = graft.operators.CdcParser.cdcParseRoundtripSql
 
   val fanOutAlertsSql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed)
        |SELECT trade_id, market, trade_price, trade_volume,
        |  trade_price * trade_volume AS amount
@@ -692,8 +690,7 @@ object StreamingJobs {
   /** Gaps-and-islands over the parse oracle — the q_a9 SQL shape keyed by
     * market (strict > gap: Spark merges an event at exactly last+gap). */
   val sessionReplaySql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed),
        |ev AS (SELECT make_timestamp(source_ts * 1000) AS ts, market,
        |              trade_price FROM parsed),
@@ -1036,8 +1033,7 @@ object StreamingJobs {
   /** q_a19's slot construction (4 covering windows by integer slot
     * arithmetic) over the parse CTE, markets distinct per window. */
   def slidingDistinctReplaySql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed),
        |ev AS (SELECT market, source_ts // 900000 AS slot FROM parsed),
        |x AS (
@@ -1202,8 +1198,7 @@ object StreamingJobs {
   }
 
   def lateWindowReplaySql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed),
        |cm AS (SELECT max(cdc_ts) AS cmax FROM parsed),
        |kept AS (
@@ -1393,8 +1388,7 @@ object StreamingJobs {
   }
 
   val tradeQuoteJoinSql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed)
        |SELECT t.market, t.trade_id, q.trade_id AS quote_id,
        |  t.trade_price, q.trade_price AS quote_price,
@@ -1466,8 +1460,7 @@ object StreamingJobs {
   }
 
   val tradeQuoteOuterSql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed)
        |SELECT t.market, t.trade_id, q.trade_id AS quote_id,
        |  t.trade_price, q.trade_price AS quote_price,
@@ -1515,8 +1508,7 @@ object StreamingJobs {
 
   /** Parse oracle joined to the same per-market dim, grouped from itself. */
   val enrichReplaySql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed),
        |dim AS (SELECT market, count(*) AS market_trades,
        |               min(source_ts) AS market_first_ts
@@ -1533,8 +1525,7 @@ object StreamingJobs {
     * total_volume is DOUBLE (k rides the envelope as a decimal string) but
     * every k is integer-valued, so the plain double sum is order-exact. */
   val fanOutReplaySql: String = {
-    val parsed = graft.operators.CdcParser.cdcParseRoundtripSql
-      .replace("ORDER BY trade_id", "")
+    val parsed = graft.operators.CdcParser.cdcParseBodySql
     s"""WITH parsed AS ($parsed),
        |ev AS (SELECT make_timestamp(source_ts * 1000) AS ts,
        |              market AS user_id, ask_bid AS event_type,
