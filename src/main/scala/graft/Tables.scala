@@ -82,6 +82,41 @@ object Tables {
   def retentionFilter(df: DataFrame, tsCol: String, cutoff: String): DataFrame =
     df.filter(col(tsCol) >= lit(cutoff).cast("timestamp_ntz"))
 
+  /** ST3 as the MAINTENANCE JOB the reference actually runs: ClickHouse
+    * TTL (`clickhouse/init.sql:27,53,74`) expires data by DROPPING whole
+    * parts, a metadata operation — it never rewrites live rows. On a
+    * [[writePartitioned]] monthly layout the equivalent is deleting the
+    * expired `month=yyyyMM` directories: O(expired partitions) filesystem
+    * ops regardless of table size, while [[retentionFilter]] remains the
+    * query-time predicate for rows inside the boundary month. Expiry is
+    * judged on the PARTITION VALUE (a month is dropped only when the whole
+    * month is past the cutoff), so a mid-month cutoff never deletes live
+    * rows — the boundary month stays and the filter handles it.
+    *
+    * Returns the dropped month values. LayoutSpec proves live-partition
+    * files are byte-identical (length + mtime) after the drop — expired
+    * months vanish WITHOUT touching live data. */
+  def dropExpiredPartitions(spark: SparkSession, path: String,
+      cutoffMonth: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case s if s.startsWith("month=") =>
+            val m = s.stripPrefix("month=")
+            // drop strictly-before months only: the cutoff's own month can
+            // still hold live rows
+            if (m < cutoffMonth && fs.delete(p, true)) Some(m) else None
+          case _ => None
+        }
+      }
+      .sorted
+  }
+
   /** Z-value (Morton code) of two dimensions, each truncated to its low
     * 16 bits: bit-interleave via the classic binary-magic-number spread —
     * pure BIGINT shifts/masks, codegen'd end-to-end and replayable

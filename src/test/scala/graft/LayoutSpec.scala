@@ -139,6 +139,48 @@ class LayoutSpec extends SparkSpec {
     assert(stats.length <= 4 && stats.nonEmpty)
   }
 
+  test("TTL partition drop: expired months vanish without rewriting " +
+      "live data") {
+    val base = Files.createTempDirectory("graft_ttl").toString
+    val path = s"$base/t"
+    // ~6 months of data, 100k-ms stride
+    val df = spark.range(160000).select(
+      col("id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 100000L).as("ts"),
+      pmod(xxhash64(col("id")), lit(1000)).as("k"))
+    Tables.writePartitioned(df, path, "ts", Seq("k"), filesPerMonth = 2)
+    def months(p: String): Set[String] =
+      new java.io.File(p).listFiles.filter(_.getName.startsWith("month="))
+        .map(_.getName.stripPrefix("month=")).toSet
+    val all = months(path)
+    assert(all.size >= 5, s"fixture spans too few months: $all")
+    val cutoff = all.toSeq.sorted.apply(2) // keep the 3rd month onward
+    val expectedDrop = all.filter(_ < cutoff).toSeq.sorted
+    // fingerprint every live file BEFORE the drop: (length, mtime)
+    def liveFiles(p: String): Map[String, (Long, Long)] =
+      new java.io.File(p).listFiles
+        .filter(d => d.getName.startsWith("month=") &&
+          d.getName.stripPrefix("month=") >= cutoff)
+        .flatMap(_.listFiles.filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    val before = liveFiles(path)
+
+    val dropped = Tables.dropExpiredPartitions(spark, path, cutoff)
+
+    assert(dropped == expectedDrop, s"dropped $dropped != $expectedDrop")
+    assert(months(path) == all.filter(_ >= cutoff),
+      "a live month vanished or an expired one survived")
+    // the drop is METADATA-ONLY for live data: every surviving file is
+    // byte-identical (same length, same mtime — never rewritten)
+    assert(liveFiles(path) == before, "live partition files were touched")
+    // and the readable content now equals the keep-predicate applied to
+    // whole months (partition-value expiry never deletes boundary rows)
+    val kept = spark.read.parquet(path).count()
+    val expected = df
+      .filter(date_format(col("ts"), "yyyyMM") >= cutoff).count()
+    assert(kept == expected)
+  }
+
   test("IVF cell layout: probe scans only its partition (partition pruning)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val base = Files.createTempDirectory("graft_ivf").toString
