@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.Stress [nEvents] [nKeys]
   */
 object Stress {
+
+  /** Shared ladder corpus: 16-token docs from a 4096-word vocab, with 1%
+    * planted near-dup mutations (every id ≡ 99 mod 100 copies its
+    * predecessor's tokens 1..15). Gram/bucket spaces stay sparse so the
+    * near-dup pipelines' cost tracks corpus size, and the planted pairs
+    * give banding+verify stages real work that grows linearly. */
+  private def syntheticDocs(spark: SparkSession, nDocs0: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val nDocs = math.max(nDocs0, 1000L)
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 16).map { w =>
+          val seed =
+            if (w == 0) col("id")
+            else when(col("id") % 100 === 99, col("id") - 1)
+              .otherwise(col("id"))
+          concat(lit("w"), pmod(xxhash64(seed * 16 + w), lit(4096)))
+        }: _*).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val nKeys = args.drop(1).headOption.map(_.toLong).getOrElse(50000L)
@@ -522,6 +542,60 @@ object Stress {
           .withColumn("tot",
             sum(col("q").cast("decimal(38,6)")).over(w).cast("double"))
           .filter(col("q") > lit(0.3) * col("tot"))
+          .write.mode("overwrite").format("noop").save()
+      },
+      // round 8 ladders (VERDICT r7 #5): the FULL dedup/ANN pipelines a
+      // 100 TB run leans on — not just their signature stages — on
+      // synthetic corpora sized by n so fresh-JVM 1×/2×/4× runs measure
+      // end-to-end scaling. Corpus design: 16 tokens from a 4096-word
+      // vocab (gram space >> corpus, so random bucket collisions stay
+      // negligible and cost scales with the CORPUS, not accidental pair
+      // blowup) + 1% planted near-dup mutations (doc 100k+1 = doc 100k
+      // with token 0 changed) so the banding+verify stages have real,
+      // linearly-growing work.
+      time("simjoin") {
+        graft.operators.Dedup.simJoinOn(syntheticDocs(spark, n / 100), 0.5)
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("minhash_lsh") {
+        graft.operators.Dedup
+          .minhashLshPairsCheckedOn(syntheticDocs(spark, n / 100))
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("signlsh_neardup") {
+        // planted pair: every 50th vector duplicates its predecessor
+        // (cosine 1.0 ≥ τ); base vectors are near-orthogonal at 64-d
+        val nVecs = math.max(n / 100, 1000L)
+        val e = spark.range(nVecs)
+          .select(col("id").as("vec_id"),
+            when(col("id") % 50 === 49, col("id") - 1).otherwise(col("id"))
+              .as("seed"))
+          .select(col("vec_id"), expr(
+            """transform(sequence(0, 63),
+              |  d -> CAST(pmod(xxhash64(seed * 64 + d), 2001) - 1000
+              |       AS DOUBLE) / 1000.0)""".stripMargin).as("v"))
+          .withColumn("nrm", sqrt(expr(
+            "aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)")))
+        // bits = 12, not the sf0.1 default 6: bucket count per table is
+        // 2^bits, and near-orthogonal random vectors spread uniformly —
+        // at 100k vectors 6 bits means ~1.5k per bucket and ~10^9
+        // candidate pairs. Scaling bits with log2(n) IS the production
+        // tuning rule (keep expected bucket occupancy ~constant); the
+        // ladder measures the pipeline under that rule, not a
+        // misconfigured sketch.
+        graft.operators.Similarity.lshNearDupsCheckedOn(e, bits = 12)
+          .write.mode("overwrite").format("noop").save()
+      },
+      time("phash_neardup") {
+        // planted pair: every 9th blob re-appears under a shifted id
+        val nBlobs = math.max(n / 100, 1000L)
+        val blobs = spark.range(nBlobs)
+          .select(col("id").as("doc_id"),
+            when(col("id") % 9 === 8, col("id") - 1).otherwise(col("id"))
+              .as("seed"))
+          .select(col("doc_id"), unhex(concat((0 until 4).map(i =>
+            md5(concat(col("seed"), lit(s"#$i")))): _*)).as("media"))
+        graft.operators.Multimodal.phashNearDupsOn(blobs)
           .write.mode("overwrite").format("noop").save()
       },
       time("kmeans_argmin_window") {

@@ -102,6 +102,24 @@ object Dedup {
     h
   }
 
+  /** 64-bit avalanche finalizer (MurmurHash3 fmix64). REQUIRED whenever a
+    * single BIT of [[fnv64]] is consumed: FNV-1a without finalization does
+    * not avalanche — its low bit telescopes to the XOR of the input bytes'
+    * low bits, and a last-character change never reaches the high bits
+    * (one multiply by 2^40+2^8+0xb3 moves a low-byte diff to bits ≥40
+    * only). Round 8 found the sign-LSH planes built from bare
+    * `fnv64 & 1` collapsing every table to ~2 effective hyperplanes
+    * (≈n²/4 candidate pairs at scale); this finalizer restores
+    * measured-ideal bucket balance. Full-width consumers (MinHash minima,
+    * SimHash bit sums) don't need it. */
+  private[operators] def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+    x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+    x ^= (x >>> 33)
+    x
+  }
+
   /** Per-doc MinHash signature over distinct word-3-shingles.
     * sig_i = min over shingles of ((fnv64 mod P) * (2i+1) + i·knuth) mod P. */
   private def minhashSig(shingles: Iterator[String]): Array[Long] = {
@@ -346,7 +364,15 @@ object Dedup {
     val perturbed = base.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 2000000).as("doc_id"),
         expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
-    val docs = minhashPolyStage(base.union(perturbed)).cache()
+    minhashLshPairsCheckedOn(base.union(perturbed))
+  }
+
+  /** The full checked MinHash-LSH pipeline (signatures → banding →
+    * capped bucket join → exact-Jaccard verify) on any (doc_id, text)
+    * frame — shared by the query and the Stress `minhash_lsh` ladder. */
+  private[graft] def minhashLshPairsCheckedOn(docsDf: DataFrame)
+      : DataFrame = {
+    val docs = minhashPolyStage(docsDf).cache()
     val banded = capBuckets(
       docs.select(col("doc_id"),
         posexplode(col("buckets")).as(Seq("band", "bucket"))),
@@ -1666,8 +1692,13 @@ object Dedup {
     * Jaccard would fail the round's hash compare, so exactness stays
     * verified, not assumed. */
   def simJoin(spark: SparkSession, dir: String, tau: Double = 0.5)
-      : DataFrame = {
-    val ex = G.table(spark, dir, "documents")
+      : DataFrame =
+    simJoinOn(G.table(spark, dir, "documents"), tau)
+
+  /** The PPJoin kernel on any (doc_id, text) frame — shared by the query
+    * and the Stress `simjoin` ladder (2×/4× synthetic corpora). */
+  private[graft] def simJoinOn(docsDf: DataFrame, tau: Double): DataFrame = {
+    val ex = docsDf
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(

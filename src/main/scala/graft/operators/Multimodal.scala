@@ -211,13 +211,19 @@ object Multimodal {
     * zero shuffle), and only (doc_id, phash) ever reaches an exchange —
     * at 100 TB of images the blobs stay in the scan stage. */
   def phashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val base = withMedia(spark, dir)
       .filter(octet_length(col("media")) >= 1)
       .select(col("doc_id"), col("media"))
     val planted = base.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 4000000).as("doc_id"), col("media"))
-    val sigs = phashSigsOn(base.unionByName(planted))
+    phashNearDupsOn(base.unionByName(planted))
+  }
+
+  /** The full pHash near-dup pipeline (48-bit signatures → 4×12 banding →
+    * capped bucket join → hamming verify) on any (doc_id, media) frame —
+    * shared by the query and the Stress `phash_neardup` ladder. */
+  private[graft] def phashNearDupsOn(mediaDf: DataFrame): DataFrame = {
+    val sigs = phashSigsOn(mediaDf)
     val banded = Dedup.capBuckets(
       sigs.select(col("doc_id"), col("phash"),
         posexplode(expr(

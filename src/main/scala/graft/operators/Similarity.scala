@@ -220,8 +220,11 @@ object Similarity {
     val vCol = if (df.columns.contains("v")) "v" else "embedding"
     df.select(col("vec_id"), col(vCol)).as[(Long, Array[Double])]
       .mapPartitions { it =>
+        // mix64 finalizer is load-bearing: bare fnv64 parity made every
+        // plane ±one shared pattern (buckets/table ≈ 2, candidates ≈ n²/4
+        // — measured in the round-8 Stress ladder); see Dedup.mix64
         val planes = Array.tabulate(tables, bits, dims) { (t, b, d) =>
-          (Dedup.fnv64(s"$t:$b:$d") & 1L) == 0L
+          (Dedup.mix64(Dedup.fnv64(s"$t:$b:$d")) & 1L) == 0L
         }
         it.map { case (id, v) =>
           val buckets = Array.tabulate(tables) { t =>
@@ -279,7 +282,7 @@ object Similarity {
 
   /** Oracle-checked sign-LSH twin of [[lshNearDups]] — same 16 tables ×
     * 6 sign-bits × 0.35 threshold, but the hyperplane signs come from
-    * `Dedup.polyHashMod("t:b:d") & 1` instead of FNV-64, so DuckDB can
+    * bit 15 of `Dedup.polyHashMod("t:b:d")²  mod p` instead of FNV-64, so DuckDB can
     * regenerate the exact planes from the same short strings and replay
     * the ENTIRE pipeline: plane generation → sign-bit signatures →
     * table-qualified buckets → bucket-equality candidates → exact cosine
@@ -287,14 +290,31 @@ object Similarity {
     * ±v[d] sum, which `list_dot_product` against a ±1.0 plane reproduces
     * term-for-term (the same order-parity that makes q_y1 bit-exact). */
   def lshNearDupsChecked(spark: SparkSession, dir: String, tables: Int = 16,
+      bits: Int = 6, threshold: Double = 0.35): DataFrame =
+    lshNearDupsCheckedOn(embeddings(spark, dir), tables, bits, threshold)
+
+  /** The full checked sign-LSH pipeline (signatures → capped bucket join
+    * → exact-cosine verify) on any (vec_id, v, nrm) frame — shared by the
+    * query and the Stress `signlsh_neardup` ladder. */
+  private[graft] def lshNearDupsCheckedOn(e: DataFrame, tables: Int = 16,
       bits: Int = 6, threshold: Double = 0.35): DataFrame = {
+    val spark = e.sparkSession
+    graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
-    val e = embeddings(spark, dir)
     val dims = 64
     val sigs = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .mapPartitions { it =>
+        // sign bit = bit 15 of h² mod p, NOT the raw parity: for these
+        // short strings the polynomial never wraps the modulus, so its
+        // parity is just the digit-sum parity of "t:b:d" and every plane
+        // degenerates to ±one shared pattern (measured: 46 buckets for
+        // 100k vectors ≈ n²/4 candidates). Squaring mod the odd prime is
+        // a real scrambler (quadratic-residue mixing) that DuckDB replays
+        // in exact BIGINT arithmetic (h² < 10¹⁸ < 2⁶³); measured bucket
+        // balance matches true-random planes.
         val planes = Array.tabulate(tables, bits, dims) { (t, b, d) =>
-          (Dedup.polyHashMod(s"$t:$b:$d") & 1L) == 0L
+          val h = Dedup.polyHashMod(s"$t:$b:$d")
+          ((((h * h) % 1000000007L) >> 15) & 1L) == 0L
         }
         it.map { case (id, v) =>
           val buckets = Array.tabulate(tables) { t =>
@@ -340,17 +360,23 @@ object Similarity {
 
   val lshNearDupsCheckedSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |planes AS (
+      |planes0 AS (
       |  SELECT t, b,
       |    list_transform(range(0, 64), d ->
-      |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |             list_transform(range(0, length(t || ':' || b || ':' || d)),
-      |               i -> CAST(unicode(substr(t || ':' || b || ':' || d,
-      |                      CAST(i+1 AS INT), 1)) AS BIGINT))),
-      |             (a, c) -> (a * 31 + c) % 1000000007) % 2 = 0
-      |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(0, length(t || ':' || b || ':' || d)),
+      |          i -> CAST(unicode(substr(t || ':' || b || ':' || d,
+      |                 CAST(i+1 AS INT), 1)) AS BIGINT))),
+      |        (a, c) -> (a * 31 + c) % 1000000007)) AS hs
       |  FROM (SELECT unnest(range(0, 16)) AS t) tt,
       |       (SELECT unnest(range(0, 6)) AS b) bb),
+      |planes AS (
+      |  SELECT t, b,
+      |    list_transform(hs, h ->
+      |      CASE WHEN ((h * h) % 1000000007) // 32768 % 2 = 0
+      |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+      |      AS plane
+      |  FROM planes0),
       |bits AS (
       |  SELECT e.vec_id, p.t,
       |    CASE WHEN list_dot_product(e.v, p.plane) >= 0
