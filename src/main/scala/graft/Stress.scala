@@ -576,14 +576,16 @@ object Stress {
               |       AS DOUBLE) / 1000.0)""".stripMargin).as("v"))
           .withColumn("nrm", sqrt(expr(
             "aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)")))
-        // bits = 12, not the sf0.1 default 6: bucket count per table is
-        // 2^bits, and near-orthogonal random vectors spread uniformly —
-        // at 100k vectors 6 bits means ~1.5k per bucket and ~10^9
-        // candidate pairs. Scaling bits with log2(n) IS the production
-        // tuning rule (keep expected bucket occupancy ~constant); the
-        // ladder measures the pipeline under that rule, not a
-        // misconfigured sketch.
-        graft.operators.Similarity.lshNearDupsCheckedOn(e, bits = 12)
+        // bits scales with log2(n), not the sf0.1 default 6: bucket count
+        // per table is 2^bits and near-orthogonal vectors spread
+        // uniformly, so FIXED bits make candidates grow ~n²/2^bits —
+        // measured 10.5→24→90 s across 1×/2×/4× at a frozen 12 bits.
+        // Keeping expected occupancy ~constant (~25/bucket) IS the
+        // production tuning rule; the ladder measures the pipeline under
+        // that rule, not a progressively-misconfigured sketch.
+        val bits = math.max(6,
+          64 - java.lang.Long.numberOfLeadingZeros(nVecs / 25))
+        graft.operators.Similarity.lshNearDupsCheckedOn(e, bits = bits)
           .write.mode("overwrite").format("noop").save()
       },
       time("phash_neardup") {
