@@ -366,6 +366,7 @@ object SparkEntry {
     "q_m12_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     // contrastive mining: per-anchor top-3 positives + hard negatives
     "q_y24_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_y25_signlsh_recall" -> ((s, d) => Similarity.signLshRecall(s, d)),
     // Benford first-digit audit (literal expectations, no runtime log)
     "q_v12_benford" -> ((s, d) => Validation.benford(s, d)),
     // incremental cluster-label maintenance == full recompute, hash-proven
@@ -672,6 +673,7 @@ object SparkEntry {
     "q_m11_blob_qc" -> Multimodal.blobQcSql,
     "q_m12_scene_cuts" -> Multimodal.sceneCutsSql,
     "q_y24_hard_negatives" -> Similarity.hardNegativesSql,
+    "q_y25_signlsh_recall" -> Similarity.signLshRecallSql,
     "q_v12_benford" -> Validation.benfordSql,
     "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql,
     "q_stream_sliding" -> graft.streaming.StreamingJobs.slidingDistinctReplaySql,

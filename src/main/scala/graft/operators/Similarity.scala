@@ -358,7 +358,9 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val lshNearDupsCheckedSql: String =
+  /** Unordered body — [[signLshRecallSql]] embeds it as a subquery
+    * (factored, not string-surgered: the cdcParseBodySql lesson). */
+  val lshNearDupsCheckedBodySql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |planes0 AS (
       |  SELECT t, b,
@@ -394,8 +396,53 @@ object Similarity {
       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
       |FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
       |WHERE list_dot_product(x.v, y.v) /
-      |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35
-      |ORDER BY id_a, id_b""".stripMargin
+      |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35""".stripMargin
+
+  val lshNearDupsCheckedSql: String =
+    s"$lshNearDupsCheckedBodySql\nORDER BY id_a, id_b"
+
+  /** q_y25: SIGN-LSH RECALL, measured as a query — the fraction of TRUE
+    * cosine ≥ 0.35 pairs (within y3's bounded brute-force window,
+    * vec_id < 300) that the banded sketch actually surfaces. The round-8
+    * plane fix (see the plane comment in [[lshNearDupsCheckedOn]]) made
+    * recall a property of the HYPERPLANES, not of accidental
+    * bucket collapse — degenerate planes had "caught" pairs by throwing
+    * half the corpus into one bucket; this query pins the honest number
+    * the sketch earns, next to q_y10's IVF recall. Counts and the
+    * count/count division are exact cross-engine. */
+  def signLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = embeddingNearDups(spark, dir).select(col("id_a"), col("id_b"))
+    val lsh = lshNearDupsChecked(spark, dir)
+      .filter(col("id_a") < 300 && col("id_b") < 300)
+      .select(col("id_a"), col("id_b"))
+    val caught = brute.join(lsh, Seq("id_a", "id_b"), "left_semi")
+    brute.agg(count(lit(1)).as("n_true"))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_true").cast("double"))
+  }
+
+  val signLshRecallSql: String =
+    s"""WITH brute AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE vec_id < 300) a,
+       |       (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE vec_id < 300) b
+       |  WHERE a.vec_id < b.vec_id
+       |    AND list_dot_product(a.v, b.v) /
+       |        (sqrt(list_dot_product(a.v, a.v))
+       |         * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+       |lsh AS (
+       |  SELECT id_a, id_b FROM ($lshNearDupsCheckedBodySql) t
+       |  WHERE id_a < 300 AND id_b < 300),
+       |caught AS (
+       |  SELECT b.id_a, b.id_b FROM brute b
+       |  JOIN lsh l ON b.id_a = l.id_a AND b.id_b = l.id_b)
+       |SELECT (SELECT count(*) FROM brute) AS n_true,
+       |  (SELECT count(*) FROM caught) AS n_caught,
+       |  CAST((SELECT count(*) FROM caught) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM brute) AS DOUBLE) AS recall""".stripMargin
 
   /** IVF index BUILD — the missing half of the ANN story (q_y2 assumes the
     * coarse cells exist; this constructs them): k-means with deterministic

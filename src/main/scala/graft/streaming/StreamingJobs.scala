@@ -29,6 +29,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingJobs {
 
+  /** Replay-sized state parallelism. Every stateful operator commits one
+    * state-store instance PER SHUFFLE PARTITION per micro-batch; at the
+    * session's batch-oriented 32 partitions a 15-trigger replay pays
+    * 32 × operators × 15 state-store commits to manage a few hundred keys
+    * — measured as the dominant wall cost of the round-7 streaming block
+    * (102 s of a 318 s bench). Production sizes state partitions to key
+    * cardinality, not to the batch scan width; 8 covers every replay's
+    * key space with headroom. Override with SPARK_GRAFT_STREAM_SHUFFLE. */
+  private val replayShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+  /** `.startReplay()` = `.startReplay()` with `spark.sql.shuffle.partitions`
+    * set to the replay size for the duration of the start call, restored
+    * immediately after: Structured Streaming CLONES the session at start
+    * (and pins the value in the batch-0 offset metadata for stateful
+    * operators; resume reads it back from the checkpoint), so the running
+    * stream keeps the replay setting while the caller's session — and
+    * every batch query after it — is untouched. */
+  private implicit class ReplayWriter[T](
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
+    def startReplay(): StreamingQuery = {
+      val spark = SparkSession.active
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
+      try w.start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   /** S1-equivalent: stream of envelope JSON lines from a directory
     * (the offline replay analogue of the Kafka topic; swap for
     * `format("kafka")` + `startingOffsets=earliest` on a cluster). */
@@ -119,7 +148,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -167,7 +196,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val streamPart = spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -234,7 +263,7 @@ object StreamingJobs {
         dA.unpersist(); dB.unpersist()
         ()
       }
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -432,7 +461,7 @@ object StreamingJobs {
           ()
         } finally batch.unpersist()
       }
-      .start()
+      .startReplay()
   }
 
   /** Latest materialized fan-out sink root per input dir, within this JVM:
@@ -543,7 +572,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .groupBy(col("alert_type")).agg(count(lit(1)).as("n"))
@@ -574,7 +603,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark0.read.parquet(out)
       .groupBy(col("alert_type")).agg(count(lit(1)).as("n"))
@@ -638,7 +667,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out).orderBy(col("trade_id"))
   }
@@ -676,7 +705,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -732,7 +761,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("user_id") =!= "ZSENTINEL")
@@ -811,7 +840,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val fin = latest(Long.MaxValue).getOrElse(sys.error(
       s"replayVersionedState($statePrefix): no micro-batch committed " +
@@ -1014,7 +1043,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     // the sentinel inflates its own 4 windows' counts by one market; those
     // windows start at/after the sentinel's hour and contain nothing real,
@@ -1075,7 +1104,7 @@ object StreamingJobs {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", out)
         .outputMode("append")
-        .start()
+        .startReplay()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
     val (phase1, phase2) = staged.splitAt(staged.length / 2)
@@ -1130,7 +1159,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("user_id") =!= "ZSENTINEL")
@@ -1188,7 +1217,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -1382,7 +1411,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out).orderBy(col("trade_id"), col("quote_id"))
   }
@@ -1452,7 +1481,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -1501,7 +1530,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out).orderBy(col("trade_id"))
   }
@@ -1629,7 +1658,7 @@ object StreamingJobs {
         state, closed)
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val lastOpen = new java.io.File(state).listFiles()
       .filter(_.getName.startsWith("open_"))
@@ -1704,7 +1733,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val fin = spark.read.parquet(latestSnap(Long.MaxValue).get.getPath)
     // action relative to the ORIGINAL target — derivable because the
@@ -1800,7 +1829,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val sc = spark.read.parquet(latest("sc_", Long.MaxValue).get.getPath)
     val nd = spark.read.parquet(latest("dv_", Long.MaxValue).get.getPath)
@@ -1884,7 +1913,7 @@ object StreamingJobs {
     }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .start()
+      .startReplay()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val last = new java.io.File(st).listFiles()
       .filter(_.getName.startsWith("sk_"))
