@@ -37,7 +37,7 @@ object StreamingJobs {
     * (102 s of a 318 s bench). Production sizes state partitions to key
     * cardinality, not to the batch scan width; 8 covers every replay's
     * key space with headroom. Override with SPARK_GRAFT_STREAM_SHUFFLE. */
-  private val replayShufflePartitions: String =
+  @volatile private[graft] var replayShufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
   /** `.startReplay()` = `.startReplay()` with `spark.sql.shuffle.partitions`

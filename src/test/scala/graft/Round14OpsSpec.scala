@@ -112,6 +112,26 @@ class Round14OpsSpec extends SparkSpec {
         s"${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("replay shuffle lever: results are partition-count independent " +
+      "and the session conf is restored") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // same replay at two state-store widths must produce identical rows
+    // (the lever is a cost knob, never a semantics knob)
+    val prevWidth = streaming.StreamingJobs.replayShufflePartitions
+    streaming.StreamingJobs.replayShufflePartitions = "3"
+    val rows3 =
+      try streaming.StreamingJobs.windowAggReplay(spark, sf()).collect().toSeq
+      finally streaming.StreamingJobs.replayShufflePartitions = prevWidth
+    assert(spark.conf.get(key) == before,
+      "startReplay leaked the replay partition count into the session")
+    val rowsDefault =
+      streaming.StreamingJobs.windowAggReplay(spark, sf()).collect().toSeq
+    assert(rows3 == rowsDefault,
+      "replay output depends on the state-store partition count")
+    assert(rows3.nonEmpty)
+  }
+
   test("coverage totals are single-sourced: COVERAGE.md machine line " +
       "matches SparkEntry") {
     val line = java.nio.file.Files
