@@ -252,27 +252,11 @@ object Tables {
     * storage layout, not per-query work — writing it once per session
     * keeps bench iterations measuring the pruned read (and stops each
     * call from leaving another full fact copy in /tmp). */
-  private def deleteTree(path: String): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
   // the month-partitioned lineitem copy is a full fact-table clone in
   // /tmp: evict it when its session stops (SessionMemo sweep) and remove
   // any survivors at JVM exit so no copy outlives the process
-  private val dppMemo = new SessionMemo[String](deleteTree)
-  private val dppCleanup: Thread = {
-    val t = new Thread(() => dppMemo.values.foreach(deleteTree),
-      "graft-st7-cleanup")
-    Runtime.getRuntime.addShutdownHook(t)
-    t
-  }
+  private val dppMemo = SessionMemo.tempDirs()
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
-    val _ = dppCleanup // force hook registration on first use
     val base = dppMemo.getOrBuild(spark, dir) {
       val b = java.nio.file.Files.createTempDirectory("graft_st7_")
         .toString

@@ -39,6 +39,29 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
   }
 }
 
+object SessionMemo {
+  private[graft] def deleteTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Memo of TEMP-DIRECTORY paths (materialized fixtures, partitioned
+    * table copies): a swept entry's directory is deleted with it, and any
+    * survivors are removed at JVM exit — nothing staged to /tmp outlives
+    * the process. */
+  def tempDirs(): SessionMemo[String] = {
+    val m = new SessionMemo[String](deleteTree)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => m.values.foreach(deleteTree), "graft-tmp-cleanup"))
+    m
+  }
+}
+
 /** Shared helpers: table loading and oracle-exact numeric aggregation. */
 object G {
 
