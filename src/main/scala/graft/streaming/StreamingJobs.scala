@@ -484,11 +484,23 @@ object StreamingJobs {
     * single micro-batch: the per-batch window aggregate in the agg sink
     * then equals the global aggregate (cross-batch stateful windows are
     * covered by StreamingSpec's watermarked queries). */
+  /** The plain single-batch envelope fixture (natural partitioning, no
+    * sentinel) shared by the fan-out, detector, TWS, join and enrich
+    * replays — staged once per (session, dir). */
+  private def stagedEnvelopePlain(spark: SparkSession, dir: String)
+      : String =
+    fixtureMemo.getOrBuild(spark, s"$dir#plain") {
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_fix_plain_").toString
+      graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
+        .write.mode("overwrite").text(s"$base/in")
+      base
+    } + "/in"
+
   private def runFanOutReplay(spark: SparkSession, dir: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_a1")
-    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
-      .write.mode("overwrite").text(in)
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val in = stagedEnvelopePlain(spark, dir)
     val q = fanOut(spark, in, out, ck, Trigger.AvailableNow(),
       maxFilesPerTrigger = 1 << 20)
     try q.awaitTermination() finally if (q.isActive) q.stop()
@@ -562,9 +574,8 @@ object StreamingJobs {
     * two-batch MemoryStream test. */
   def detectorReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_d")
-    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
-      .write.mode("overwrite").text(in)
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val in = stagedEnvelopePlain(spark, dir)
     val q = detectAnomaliesStream(
         readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
       .writeStream
@@ -593,9 +604,10 @@ object StreamingJobs {
     val spark = spark0.newSession()
     configureStateStore(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tws")
-    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
-      .write.mode("overwrite").text(in)
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    // stage against the PARENT session: the per-call newSession() would
+    // never hit the (session, dir)-keyed fixture memo
+    val in = stagedEnvelopePlain(spark0, dir)
     val q = detectAnomaliesTws(
         readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
       .writeStream
@@ -812,18 +824,25 @@ object StreamingJobs {
       read: String => DataFrame,
       statePrefix: String,
       slice: DataFrame => DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      fixtureTag: String): DataFrame = {
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft_stream_$statePrefix")
-    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
-    writeInput(in)
-    val t0 = System.currentTimeMillis() - 3600000L
-    new java.io.File(in).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 1000L); ()
-      }
+    // input fixture memoized per (session, tag); ck/state stay per-call
+    val in = fixtureMemo.getOrBuild(spark, fixtureTag) {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_fix_${statePrefix}_").toString
+      writeInput(s"$base/in")
+      val t0 = System.currentTimeMillis() - 3600000L
+      new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(t0 + i * 1000L); ()
+        }
+      base
+    } + "/in"
     def latest(before: Long): Option[java.io.File] = {
       val fs = new java.io.File(st).listFiles()
         .filter(_.getName.startsWith(s"${statePrefix}_"))
@@ -869,7 +888,8 @@ object StreamingJobs {
         .agg(count(lit(1)).as("cnt")),
       merge = (p, prev) => prev.unionByName(p)
         .groupBy(col("op"), col("bucket"), col("lo_ms"))
-        .agg(sum(col("cnt")).as("cnt")))
+        .agg(sum(col("cnt")).as("cnt")),
+      fixtureTag = s"$dir#vs_latency")
     graft.operators.CdcParser.latencyPercentiles(finalState)
   }
 
@@ -934,7 +954,8 @@ object StreamingJobs {
           count(lit(1)).as("cnt")),
       merge = (p, prev) => prev.unionByName(p)
         .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("dsum")).as("dsum"), sum(col("cnt")).as("cnt")))
+        .agg(sum(col("dsum")).as("dsum"), sum(col("cnt")).as("cnt")),
+      fixtureTag = s"$dir#vs_centroids")
     // recombine streamed delta sums with the batch base sums
     val delta = finalState
       .select(col("cid"), col("dim"),
@@ -996,7 +1017,8 @@ object StreamingJobs {
         .groupBy(col("r.source").as("source"))
         .agg(sum(col("r.nt")).as("avail")),
       merge = (p, prev) => prev.unionByName(p)
-        .groupBy(col("source")).agg(sum(col("avail")).as("avail")))
+        .groupBy(col("source")).agg(sum(col("avail")).as("avail")),
+      fixtureTag = s"$dir#vs_waterfill")
     graft.operators.Curation.waterfillFromAvail(finalState)
   }
 
@@ -1440,9 +1462,8 @@ object StreamingJobs {
     * plain DuckDB interval join over the parse oracle. */
   def tradeQuoteJoinReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_j")
-    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
-      .write.mode("overwrite").text(in)
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val in = stagedEnvelopePlain(spark, dir)
     val joined = tradeQuoteJoin(
       readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
     val q = joined.writeStream
@@ -1554,9 +1575,8 @@ object StreamingJobs {
     * per-batch dimension re-resolution path, not a single-batch join. */
   def enrichReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_e")
-    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
-    graft.operators.CdcParser.eventsAsEnvelopeJson(spark, dir)
-      .write.mode("overwrite").text(in)
+    val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val in = stagedEnvelopePlain(spark, dir)
     val dim = graft.operators.CdcParser.cdcParseRoundtrip(spark, dir)
       .groupBy(col("market"))
       .agg(count(lit(1)).as("market_trades"),
@@ -1681,17 +1701,22 @@ object StreamingJobs {
     * batch q_p8 oracle ([[graft.operators.CdcParser.scd2HistorySql]]). */
   def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_scd2")
-    val in = s"$tmp/in"; val ck = s"$tmp/ck"
+    val ck = s"$tmp/ck"
     val state = s"$tmp/state"; val closed = s"$tmp/closed"
-    val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
-    env.repartitionByRange(5, col("src_ms")).select("json")
-      .write.mode("overwrite").text(in)
-    val files = new java.io.File(in).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val t0 = System.currentTimeMillis() - 3600000L
-    files.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 1000L); ()
-    }
+    val in = fixtureMemo.getOrBuild(spark, s"$dir#scd2") {
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_fix_scd2_").toString
+      val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
+      env.repartitionByRange(5, col("src_ms")).select("json")
+        .write.mode("overwrite").text(s"$base/in")
+      val files = new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L); ()
+      }
+      base
+    } + "/in"
     new java.io.File(closed).mkdirs()
     val q = scd2Stream(readCdcStream(spark, in, maxFilesPerTrigger = 1),
         state, closed)
@@ -1803,19 +1828,24 @@ object StreamingJobs {
     * crosses engines — only final counts reach the oracle. */
   def profileReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_v1")
-    val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
+    val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
     val ev = graft.G.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-    ev.repartitionByRange(4, col("event_id"))
-      .write.mode("overwrite").parquet(in)
-    val files = new java.io.File(in).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val t0 = System.currentTimeMillis() - 3600000L
-    files.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 1000L); ()
-    }
+    val in = fixtureMemo.getOrBuild(spark, s"$dir#profile") {
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_fix_v1_").toString
+      ev.repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(s"$base/in")
+      val files = new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600000L
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L); ()
+      }
+      base
+    } + "/in"
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
     def scalarPartial(df: DataFrame): DataFrame =
       df.agg(
