@@ -132,6 +132,23 @@ class Round14OpsSpec extends SparkSpec {
     assert(rows3.nonEmpty)
   }
 
+  test("memoized replay fixtures are immutable: a consumer that arranges " +
+      "its own arrival order must not mutate the shared stage") {
+    // resumeReplay splits the staged fixture into two arrival phases; it
+    // shares the (sentinels=1, parts=4) stage with slidingDistinctReplay,
+    // so it must COPY — a move would empty the stage for the next
+    // consumer and for its own second call. Run resume twice and a
+    // sharing consumer after it: all three must succeed with stable rows.
+    val r1 = streaming.StreamingJobs.resumeReplay(spark, sf()).collect()
+    val r2 = streaming.StreamingJobs.resumeReplay(spark, sf()).collect()
+    assert(r1.toSeq == r2.toSeq && r1.nonEmpty,
+      "resumeReplay is not idempotent over the shared stage")
+    val sliding =
+      streaming.StreamingJobs.slidingDistinctReplay(spark, sf()).collect()
+    assert(sliding.nonEmpty,
+      "sharing consumer found an emptied/mutated stage")
+  }
+
   test("coverage totals are single-sourced: COVERAGE.md machine line " +
       "matches SparkEntry") {
     val line = java.nio.file.Files
