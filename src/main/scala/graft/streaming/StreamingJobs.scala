@@ -47,15 +47,26 @@ object StreamingJobs {
     * operators; resume reads it back from the checkpoint), so the running
     * stream keeps the replay setting while the caller's session — and
     * every batch query after it — is untouched. */
+  private val startLock = new Object
   private implicit class ReplayWriter[T](
       w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
-    def startReplay(): StreamingQuery = {
-      val spark = SparkSession.active
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
-      try w.start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
+    /** `sparkOf`: the session the stream will clone from — defaults to the
+      * thread's active session; pass explicitly when the writer was built
+      * on a different one (the TWS replay's newSession()). The set/start/
+      * restore triple is locked: Verify starts replays from a concurrent
+      * worker pool, and interleaved set/restore pairs would otherwise
+      * leave the shared session at the replay width (performance-only —
+      * results are partition-count independent, spec-pinned — but the
+      * session must come back exactly as found). */
+    def startReplay(
+        sparkOf: SparkSession = SparkSession.active): StreamingQuery =
+      startLock.synchronized {
+        val prev = sparkOf.conf.get("spark.sql.shuffle.partitions")
+        sparkOf.conf
+          .set("spark.sql.shuffle.partitions", replayShufflePartitions)
+        try w.start()
+        finally sparkOf.conf.set("spark.sql.shuffle.partitions", prev)
+      }
   }
 
   /** S1-equivalent: stream of envelope JSON lines from a directory
@@ -615,7 +626,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark0.read.parquet(out)
       .groupBy(col("alert_type")).agg(count(lit(1)).as("n"))
