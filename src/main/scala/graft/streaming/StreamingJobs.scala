@@ -47,6 +47,23 @@ object StreamingJobs {
     * operators; resume reads it back from the checkpoint), so the running
     * stream keeps the replay setting while the caller's session — and
     * every batch query after it — is untouched. */
+  /** Per-call scratch dir (sink/checkpoint/state) — swept in one JVM-exit
+    * hook (File.deleteOnExit can't remove non-empty trees; before this,
+    * every replay call left its parquet sink and checkpoint in /tmp
+    * forever). */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => scratchDirs.forEach(graft.SessionMemo.deleteTree(_)),
+      "graft-replay-scratch-cleanup"))
+  }
+  private def replayTmp(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p.toString)
+    p
+  }
+
   private val startLock = new Object
   private implicit class ReplayWriter[T](
       w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
@@ -150,7 +167,7 @@ object StreamingJobs {
     * candles must be byte-identical. Single watermark branch (the
     * BID/ASK filter keeps the ASK sentinel), so one sentinel suffices. */
   def ohlcReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ohlc")
+    val tmp = replayTmp("graft_stream_ohlc")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopeWithSentinel(spark, dir)
     val agg = ohlcStream(readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20))
@@ -192,7 +209,7 @@ object StreamingJobs {
     * the archive, and this query is the correctness contract that lets
     * you trust that shortcut. */
   def backfillReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bf")
+    val tmp = replayTmp("graft_stream_bf")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val env = graft.operators.CdcParser.eventsAsEnvelopeJsonTs(spark, dir)
     val mm = env.agg(min(col("src_ms")), max(col("src_ms"))).head()
@@ -238,7 +255,7 @@ object StreamingJobs {
     * relies on AvailableNow's clean replay; a production deployment
     * idempotizes the sink with the batch id. */
   def ivmJoinReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivm")
+    val tmp = replayTmp("graft_stream_ivm")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val stateA = s"$tmp/bids"; val stateB = s"$tmp/asks"
     val in = stagedEnvelopeWithSentinel(spark, dir, sentinels = 1, parts = 3)
@@ -509,7 +526,7 @@ object StreamingJobs {
     } + "/in"
 
   private def runFanOutReplay(spark: SparkSession, dir: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_a1")
+    val tmp = replayTmp("graft_stream_a1")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopePlain(spark, dir)
     val q = fanOut(spark, in, out, ck, Trigger.AvailableNow(),
@@ -584,7 +601,7 @@ object StreamingJobs {
     * cross-micro-batch state carry is pinned by StreamingSpec's
     * two-batch MemoryStream test. */
   def detectorReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_d")
+    val tmp = replayTmp("graft_stream_d")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopePlain(spark, dir)
     val q = detectAnomaliesStream(
@@ -614,7 +631,7 @@ object StreamingJobs {
   def twsReplay(spark0: SparkSession, dir: String): DataFrame = {
     val spark = spark0.newSession()
     configureStateStore(spark)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tws")
+    val tmp = replayTmp("graft_stream_tws")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     // stage against the PARENT session: the per-call newSession() would
     // never hit the (session, dir)-keyed fixture memo
@@ -658,7 +675,7 @@ object StreamingJobs {
     * Duplicate rows are byte-identical to their originals, so WHICH copy
     * survives never affects the output. */
   def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_k5")
+    val tmp = replayTmp("graft_stream_k5")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = fixtureMemo.getOrBuild(spark, s"$dir#dedup") {
       val base =
@@ -715,7 +732,7 @@ object StreamingJobs {
     * flushes them all to the sink. Deterministic: session contents are
     * event-time math, independent of batch boundaries. */
   def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_s")
+    val tmp = replayTmp("graft_stream_s")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopeWithSentinel(spark, dir)
     val parsed = readCdcStream(spark, in, maxFilesPerTrigger = 1 << 20)
@@ -780,7 +797,7 @@ object StreamingJobs {
     * Oracle = the q_stream_a1 window SQL (sentinel filtered both sides by
     * market). */
   def windowAggReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_w")
+    val tmp = replayTmp("graft_stream_w")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopeWithSentinel(spark, dir)
     val agg = windowAggStream(
@@ -837,8 +854,7 @@ object StreamingJobs {
       slice: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
       fixtureTag: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory(s"graft_stream_$statePrefix")
+    val tmp = replayTmp(s"graft_stream_$statePrefix")
     val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
     // input fixture memoized per (session, tag); ck/state stay per-call
@@ -1065,7 +1081,7 @@ object StreamingJobs {
     * the parse CTE (boundary-free: arrivals are event-time ordered, so
     * the watermark only ever CLOSES windows). */
   def slidingDistinctReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sd")
+    val tmp = replayTmp("graft_stream_sd")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopeWithSentinel(spark, dir, sentinels = 1, parts = 4)
     val agg = readCdcStream(spark, in, maxFilesPerTrigger = 1)
@@ -1128,7 +1144,7 @@ object StreamingJobs {
     * on every executor loss and every planned restart; the fixture makes
     * it a deterministic two-phase replay. */
   def resumeReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_resume")
+    val tmp = replayTmp("graft_stream_resume")
     val in = s"$tmp/in"
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     // the staged fixture is shared/memoized — COPY files into the
@@ -1186,7 +1202,7 @@ object StreamingJobs {
     * the halves are time-interleaved (the adversarial case for watermark
     * coordination), not time-partitioned. */
   def unionReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_union")
+    val tmp = replayTmp("graft_stream_union")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val split = pmod(xxhash64(col("json")), lit(2L))
     val inA = stagedEnvelopeWithSentinel(spark, dir, sentinels = 1,
@@ -1241,7 +1257,7 @@ object StreamingJobs {
     * the production shape — watermark filter → keyed state-store agg,
     * state O(open windows × markets). */
   def lateWindowReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    val tmp = replayTmp("graft_stream_late")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     // arrival-sliced fixture is immutable once staged → memoized like the
     // sentinel fixtures (the replay measures the watermark machinery,
@@ -1472,7 +1488,7 @@ object StreamingJobs {
     * topology would run with two topics) and read the sink back against a
     * plain DuckDB interval join over the parse oracle. */
   def tradeQuoteJoinReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_j")
+    val tmp = replayTmp("graft_stream_j")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopePlain(spark, dir)
     val joined = tradeQuoteJoin(
@@ -1537,7 +1553,7 @@ object StreamingJobs {
     * unmatched BID is flushed as a NULL row before the stream ends — the
     * same trick the window/session replays use to close their state). */
   def tradeQuoteOuterReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_oj")
+    val tmp = replayTmp("graft_stream_oj")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     // outer-join null rows emit on state EVICTION, and this query splits
     // the watermark across two branches (BID trades / ASK quotes) whose
@@ -1585,7 +1601,7 @@ object StreamingJobs {
     * micro-batches (the default maxFilesPerTrigger) to exercise the
     * per-batch dimension re-resolution path, not a single-batch join. */
   def enrichReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_e")
+    val tmp = replayTmp("graft_stream_e")
     val out = s"$tmp/out"; val ck = s"$tmp/ck"
     val in = stagedEnvelopePlain(spark, dir)
     val dim = graft.operators.CdcParser.cdcParseRoundtrip(spark, dir)
@@ -1711,7 +1727,7 @@ object StreamingJobs {
     * (5 micro-batches) and return closed ∪ open — checked against the
     * batch q_p8 oracle ([[graft.operators.CdcParser.scd2HistorySql]]). */
   def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_scd2")
+    val tmp = replayTmp("graft_stream_scd2")
     val ck = s"$tmp/ck"
     val state = s"$tmp/state"; val closed = s"$tmp/closed"
     val in = fixtureMemo.getOrBuild(spark, s"$dir#scd2") {
@@ -1772,7 +1788,7 @@ object StreamingJobs {
     * key ranges (here the whole small snapshot rewrites per batch). */
   def mergeReplay(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Relational
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_m")
+    val tmp = replayTmp("graft_stream_m")
     val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
     val delta = Relational.mergeDelta(spark, dir)
@@ -1838,7 +1854,7 @@ object StreamingJobs {
     * is injective, so stringified NDV == value NDV); the state never
     * crosses engines — only final counts reach the oracle. */
   def profileReplay(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_v1")
+    val tmp = replayTmp("graft_stream_v1")
     val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
     val ev = graft.G.events(spark, dir)
@@ -1946,7 +1962,7 @@ object StreamingJobs {
   def heavyHitterReplay(spark: SparkSession, dir: String,
       capacity: Int = 256, k: Int = 50): DataFrame = {
     import graft.functions.SpaceSaving
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hh")
+    val tmp = replayTmp("graft_stream_hh")
     val in = s"$tmp/in"; val ck = s"$tmp/ck"; val st = s"$tmp/state"
     new java.io.File(st).mkdirs()
     graft.operators.Curation.docTexts(spark, dir)
