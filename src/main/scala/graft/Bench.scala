@@ -99,14 +99,25 @@ object Bench {
     val passes = (1 to reps).map(_ => onePass().toMap)
     val keys = passes.head.keys.toSeq.sorted
     val results = keys.map(k => k -> passes.map(_(k)).min)
+    // rep-1 sum = the COLD total: SessionMemo artifacts (shared pair lists,
+    // IVF/PQ builds, staged replay fixtures) survive clearCache() by design,
+    // so later reps are warm and min-of-reps amortizes one-time build cost.
+    // Both numbers are reported; min stays the headline only because the
+    // cold one is also within gate (VERDICT r8 #3).
+    val totalCold = passes.head.values.sum
     val vr: Map[String, Double] =
       keys.map(k => k -> (if (reps < 2 || passes.map(_(k)).min <= 0) 1.0
                           else passes.map(_(k)).max / passes.map(_(k)).min))
         .toMap
 
     // serving-layer probe (reference SLO surface): per-panel latency under
-    // the 12-way concurrent dashboard refresh, 5 volleys = 60 samples
-    val panelMs = operators.SqlSurface.panelLatencies(spark, sfDir, 5).sorted
+    // the 12-way concurrent dashboard refresh, 5 volleys = 60 samples.
+    // Skipped on SPARK_GRAFT_ONLY subset runs — their output is discarded
+    // (subset runs never write bench.json), so the 60 executions would only
+    // slow the edit loop.
+    val panelMs =
+      if (only.nonEmpty) Seq.empty[Double]
+      else operators.SqlSurface.panelLatencies(spark, sfDir, 5).sorted
     def pct(p: Double): Double =
       if (panelMs.isEmpty) 0.0
       else panelMs(math.min(panelMs.size - 1,
@@ -119,7 +130,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,""" +
         s""""reps":$reps,"vr":$vrJson,"sql_panel_p50_ms":${pct(0.5)},""" +
         s""""sql_panel_p95_ms":${pct(0.95)},"sf":"$sfDir"}"""
 
@@ -149,7 +160,7 @@ object Bench {
     val maxVr = if (vr.isEmpty) 1.0 else vr.values.max
     val sfName = Paths.get(sfDir).getFileName.toString
     val shortLine =
-      s"""{"metric":"total","value":${d(total, 2)},"unit":"sec","queries":$qsShort,""" +
+      s"""{"metric":"total","value":${d(total, 2)},"unit":"sec","value_cold":${d(totalCold, 2)},"queries":$qsShort,""" +
         s""""reps":$reps,"max_vr":${d(maxVr, 2)},""" +
         s""""sql_panel_p95_ms":${d(pct(0.95), 1)},"sf":"$sfName"}"""
 

@@ -576,16 +576,13 @@ object Stress {
               |       AS DOUBLE) / 1000.0)""".stripMargin).as("v"))
           .withColumn("nrm", sqrt(expr(
             "aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)")))
-        // bits scales with log2(n), not the sf0.1 default 6: bucket count
-        // per table is 2^bits and near-orthogonal vectors spread
-        // uniformly, so FIXED bits make candidates grow ~n²/2^bits —
-        // measured 10.5→24→90 s across 1×/2×/4× at a frozen 12 bits.
-        // Keeping expected occupancy ~constant (~25/bucket) IS the
-        // production tuning rule; the ladder measures the pipeline under
-        // that rule, not a progressively-misconfigured sketch.
-        val bits = math.max(6,
-          64 - java.lang.Long.numberOfLeadingZeros(nVecs / 25))
-        graft.operators.Similarity.lshNearDupsCheckedOn(e, bits = bits)
+        // bits0 = 0: the PRODUCTION path now derives the sketch width from
+        // the corpus count itself (Similarity.autoBits, ~25/bucket expected
+        // occupancy) — the ladder measures the operator applying the tuning
+        // rule, no hand-set bits. The frozen-bits control run (10.5→24→90 s
+        // across 1×/2×/4× at 12 bits, candidates ∝ n²/2^bits) is what this
+        // replaces; re-run it by passing an explicit bits0.
+        graft.operators.Similarity.lshNearDupsCheckedOn(e)
           .write.mode("overwrite").format("noop").save()
       },
       time("phash_neardup") {

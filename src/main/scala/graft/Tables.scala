@@ -71,9 +71,8 @@ object Tables {
       .drop("month", "inserted_at")
     val tmp = path + ".compact"
     writePartitioned(df, tmp, tsCol, sortCols, filesPerMonth)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
@@ -98,9 +97,11 @@ object Tables {
     * months vanish WITHOUT touching live data. */
   def dropExpiredPartitions(spark: SparkSession, path: String,
       cutoffMonth: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the TABLE PATH's filesystem, not fs.defaultFS — a table on
+    // s3a://... or hdfs://... would otherwise be listed/deleted on the
+    // wrong filesystem entirely
     val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
@@ -110,7 +111,13 @@ object Tables {
             val m = s.stripPrefix("month=")
             // drop strictly-before months only: the cutoff's own month can
             // still hold live rows
-            if (m < cutoffMonth && fs.delete(p, true)) Some(m) else None
+            if (m < cutoffMonth) {
+              // delete()==false with no exception means the partition is
+              // neither dropped nor reported — fail loudly instead
+              if (!fs.delete(p, true))
+                throw new java.io.IOException(s"failed to drop partition $p")
+              Some(m)
+            } else None
           case _ => None
         }
       }

@@ -1695,9 +1695,7 @@ object Dedup {
       : DataFrame =
     simJoinCore(
       ppIndexMemo.getOrBuild(spark, dir) {
-        // localCheckpoint, not cache: survives Bench's clearCache between
-        // queries (the sharedNearDupPairs lesson)
-        ppIndexOn(G.table(spark, dir, "documents")).localCheckpoint()
+        ppIndexOn(G.table(spark, dir, "documents"))
       }.cache(), tau)
       // the per-call .cache() matters beyond re-scan cost: it restores
       // RELATION SIZE STATS over the checkpointed RDD, without which the
@@ -1724,13 +1722,20 @@ object Dedup {
           " i -> xxhash64(concat_ws(' ', slice(t, i, 3))))"))).as("g"))
       .cache()
     val tf = ex.groupBy(col("g")).agg(count(lit(1)).as("freq"))
-    try ex
+    // localCheckpoint (eager) materializes the index here — it both
+    // survives Bench's clearCache between queries (the sharedNearDupPairs
+    // lesson) and lets the exploded-shingle cache be dropped immediately
+    // instead of pinning ~2× the corpus's shingles until session teardown
+    // (Stress ladders never clearCache between rungs).
+    val res = ex
       .join(tf, "g")
       .groupBy(col("doc_id"))
       .agg(expr("transform(array_sort(collect_list(struct(freq, g))), s -> s.g)")
         .as("sts"))
       .withColumn("sz", size(col("sts")))
-    finally () // ex unpersists with the session/clearCache; cheap either way
+      .localCheckpoint()
+    ex.unpersist()
+    res
   }
 
   private val ppIndexMemo = new graft.SessionMemo[DataFrame]()

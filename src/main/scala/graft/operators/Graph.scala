@@ -435,16 +435,26 @@ object Graph {
     val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
       .withColumn("a1", col("deg").cast("double"))
     val ta1 = a1.agg(graft.G.dsum(col("a1"), 12).as("t"))
+    // localCheckpoint (eager): na1 feeds TWO consumers (h1's join and the
+    // final deg join) and without exchange reuse its whole subtree — edge
+    // scan, degree agg, normalizer broadcast — planned and ran twice.
+    // Materializing the O(parts) frame once halves the normalizer BNLJs
+    // (6 → 2 in the executed plan, pinned in Round14OpsSpec).
     val na1 = a1.crossJoin(broadcast(ta1))
       .select(col("p"), col("deg"), (col("a1") / col("t")).as("na1"))
+      .localCheckpoint()
     val h1 = edges.join(na1.select(col("p"), col("na1")), "p")
       .groupBy(col("c")).agg(graft.G.dsum(col("na1"), 12).as("h1"))
     val th1 = h1.agg(graft.G.dsum(col("h1"), 12).as("t"))
     val nh1 = h1.crossJoin(broadcast(th1))
       .select(col("c"), (col("h1") / col("t")).as("nh1"))
-    // round 2: authorities from the normalized hubs
+    // round 2: authorities from the normalized hubs. Same two-consumer
+    // shape as na1 (a2 feeds its own normalizer ta2 AND the final join), so
+    // materialize once — the final plan carries exactly ONE normalizer BNLJ
+    // (ta2's) instead of re-running the h1→nh1 chain inside ta2's subtree.
     val a2 = edges.join(nh1, "c")
       .groupBy(col("p")).agg(graft.G.dsum(col("nh1"), 12).as("a2"))
+      .localCheckpoint()
     val ta2 = a2.agg(graft.G.dsum(col("a2"), 12).as("t"))
     a2.crossJoin(broadcast(ta2))
       .join(na1.select(col("p"), col("deg")), "p")

@@ -250,10 +250,31 @@ object Similarity {
       }.toDF("vec_id", "buckets")
   }
 
+  /** Sketch width derived from corpus size: bits ≈ log₂(n/25), clamped to
+    * [2, 24] (bucket ids pack as (table << 32) | sig, so bits ≤ 32 by
+    * construction). Expected bucket occupancy is then ~25 vectors/table,
+    * holding candidate pairs ~linear in n as the corpus grows — the round-8
+    * Stress ladder measured FROZEN bits going quadratic-candidates
+    * (10.5 → 24 → 90 s across 1×/2×/4×, candidates ∝ n²/2^bits) or, past
+    * capBuckets, silently losing recall. One `count()` per call (parquet
+    * metadata read; at 100 TB, catalog stats). The rounding boundary is a
+    * ±ULP cross-engine hazard in principle (DuckDB computes the same
+    * formula in its oracle CTE), but real corpus counts sit nowhere near
+    * an exact .5 of a log₂. */
+  private[graft] def autoBits(n: Long): Int =
+    math.max(2, math.min(24,
+      math.round(math.log(math.max(1L, n) / 25.0) / math.log(2.0)).toInt))
+
+  /** `bits = 0` (the default) derives the sketch width from the corpus
+    * count via [[autoBits]]; pass an explicit positive value only to pin a
+    * width (specs, ladder control runs). */
   def lshNearDups(spark: SparkSession, dir: String, tables: Int = 16,
-      bits: Int = 6, threshold: Double = 0.35): DataFrame = {
+      bits: Int = 0, threshold: Double = 0.35): DataFrame = {
     val e = embeddings(spark, dir)
-    val sigs = signatureStage(e.select(col("vec_id"), col("v")), tables, bits)
+    val b =
+      if (bits > 0) bits
+      else autoBits(G.table(spark, dir, "embeddings").count())
+    val sigs = signatureStage(e.select(col("vec_id"), col("v")), tables, b)
     // the bucket frame feeds BOTH sides of the self-join — cache it so
     // signatures are computed once (at scale: persist signatures as a table);
     // Bench/Verify clearCache() between queries so these blocks don't
@@ -281,7 +302,7 @@ object Similarity {
   }
 
   /** Oracle-checked sign-LSH twin of [[lshNearDups]] — same 16 tables ×
-    * 6 sign-bits × 0.35 threshold, but the hyperplane signs come from
+    * corpus-tuned sign-bits × 0.35 threshold, but the hyperplane signs come from
     * bit 15 of `Dedup.polyHashMod("t:b:d")²  mod p` instead of FNV-64, so DuckDB can
     * regenerate the exact planes from the same short strings and replay
     * the ENTIRE pipeline: plane generation → sign-bit signatures →
@@ -290,17 +311,22 @@ object Similarity {
     * ±v[d] sum, which `list_dot_product` against a ±1.0 plane reproduces
     * term-for-term (the same order-parity that makes q_y1 bit-exact). */
   def lshNearDupsChecked(spark: SparkSession, dir: String, tables: Int = 16,
-      bits: Int = 6, threshold: Double = 0.35): DataFrame =
+      bits: Int = 0, threshold: Double = 0.35): DataFrame =
     lshNearDupsCheckedOn(embeddings(spark, dir), tables, bits, threshold)
 
   /** The full checked sign-LSH pipeline (signatures → capped bucket join
     * → exact-cosine verify) on any (vec_id, v, nrm) frame — shared by the
-    * query and the Stress `signlsh_neardup` ladder. */
+    * query and the Stress `signlsh_neardup` ladder. `bits = 0` derives the
+    * width from the frame's own count (the production rule the round-8
+    * ladder proved mandatory); the DuckDB oracle computes the identical
+    * formula in its `nbits` CTE, so the two engines stay in lockstep at
+    * any corpus size. */
   private[graft] def lshNearDupsCheckedOn(e: DataFrame, tables: Int = 16,
-      bits: Int = 6, threshold: Double = 0.35): DataFrame = {
+      bits0: Int = 0, threshold: Double = 0.35): DataFrame = {
     val spark = e.sparkSession
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
+    val bits = if (bits0 > 0) bits0 else autoBits(e.count())
     val dims = 64
     val sigs = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -362,6 +388,10 @@ object Similarity {
     * (factored, not string-surgered: the cdcParseBodySql lesson). */
   val lshNearDupsCheckedBodySql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nbits AS (
+      |  SELECT GREATEST(2, LEAST(24,
+      |    CAST(round(log2(GREATEST(1, count(*)) / 25.0)) AS INT))) AS nb
+      |  FROM e),
       |planes0 AS (
       |  SELECT t, b,
       |    list_transform(range(0, 64), d ->
@@ -371,7 +401,7 @@ object Similarity {
       |                 CAST(i+1 AS INT), 1)) AS BIGINT))),
       |        (a, c) -> (a * 31 + c) % 1000000007)) AS hs
       |  FROM (SELECT unnest(range(0, 16)) AS t) tt,
-      |       (SELECT unnest(range(0, 6)) AS b) bb),
+      |       (SELECT unnest(range(0, (SELECT nb FROM nbits))) AS b) bb),
       |planes AS (
       |  SELECT t, b,
       |    list_transform(hs, h ->

@@ -40,7 +40,7 @@ object StreamingJobs {
   @volatile private[graft] var replayShufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
-  /** `.startReplay()` = `.startReplay()` with `spark.sql.shuffle.partitions`
+  /** `.startReplay(spark)` = `.startReplay()` with `spark.sql.shuffle.partitions`
     * set to the replay size for the duration of the start call, restored
     * immediately after: Structured Streaming CLONES the session at start
     * (and pins the value in the batch-0 offset metadata for stateful
@@ -67,16 +67,19 @@ object StreamingJobs {
   private val startLock = new Object
   private implicit class ReplayWriter[T](
       w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
-    /** `sparkOf`: the session the stream will clone from — defaults to the
-      * thread's active session; pass explicitly when the writer was built
-      * on a different one (the TWS replay's newSession()). The set/start/
-      * restore triple is locked: Verify starts replays from a concurrent
-      * worker pool, and interleaved set/restore pairs would otherwise
-      * leave the shared session at the replay width (performance-only —
-      * results are partition-count independent, spec-pinned — but the
-      * session must come back exactly as found). */
-    def startReplay(
-        sparkOf: SparkSession = SparkSession.active): StreamingQuery =
+    /** `sparkOf`: the session the stream will clone from — ALWAYS passed
+      * explicitly (a `SparkSession.active` default can resolve to a
+      * different session than the one the writer was built on, e.g. Verify
+      * worker threads with inherited thread-locals, and the override would
+      * then be set/restored on the wrong session: the replay silently runs
+      * at full batch width while an unrelated session's conf is briefly
+      * mutated under it). The set/start/restore triple is locked: Verify
+      * starts replays from a concurrent worker pool, and interleaved
+      * set/restore pairs would otherwise leave the shared session at the
+      * replay width (performance-only — results are partition-count
+      * independent, spec-pinned — but the session must come back exactly
+      * as found). */
+    def startReplay(sparkOf: SparkSession): StreamingQuery =
       startLock.synchronized {
         val prev = sparkOf.conf.get("spark.sql.shuffle.partitions")
         sparkOf.conf
@@ -176,7 +179,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -224,7 +227,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val streamPart = spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -291,7 +294,7 @@ object StreamingJobs {
         dA.unpersist(); dB.unpersist()
         ()
       }
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -489,7 +492,7 @@ object StreamingJobs {
           ()
         } finally batch.unpersist()
       }
-      .startReplay()
+      .startReplay(spark)
   }
 
   /** Latest materialized fan-out sink root per input dir, within this JVM:
@@ -611,7 +614,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .groupBy(col("alert_type")).agg(count(lit(1)).as("n"))
@@ -713,7 +716,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out).orderBy(col("trade_id"))
   }
@@ -751,7 +754,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -807,7 +810,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("user_id") =!= "ZSENTINEL")
@@ -892,7 +895,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val fin = latest(Long.MaxValue).getOrElse(sys.error(
       s"replayVersionedState($statePrefix): no micro-batch committed " +
@@ -1098,7 +1101,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     // the sentinel inflates its own 4 windows' counts by one market; those
     // windows start at/after the sentinel's hour and contain nothing real,
@@ -1162,7 +1165,7 @@ object StreamingJobs {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", out)
         .outputMode("append")
-        .startReplay()
+        .startReplay(spark)
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
     val (phase1, phase2) = staged.splitAt(staged.length / 2)
@@ -1216,7 +1219,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("user_id") =!= "ZSENTINEL")
@@ -1282,7 +1285,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -1498,7 +1501,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out).orderBy(col("trade_id"), col("quote_id"))
   }
@@ -1568,7 +1571,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out)
       .filter(col("market") =!= "ZSENTINEL")
@@ -1616,7 +1619,7 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", out)
       .outputMode("append")
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     spark.read.parquet(out).orderBy(col("trade_id"))
   }
@@ -1749,7 +1752,7 @@ object StreamingJobs {
         state, closed)
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val lastOpen = new java.io.File(state).listFiles()
       .filter(_.getName.startsWith("open_"))
@@ -1824,7 +1827,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val fin = spark.read.parquet(latestSnap(Long.MaxValue).get.getPath)
     // action relative to the ORIGINAL target — derivable because the
@@ -1925,7 +1928,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val sc = spark.read.parquet(latest("sc_", Long.MaxValue).get.getPath)
     val nd = spark.read.parquet(latest("dv_", Long.MaxValue).get.getPath)
@@ -2009,7 +2012,7 @@ object StreamingJobs {
     }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .startReplay()
+      .startReplay(spark)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     val last = new java.io.File(st).listFiles()
       .filter(_.getName.startsWith("sk_"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 /** Session-scoped memo for expensive shared artifacts (parsed CDC frames,
   * LSH pair sets, suffix-array ranks, IVF assignments, …), keyed by
-  * (SparkSession identity, data dir).
+  * (unique session id, data dir + content fingerprint).
   *
   * Every access first SWEEPS the whole map (the maps hold a handful of
   * entries), dropping any entry whose owning session has stopped or been
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * backing a materialized fixture). */
 final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
   private val m = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (java.lang.ref.WeakReference[SparkSession], V)]()
+    (Long, String), (java.lang.ref.WeakReference[SparkSession], V)]()
 
   def getOrBuild(spark: SparkSession, dir: String)(build: => V): V = {
     m.forEach { (k, v) =>
@@ -27,7 +27,7 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
       if ((s == null || s.sparkContext.isStopped) && m.remove(k, v))
         onEvict(v._2)
     }
-    m.computeIfAbsent((System.identityHashCode(spark), dir),
+    m.computeIfAbsent((SessionMemo.idOf(spark), SessionMemo.fingerprint(dir)),
       _ => (new java.lang.ref.WeakReference(spark), build))._2
   }
 
@@ -40,6 +40,43 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
 }
 
 object SessionMemo {
+  /** Unique id per live session. `identityHashCode` is NOT unique — two
+    * concurrently-live sessions could collide and share a memoized frame
+    * built on the other session. Ids are allocated once per session object
+    * through a WeakHashMap (SparkSession does not override equals, so the
+    * map is identity-keyed) that never keeps a session alive; uniqueness is
+    * guaranteed by the counter. */
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val nextId = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def idOf(spark: SparkSession): Long =
+    ids.computeIfAbsent(spark, _ => nextId.incrementAndGet())
+
+  /** Content fingerprint appended to a memo tag: the tag's path component
+    * (up to '#') is walked and its (relative-path, size, mtime) listing
+    * hashed, so a long-lived session whose data dir is REGENERATED in place
+    * rebuilds artifacts instead of serving stale ones. Metadata-only: no
+    * file contents are read (a few hundred stat calls even on a sharded
+    * corpus). A tag whose path component is not a directory passes through
+    * unchanged. */
+  private[graft] def fingerprint(tag: String): String = {
+    val path = tag.takeWhile(_ != '#')
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) tag
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      val listing =
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("\n")
+        finally walk.close()
+      f"$tag@${scala.util.hashing.MurmurHash3.stringHash(listing)}%08x"
+    }
+  }
+
   private[graft] def deleteTree(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {

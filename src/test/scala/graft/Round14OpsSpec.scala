@@ -34,29 +34,25 @@ class Round14OpsSpec extends SparkSpec {
   test("g6 hits: plan shape is pinned — cached edges, broadcast " +
       "normalizers, no cartesian, bounded exchanges") {
     val plan = executed(operators.Graph.hits(spark, sf()))
-    // the co-purchase edge list is built once and read back from cache by
-    // every half-step (degree agg, hub agg, authority agg)
-    val cacheScans = plan.collect { case e: InMemoryTableScanExec => e }
-    assert(cacheScans.size >= 3,
-      s"expected >=3 cached-edge scans, got ${cacheScans.size}")
-    // every sum-normalization is a crossJoin(broadcast(1-row aggregate)):
-    // physically BroadcastNestedLoopJoin, never CartesianProduct. 6, not 3,
-    // because na1 feeds two consumers and (without AQE exchange reuse) its
-    // subtree plans twice.
+    // na1 and a2 both feed TWO consumers, so both are localCheckpoint-
+    // materialized: their subtrees (edge-cache scans, degree/hub aggs,
+    // na1/nh1 normalizer BNLJs) run ONCE in build jobs and the FINAL plan
+    // reads the materialized frames — it carries exactly ta2's normalizer
+    // BNLJ and nothing of the half-step machinery.
     val bnlj = plan.collect { case e: BroadcastNestedLoopJoinExec => e }
-    assert(bnlj.size == 6, s"expected 6 broadcast normalizer joins, got " +
+    assert(bnlj.size == 1, s"expected 1 broadcast normalizer join, got " +
       s"${bnlj.size}")
     assert(plan.collect { case e: CartesianProductExec => e }.isEmpty,
       "normalizer join degraded to CartesianProduct")
     // top-100 must be TakeOrderedAndProject (never global sort + limit)
     assert(plan.collect { case e: TakeOrderedAndProjectExec => e }.size == 1)
-    // exchange budget: 14 measured (edge build 3, half-step aggs + keyed
-    // joins, na1 subtree twice). Upper bound, not equality: FEWER
-    // exchanges (e.g. future exchange reuse) is fine, more is the
-    // regression this test exists to catch.
+    // exchange budget: upper bound, not equality — FEWER exchanges (e.g.
+    // future exchange reuse) is fine, more is the regression this test
+    // exists to catch. The final plan over the two checkpointed frames
+    // needs only ta2's single-partition agg exchange and the final joins.
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size <= 14,
-      s"exchange count grew: ${shuffles.size} > 14")
+    assert(shuffles.size <= 4,
+      s"exchange count grew: ${shuffles.size} > 4")
   }
 
   /** Queries REVIEWED as safe to run a global (unpartitioned) window:
