@@ -705,14 +705,24 @@ object Relational {
     * `per_cust` collapses orders per key BEFORE the hierarchy join, so the
     * join input is dimension-sized; the revenue SUM stays DECIMAL(38,6)
     * through both aggregation levels (associative ⇒ rollup lossless, same
-    * invariant as q_a12). Recursion row/level limits are far above this
-    * shape's needs (rows = customers × depth).
+    * invariant as q_a12).
+    *
+    * Spark guards runaway recursion with `spark.sql.cteRecursionRowLimit`
+    * (default 1 M rows) — this query's recursion emits customers ×
+    * key-digit-depth rows, which crossed the default at the 10× scale
+    * rehearsal (150 k customers × 10-digit shifted keys). The limit is a
+    * safety rail, not semantics, so the operator sizes it from its own
+    * inputs: customers × 21 (19 decimal digits of a BIGINT key + anchor +
+    * margin), floored at the default.
     *
     * Oracle: textually identical SQL in DuckDB (same WITH RECURSIVE
     * semantics, floor-division parent function, decimal sums). */
   def recursiveSubtreeRollup(spark: SparkSession, dir: String): DataFrame = {
-    G.table(spark, dir, "customer").createOrReplaceTempView("customer_rc")
+    val cust = G.table(spark, dir, "customer")
+    cust.createOrReplaceTempView("customer_rc")
     G.table(spark, dir, "orders").createOrReplaceTempView("orders_rc")
+    spark.conf.set("spark.sql.cteRecursionRowLimit",
+      math.max(1000000L, cust.count() * 21).toString)
     spark.sql(recursiveSubtreeRollupSql
       .replace("FROM customer", "FROM customer_rc")
       .replace("FROM orders", "FROM orders_rc"))

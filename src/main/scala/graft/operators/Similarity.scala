@@ -267,7 +267,21 @@ object Similarity {
 
   /** `bits = 0` (the default) derives the sketch width from the corpus
     * count via [[autoBits]]; pass an explicit positive value only to pin a
-    * width (specs, ladder control runs). */
+    * width (specs, ladder control runs).
+    *
+    * Operating-point caveat, measured by q_y25 across the 1×/10× scale
+    * rehearsal: auto-bits holds the CANDIDATE budget linear in n, and the
+    * price is boundary recall. At this query's θ = acos(0.35) the
+    * per-bit collision probability is p ≈ 0.61, so per-table recall p^bits
+    * falls ~1.6× per added bit and the fixed 16-table OR-amplification
+    * decays (measured 0.87 at 500 vecs/4 bits → 0.10 at 20k vecs/10
+    * bits on the boundary-band pairs that dominate this corpus). Holding
+    * recall would need tables ∝ p^-bits ≈ n^0.7 — converging on brute
+    * force, which is the known theory result: sign-LSH earns its keep at
+    * HIGH-similarity operating points (dup detection, p ≥ 0.85 per bit),
+    * not moderate-threshold similarity joins. For those, use the IVF
+    * paths (knnIvf / semDedup), which bucket by data geometry instead of
+    * random planes. */
   def lshNearDups(spark: SparkSession, dir: String, tables: Int = 16,
       bits: Int = 0, threshold: Double = 0.35): DataFrame = {
     val e = embeddings(spark, dir)
@@ -796,9 +810,30 @@ object Similarity {
     * keyed on cid — the shuffle is O(n) vector rows, the pair blow-up is
     * bounded by the largest cluster (k scales with n in practice; a hot
     * cluster splits under AQE skew-join). Nothing here is all-pairs. */
-  def semDedup(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+  /** Cluster count from corpus size: k ≈ √(n/31.25) (floored at 8) — the
+    * same static-parameter fix as [[autoBits]], with the FAISS-classic
+    * √n balance. Why √n and not ∝ n: semdedup's cost is broadcast
+    * assignment (n·k distance rows) PLUS within-cluster verify (n²/k
+    * pairs); k ∝ n makes the assignment itself n²/c quadratic (measured:
+    * k=80 ran SLOWER than k=8 at 20 k vectors), while k = √(n/c)
+    * equalizes both terms at Θ(n^1.5)·√c — the optimum of n·k + n²/k.
+    * 31.25 anchors k(2000) = 8 exactly (the sf0.1 bench corpus), so
+    * small-sf results are unchanged; the DuckDB oracle derives the
+    * identical k in SQL. */
+  private[graft] def autoK(n: Long): Int =
+    math.max(8, math.round(math.sqrt(n / 31.25)).toInt)
+
+  /** k-expression for the oracle's seed CTE — MUST stay in lockstep with
+    * [[autoK]] (`e` is the embeddings CTE every IVF oracle opens with). */
+  private val autoKSql: String =
+    "(SELECT GREATEST(8, CAST(round(sqrt(count(*) / 31.25)) AS INT)) FROM e)"
+
+  def semDedup(spark: SparkSession, dir: String, k: Int = 0, iters: Int = 2,
       tau: Double = 0.35): DataFrame = {
-    val assign = ivfAssign(spark, dir, k, iters)
+    val kk =
+      if (k > 0) k
+      else autoK(G.table(spark, dir, "embeddings").count())
+    val assign = ivfAssign(spark, dir, kk, iters)
       .select(col("vec_id"), col("cid"), col("v"))
     val a = assign.select(col("cid"), col("vec_id").as("id_a"),
       col("v").as("va"))
@@ -836,9 +871,9 @@ object Similarity {
   /** DuckDB replay of [[semDedup]]: the shared k-means rounds feeding the
     * within-cluster pair scan — the same per-pair sequential cosine fold
     * as [[embeddingNearDupsSql]]. */
-  def semDedupSql(k: Int = 8, iters: Int = 2, dims: Int = 64,
+  def semDedupSql(k: Int = 0, iters: Int = 2, dims: Int = 64,
       tau: Double = 0.35): String =
-    s"""${ivfRoundsSql(k, iters, dims)},
+    s"""${ivfRoundsSqlK(if (k > 0) k.toString else autoKSql, iters, dims)},
        |pairs AS (
        |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
        |    list_dot_product(a.v, b.v) /
@@ -1173,14 +1208,26 @@ object Similarity {
     * [[semDedupSql]]), GENERATED from (k, iters, dims) like
     * [[pqRoundsSql]]. */
   private def ivfRoundsSql(k: Int, iters: Int, dims: Int): String =
+    ivfRoundsSqlK(k.toString, iters, dims)
+
+  /** `kSql` variant: the seed count may be a scalar-subquery expression
+    * (the [[autoKSql]] corpus-derived k) — k is structural ONLY in the
+    * `vec_id < k` seed predicate, so the generated CTE chain is identical
+    * for literal and derived k. */
+  private def ivfRoundsSqlK(kSql: String, iters: Int, dims: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |${ivfCtes(k, iters, dims, "")}""".stripMargin
+       |${ivfCtesK(kSql, iters, dims, "")}""".stripMargin
 
   /** CTE list (no WITH header, references a prior `e` CTE) with every CTE
     * name prefixed by `p` — so the composed IVF+PQ oracle (q_y17) can hold
     * both k-means chains in one WITH without name collisions. */
   private def ivfCtes(k: Int, iters: Int, dims: Int, p: String): String = {
-    require(k > 0 && iters > 0 && dims > 0)
+    require(k > 0)
+    ivfCtesK(k.toString, iters, dims, p)
+  }
+
+  private def ivfCtesK(k: String, iters: Int, dims: Int, p: String): String = {
+    require(iters > 0 && dims > 0)
     def dist(r: Int): String =
       s"""${p}d$r AS (
          |  SELECT e.vec_id, ${p}c${r - 1}.cid, e.v,

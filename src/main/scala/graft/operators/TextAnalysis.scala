@@ -771,6 +771,14 @@ object TextAnalysis {
       val top = cur
         .select(col("cnt"),
           expr("filter(split(spelled, ' '), x -> x != '')").as("syms"))
+        // a fully-merged word (single symbol) contributes no pairs. The
+        // guard is load-bearing, not cosmetic: Spark's sequence(1, 0)
+        // AUTO-REVERSES to [1, 0] (DuckDB's range(1, 1) is empty), so
+        // without it a 1-symbol word indexes element_at(syms, 2) and the
+        // whole training job dies — first hit at the 10× scale rehearsal,
+        // where the bigger pair census merges a single-char word with its
+        // </w> inside the 8 rounds.
+        .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           """transform(sequence(1, size(syms) - 1),
             |  i -> struct(element_at(syms, i) AS l,

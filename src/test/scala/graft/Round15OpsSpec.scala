@@ -217,6 +217,30 @@ class Round15OpsSpec extends SparkSpec {
         s"${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  /** The two corpus-derived sketch parameters are pinned as functions:
+    * their small-sf anchor values must never drift (the sf0.01/sf0.1
+    * oracles were hash-checked at exactly these widths), and their growth
+    * must follow the documented rule (occupancy-constant bits, √n
+    * clusters). A change here is a change to every LSH/semdedup result. */
+  test("auto-tuned sketch parameters: anchors and growth law") {
+    import operators.Similarity.{autoBits, autoK}
+    // sign-LSH bits: ~25/bucket occupancy, anchored at the driver corpora
+    assert(autoBits(500) == 4)   // sf0.001 / sf0.01 embeddings
+    assert(autoBits(2000) == 6)  // sf0.1 — the old hand-set default
+    assert(autoBits(20000) == 10)
+    assert(autoBits(100000) == 12) // the Stress ladder rung
+    assert(autoBits(1) == 2 && autoBits(0) == 2, "clamped low")
+    assert(autoBits(Long.MaxValue / 2) == 24, "clamped high")
+    // one more bit per corpus doubling (occupancy-constant growth)
+    assert(autoBits(200000) == autoBits(100000) + 1)
+    // semdedup clusters: k = sqrt(n/31.25), anchored so the gate corpora
+    // keep their original k = 8
+    assert(autoK(500) == 8 && autoK(2000) == 8)
+    assert(autoK(20000) == 25)
+    // sqrt growth: 4x corpus -> 2x clusters (±1 for rounding)
+    assert(math.abs(autoK(80000) - 2 * autoK(20000)) <= 1)
+  }
+
   test("SessionMemo: two live sessions never share an entry") {
     val memo = new SessionMemo[String]()
     val other = spark.newSession()

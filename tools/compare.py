@@ -38,21 +38,48 @@ def norm(df):
 
 
 def main(sf_dir, out_dir, only=()):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; ScaleGen scale-up
+        # corpora are Spark-written DIRECTORIES (part-* files plus _SUCCESS
+        # markers that break a bare parquet_scan on the dir)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/part-*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    # optional per-oracle timeout (seconds) for scale-up runs: brute-force
+    # oracles (O(n^2) string-set joins, unrolled CTEs) stop fitting in
+    # DuckDB above the driver's sf0.01 gate; a timed-out oracle is a SKIP
+    # (the query's correctness is carried by the small-sf gate), never a
+    # silent pass or a fake fail
+    timeout = float(os.environ.get("COMPARE_ORACLE_TIMEOUT", "0") or 0)
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        timer = None
+        timed_out = []
+        if timeout > 0:
+            import threading
+            timer = threading.Timer(
+                timeout, lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             o = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
+            if timer:
+                timer.cancel()
+            if timed_out:
+                print(f"SKIP {name}: oracle timeout after {timeout:.0f}s")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -89,7 +116,8 @@ def main(sf_dir, out_dir, only=()):
             continue
         print(f"PASS {name} ({len(s)} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail")
+    skip = f" / {n_skip} oracle-timeout-skip" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{skip}")
     return 1 if n_fail else 0
 
 
