@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   *    numbers above each key domain's max), so referential joins stay
   *    1:1 within a copy and never cross copies; `nationkey` stays — 10×
   *    customers per nation is exactly how TPC-H scales;
-  *  - `events`: K copies, `event_id`/`user_id` shifted, `ts` UNCHANGED —
-  *    the window count stays fixed while per-window density grows K×
-  *    (the ingest-rate axis; shifting ts instead would grow the timeline,
-  *    the cheaper axis for windowed aggs);
+  *  - `events`: K copies, `user_id` shifted, `ts` UNCHANGED — the window
+  *    count stays fixed while per-window density grows K× (the
+  *    ingest-rate axis; shifting ts instead would grow the timeline, the
+  *    cheaper axis for windowed aggs). `event_id` is INTERLEAVED
+  *    (id·K + copy), not block-shifted: the driver corpus keeps event_id
+  *    perfectly event-time-ordered (0 inversions — the invariant a real
+  *    CDC feed's per-key Kafka ordering provides, which the SCD2/dedup
+  *    replays' sequence-order contract builds on), and a block shift
+  *    breaks it — copies interleave in time with far-apart ids, and the
+  *    scd2 version chains diverge from the batch oracle (caught by the
+  *    sf1 correctness pass);
   *  - `documents`: K copies, `doc_id` shifted, and EACH TOKEN's characters
   *    rotated by copy (copy 0 verbatim) — the copies carry K disjoint
   *    vocabularies, so cross-copy shingle Jaccard ≈ 0 and the near-dup
@@ -94,7 +101,7 @@ object ScaleGen {
       .withColumn("l_suppkey", shift("l_suppkey")),
       "lineitem", 2 * k)
     write(copies(G.events(spark, src))
-      .withColumn("event_id", shift("event_id"))
+      .withColumn("event_id", col("event_id") * k + col("copy"))
       .withColumn("user_id", shift("user_id")),
       "events", k)
     write(copies(t("documents"))

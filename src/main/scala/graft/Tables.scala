@@ -232,8 +232,8 @@ object Tables {
 
   val bucketedJoinSql: String =
     """SELECT o_orderstatus, COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
-      |    AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

@@ -568,15 +568,23 @@ object Dedup {
     * full pipeline (including the banding) replays exactly in DuckDB. */
   def incrementalLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = G.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // the synthetic delta families live in id namespaces DERIVED from the
+    // corpus (off = max id + 1), not hard-coded constants: fixed +2M/+3M/
+    // +4M offsets silently collided with base ids once a scale-up corpus
+    // shifted doc_ids past 2M — the oracle's namespace classification then
+    // counted 45k base docs as delta members (caught by the sf1
+    // correctness pass). One metadata-cheap max() scan; the DuckDB oracle
+    // derives the identical offset as a scalar subquery.
+    val off = base.agg(max(col("doc_id"))).head.getLong(0) + 1
     val dropFirst = base.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 100000))").as("text"))
     val dropLast = base.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 4000000).as("doc_id"),
+      .select((col("doc_id") + 3L * off).as("doc_id"),
         expr("""concat_ws(' ', slice(split(text, '\\s+'), 1,
                 |  size(split(text, '\\s+')) - 1))""".stripMargin).as("text"))
     val novel = base.filter(col("doc_id") % 7 === 3)
-      .select((col("doc_id") + 3000000).as("doc_id"),
+      .select((col("doc_id") + 2L * off).as("doc_id"),
         expr("concat_ws(' ', reverse(split(text, '\\\\s+')))").as("text"))
     val delta = dropFirst.union(dropLast).union(novel)
 
@@ -647,20 +655,20 @@ object Dedup {
     """
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 2000000 AS doc_id,
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
       |    array_to_string(string_split_regex(text, '\s+')[2:], ' ') AS text
       |  FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 4000000 AS doc_id,
+      |  SELECT doc_id + 3 * (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
       |    array_to_string(list_slice(string_split_regex(text, '\s+'), 1,
       |      len(string_split_regex(text, '\s+')) - 1), ' ') AS text
       |  FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 3000000 AS doc_id,
+      |  SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
       |    array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ') AS text
       |  FROM documents WHERE doc_id % 7 = 3""".stripMargin) + """,
-      |idx AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id < 2000000),
-      |dban AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id >= 2000000),
+      |idx AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id < (SELECT max(doc_id) + 1 FROM documents)),
+      |dban AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id >= (SELECT max(doc_id) + 1 FROM documents)),
       |cand_idx AS (
       |  SELECT DISTINCT d.doc_id AS new_id, i.doc_id AS base_id
       |  FROM dban d JOIN idx i ON d.band = i.band AND d.bucket = i.bucket),
@@ -697,7 +705,7 @@ object Dedup {
       |  CASE WHEN coalesce(ia.nim, 0) > 0 THEN 'drop'
       |       WHEN coalesce(ba.nbm, 0) > 0 THEN 'batch_dup'
       |       ELSE 'keep' END AS decision
-      |FROM (SELECT doc_id FROM sh WHERE doc_id >= 2000000) d
+      |FROM (SELECT doc_id FROM sh WHERE doc_id >= (SELECT max(doc_id) + 1 FROM documents)) d
       |LEFT JOIN ia ON d.doc_id = ia.doc_id
       |LEFT JOIN ba ON d.doc_id = ba.doc_id
       |ORDER BY d.doc_id""".stripMargin

@@ -1924,13 +1924,21 @@ object Similarity {
     * 64-double literal, each row computes its projection dt = x·v with the
     * codegen'd sequential fold (bit-identical to DuckDB's
     * list_dot_product — the y1 result), then posexplode + a 64-group
-    * hash-agg with map-side partials accumulates wⱼ = Σᵢ xᵢⱼ·dtᵢ through
-    * DECIMAL(38,12) (exact, so the map-side combine order cannot perturb
-    * the hash). The O(d) result folds back to the driver for the next
-    * round — the t16-GD pattern: corpus → d scalars per round, never a
-    * corpus shuffle. Normalization divides by √(Σwⱼ²) summed through the
-    * same DECIMAL path; sqrt is correctly rounded on both engines (the
-    * c19 lesson), so all three rounds replay bit-exact as unrolled CTEs.
+    * hash-agg with map-side partials accumulates wⱼ = Σᵢ xᵢⱼ·dtᵢ in
+    * FIXED-POINT micro-units — trunc((val·dt)·10¹²) to LONG, summed
+    * exactly through DECIMAL(38,0) (the g7 pattern). Fixed-point, not a
+    * DECIMAL(38,12) cast, because the 10× rehearsal caught the cast class
+    * diverging: Spark rounds double→decimal through the value's shortest
+    * decimal string while DuckDB rounds natively, and at 1.28 M
+    * terms/round one boundary term is statistically certain. The IEEE
+    * product and toward-zero trunc leave no rounding-mode freedom, and
+    * DECIMAL(38,0)→DOUBLE is a single correctly-rounded conversion on
+    * both engines (no /10^s double-rounding). The O(d) result folds back
+    * to the driver for the next round — the t16-GD pattern: corpus → d
+    * scalars per round, never a corpus shuffle. Normalization divides by
+    * √(Σwⱼ²) in the same micro-units; sqrt is correctly rounded on both
+    * engines (the c19 lesson), so all three rounds replay bit-exact as
+    * unrolled CTEs at any corpus size.
     *
     * At 100 TB: 3 scans of the (cached) vector column, each exchanging
     * only d·partitions decimal partials; driver state 64 doubles. */
@@ -1955,10 +1963,15 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val w = powerRound(e, v)
       val collected = w.as[(Long, Double)].collect().sortBy(_._1).map(_._2)
-      val norm2 = collected
-        .map(x => BigDecimal(x * x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
-        .sum.toDouble
-      lambda = math.sqrt(norm2)
+      // fixed-point micro-units (the g7 lesson): trunc(x·10¹²) is
+      // engine-identical by construction — the IEEE product and the
+      // toward-zero trunc have no rounding-mode freedom — where a
+      // double→DECIMAL cast replays only as "whatever rounding THIS
+      // engine's cast applies" (the 10× rehearsal caught a 1-term
+      // two-step-rounding divergence). Σ over d=64 squares ≤ 64·2e15,
+      // exact in Long.
+      val norm2 = collected.map(x => (x * x * 1e12).toLong).sum
+      lambda = math.sqrt(norm2.toDouble / 1e12)
       v = collected.map(_ / lambda)
     }
     spark.createDataset(v.toIndexedSeq.zipWithIndex
@@ -1972,11 +1985,18 @@ object Similarity {
     * one hash exchange on dim, partial_sum map-side, nothing else. */
   private[graft] def powerRound(e: DataFrame, v: Array[Double]): DataFrame = {
     val vlit = array(v.toIndexedSeq.map(lit): _*)
+    // per-term fixed-point: trunc((val·dt)·10¹²) to LONG (toward zero,
+    // engine-identical), summed exactly through DECIMAL(38,0) — a plain
+    // long sum could overflow on a positive run (terms reach ±10¹⁵),
+    // and DECIMAL(38,0)→DOUBLE is a single correctly-rounded conversion
+    // on both engines (scale 0 skips the /10^s division whose double
+    // rounding diverges once the unscaled sum tops 2⁵³)
     e.withColumn("dt", dot(col("v"), vlit))
       .select(posexplode(col("v")).as(Seq("dim", "val")), col("dt"))
       .groupBy(col("dim").cast("long").as("dim"))
-      .agg(sum((col("val") * col("dt")).cast("decimal(38,12)"))
-        .cast("double").as("w"))
+      .agg((sum((col("val") * col("dt") * lit(1e12)).cast("long")
+          .cast("decimal(38,0)"))
+        .cast("double") / lit(1e12)).as("w"))
   }
 
   val powerIterationSql: String = {
@@ -1984,13 +2004,15 @@ object Similarity {
         arr: String): String =
       s"""$w AS (
          |  SELECT x.dim,
-         |    CAST(SUM(CAST(x.val * p.dt AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |    CAST(SUM(CAST(trunc(x.val * p.dt * 1000000000000.0) AS BIGINT))
+         |      AS DOUBLE) / 1000000000000.0 AS w
          |  FROM x JOIN (
          |    SELECT vec_id, list_dot_product(v, $prevArr) AS dt FROM e) p
          |  ON x.vec_id = p.vec_id
          |  GROUP BY x.dim),
          |$n AS (
-         |  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE))
+         |  SELECT sqrt(CAST(SUM(CAST(trunc(w * w * 1000000000000.0) AS BIGINT))
+         |      AS DOUBLE) / 1000000000000.0)
          |    AS n FROM $w),
          |$vv AS (SELECT dim, w / (SELECT n FROM $n) AS vv FROM $w),
          |$arr AS (SELECT list(vv ORDER BY dim) AS arr FROM $vv)""".stripMargin

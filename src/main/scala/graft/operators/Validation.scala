@@ -947,10 +947,10 @@ object Validation {
       |    AS n_no_lines,
       |  CAST(sum(CASE WHEN has_lines AND NOT consistent THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_mismatch,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-      |    AS booked_total,
-      |  CAST(SUM(CAST(coalesce(computed, 0.0) AS DECIMAL(38,6))) AS DOUBLE)
-      |    AS computed_total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+      |    AS DOUBLE) AS booked_total,
+      |  CAST(CAST(SUM(CAST(coalesce(computed, 0.0) AS DECIMAL(38,6)))
+      |    AS VARCHAR) AS DOUBLE) AS computed_total
       |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val benfordSql: String = {

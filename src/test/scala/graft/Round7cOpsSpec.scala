@@ -7,22 +7,30 @@ import org.apache.spark.sql.functions._
   * delta probe, y18 IVF centroid refresh). */
 class Round7cOpsSpec extends SparkSpec {
 
+  /** The delta namespaces are now DERIVED from the corpus: off = max
+    * doc_id + 1, dropFirst at +off, novel at +2·off, dropLast at +3·off
+    * (hard-coded +2M/+3M/+4M collided with base ids on scale-up corpora —
+    * caught by the sf1 correctness pass). */
+  private def x15Off: Long = G.table(spark, sf(), "documents")
+    .agg(max(col("doc_id"))).head().getLong(0) + 1
+
   test("x15: planted families drop, reversed docs keep, batch dups flagged") {
+    val off = x15Off
     val out = Dedup.incrementalLsh(spark, sf()).collect()
     assert(out.nonEmpty)
-    // reversed-token docs (+3000000) are novel: no index or batch match
-    val rev = out.filter(r => r.getLong(0) >= 3000000 && r.getLong(0) < 4000000)
+    // reversed-token docs (+2·off) are novel: no index or batch match
+    val rev = out.filter(r => r.getLong(0) >= 2 * off && r.getLong(0) < 3 * off)
     assert(rev.nonEmpty)
     assert(rev.forall(_.getString(4) == "keep"),
       rev.filter(_.getString(4) != "keep").mkString(","))
-    // drop-first copies (+2000000): J = (n-1)/n >= 7/8 at >= 10 tokens —
+    // drop-first copies (+off): J = (n-1)/n >= 7/8 at >= 10 tokens —
     // every one must hit its base doc in the index
-    val df1 = out.filter(r => r.getLong(0) >= 2000000 && r.getLong(0) < 3000000)
+    val df1 = out.filter(r => r.getLong(0) >= off && r.getLong(0) < 2 * off)
     assert(df1.nonEmpty)
     assert(df1.forall(r => r.getLong(1) >= 1 && r.getString(4) == "drop"))
-    // drop-last copies (+4000000) match the index AND their +2000000 twin
+    // drop-last copies (+3·off) match the index AND their +off twin
     // within the batch (both sides of the pair get the batch flag)
-    val df2 = out.filter(r => r.getLong(0) >= 4000000)
+    val df2 = out.filter(r => r.getLong(0) >= 3 * off)
     assert(df2.nonEmpty)
     assert(df2.forall(r => r.getLong(1) >= 1))
     assert(df2.forall(r => r.getLong(2) >= 1))
@@ -32,6 +40,7 @@ class Round7cOpsSpec extends SparkSpec {
   }
 
   test("x15: delta output covers exactly the signable delta docs") {
+    val off = x15Off
     val out = Dedup.incrementalLsh(spark, sf())
       .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect().toSet
@@ -39,9 +48,9 @@ class Round7cOpsSpec extends SparkSpec {
     // docs are 10..99 tokens, so every transformed variant stays >= 3
     // tokens and must appear in the report
     val exp =
-      base.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 2000000)
-        .union(base.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 4000000))
-        .union(base.filter(col("doc_id") % 7 === 3).select(col("doc_id") + 3000000))
+      base.filter(col("doc_id") % 7 === 0).select(col("doc_id") + off)
+        .union(base.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 3 * off))
+        .union(base.filter(col("doc_id") % 7 === 3).select(col("doc_id") + 2 * off))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
     assert(out == exp)
   }
