@@ -241,6 +241,50 @@ class Round15OpsSpec extends SparkSpec {
     assert(math.abs(autoK(80000) - 2 * autoK(20000)) <= 1)
   }
 
+  /** ScaleGen invariants, pinned at K=2 over sf0.001 — each line is a
+    * defect the sf1 rehearsal actually hit:
+    *  - event ids stay event-time-ordered (the CDC per-key ordering
+    *    contract scd2/dedup replays build on; block-shifted ids broke it);
+    *  - cross-copy doc vocabularies are (near-)disjoint so the duplicate
+    *    rate scales, not multiplies (sequence rotation kept the shingles
+    *    and exploded pair mass 100×);
+    *  - referential joins survive (orders ⋈ customer, lineitem ⋈ orders);
+    *  - fixed dimensions stay fixed. */
+  test("ScaleGen: order invariant, vocab disjointness, referential " +
+      "integrity at K=2") {
+    val dst = java.nio.file.Files.createTempDirectory("graft_scalegen").toString
+    try {
+      ScaleGen.generate(spark, sf(), dst, 2)
+      def t(n: String) = spark.read.parquet(s"$dst/$n.parquet")
+      // 1. zero event-time inversions in event_id order
+      val inv = t("events")
+        .selectExpr("ts", "lag(ts) OVER (ORDER BY event_id) AS p")
+        .filter(col("p") > col("ts")).count()
+      assert(inv == 0, s"$inv event-time inversions — CDC order broken")
+      // 2. token sets of copy 0 and copy 1 share (almost) nothing: only
+      // single-char tokens survive the char rotation identically
+      val toks = t("documents")
+        .selectExpr("doc_id >= 100000000 AS c1",
+          "explode(split(text, '\\\\s+')) AS tk")
+      val shared = toks.filter(!col("c1")).select("tk").distinct()
+        .join(toks.filter(col("c1")).select("tk").distinct(), "tk")
+        .filter(length(col("tk")) > 1).count()
+      val total = toks.select("tk").distinct().count()
+      assert(shared * 20 < total,
+        s"cross-copy vocab overlap $shared of $total — dup rate multiplies")
+      // 3. referential integrity: every order resolves its customer, every
+      // lineitem its order
+      assert(t("orders").join(t("customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+      assert(t("lineitem").join(t("orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)
+      // 4. dimensions stay fixed; facts double
+      assert(t("region").count() == 5 && t("nation").count() == 25)
+      assert(t("events").count() ==
+        2 * G.table(spark, sf(), "events").count())
+    } finally SessionMemo.deleteTree(dst)
+  }
+
   test("SessionMemo: two live sessions never share an entry") {
     val memo = new SessionMemo[String]()
     val other = spark.newSession()
