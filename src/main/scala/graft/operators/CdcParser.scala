@@ -606,7 +606,7 @@ object CdcParser {
 
   val changedRowCountsSql: String =
     s"""SELECT op, count(*) AS n,
-       |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+       |  CAST(CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS price_sum
        |FROM (${cdcParseBodySql}) t
        |WHERE op IN ('c','u','d')
        |GROUP BY op ORDER BY op""".stripMargin

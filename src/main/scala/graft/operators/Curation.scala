@@ -549,7 +549,7 @@ object Curation {
        |b AS (SELECT $bs FROM q)
        |SELECT decile, count(*) AS n_docs,
        |  min(quality_score) AS min_score, max(quality_score) AS max_score,
-       |  CAST(SUM(CAST(quality_score AS DECIMAL(38,9))) AS DOUBLE)
+       |  CAST(CAST(SUM(CAST(quality_score AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
        |    / count(*) AS avg_score
        |FROM (
        |  SELECT quality_score, 1 + $cases AS decile
@@ -614,7 +614,7 @@ object Curation {
       |  WHERE rn = 1 AND substr(digest, 3, 2) < '80')
       |SELECT source, count(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-      |  CAST(SUM(CAST(quality_score AS DECIMAL(38,6))) AS DOUBLE) AS quality_sum
+      |  CAST(CAST(SUM(CAST(quality_score AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS quality_sum
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
   /** Stratified (per-source) hash sampling to a fixed expected document
@@ -920,7 +920,7 @@ object Curation {
              .replace("ORDER BY doc_id", "")}) qq),
        |aq AS (
        |  SELECT b.source,
-       |    CAST(SUM(CAST(q.quality_score AS DECIMAL(38,6))) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(q.quality_score AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
        |      / COUNT(q.quality_score) AS avg_quality
        |  FROM base b JOIN q ON b.doc_id = q.doc_id GROUP BY b.source)
        |SELECT v.source, v.n_docs, v.n_tokens, v.dup_docs, t.top_lang,

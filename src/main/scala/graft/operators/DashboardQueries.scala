@@ -218,7 +218,7 @@ object DashboardQueries {
        |  max(trade_price) AS high,
        |  min(trade_price) AS low,
        |  max(CASE WHEN rn_d = 1 THEN trade_price END) AS close,
-       |  CAST(SUM(CAST(trade_volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+       |  CAST(CAST(SUM(CAST(trade_volume AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS volume,
        |  count(*) AS n_trades
        |FROM r GROUP BY market, candle_ms
        |ORDER BY market, candle_ms""".stripMargin
@@ -290,7 +290,7 @@ object DashboardQueries {
 
   val minuteRollupSql: String =
     """SELECT date_trunc('minute', ts) AS minute,
-      |  CAST(SUM(CAST(k AS DECIMAL(38,6))) AS DOUBLE) / COUNT(k) AS avg_latency,
+      |  CAST(CAST(SUM(CAST(k AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(k) AS avg_latency,
       |  MAX(k) AS max_latency, MIN(k) AS min_latency, COUNT(*) AS cnt
       |FROM (SELECT ts, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
       |      FROM events)
@@ -309,8 +309,8 @@ object DashboardQueries {
 
   val statPanelsSql: String =
     """SELECT count(*) AS trade_cnt,
-      |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 1) AS avg_price_rounded,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+      |  round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(value), 1) AS avg_price_rounded,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value,
       |  MAX(value) AS max_value
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
@@ -416,7 +416,7 @@ object DashboardQueries {
 
   val priceTimeseriesSql: String =
     """SELECT date_trunc('minute', ts) AS minute,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS avg_price,
       |  MIN(value) AS min_price, MAX(value) AS max_price
       |FROM events WHERE user_id = 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -522,7 +522,7 @@ object DashboardQueries {
 
   val incrementalMvMergeSql: String =
     """SELECT event_type, count(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

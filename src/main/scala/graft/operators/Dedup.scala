@@ -470,9 +470,9 @@ object Dedup {
       |  JOIN sig y ON y.doc_id = p.doc_b)
       |SELECT CAST(LEAST(floor(exact * 10), 9.0) AS BIGINT) AS bin,
       |  count(*) AS n_pairs,
-      |  round(CAST(SUM(CAST(est AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_est,
-      |  round(CAST(SUM(CAST(exact AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_exact,
-      |  round(CAST(SUM(CAST(abs(est - exact) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS mae
+      |  round(CAST(CAST(SUM(CAST(est AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_est,
+      |  round(CAST(CAST(SUM(CAST(exact AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_exact,
+      |  round(CAST(CAST(SUM(CAST(abs(est - exact) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS mae
       |FROM pe GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** The DuckDB replay of [[minhashPolyStage]] (shingle → mod-P signature →
@@ -1279,7 +1279,7 @@ object Dedup {
     def round(r: Int): String =
       s"""c$r AS (
          |  SELECT e.dst AS node,
-         |    CAST(SUM(CAST(p.rank / p.deg AS DECIMAL(38,12))) AS DOUBLE)
+         |    CAST(CAST(SUM(CAST(p.rank / p.deg AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
          |      AS contrib
          |  FROM e JOIN r${r - 1} p ON e.src = p.node GROUP BY e.dst),
          |r$r AS (

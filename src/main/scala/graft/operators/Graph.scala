@@ -471,19 +471,19 @@ object Graph {
       |edges AS (SELECT DISTINCT o.c, l.p FROM li l JOIN ord o ON l.ok = o.ok),
       |a1 AS (SELECT p, count(*) AS deg, CAST(count(*) AS DOUBLE) AS a1
       |       FROM edges GROUP BY p),
-      |ta1 AS (SELECT CAST(SUM(CAST(a1 AS DECIMAL(38,12))) AS DOUBLE) AS t
+      |ta1 AS (SELECT CAST(CAST(SUM(CAST(a1 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS t
       |        FROM a1),
       |na1 AS (SELECT p, deg, a1 / ta1.t AS na1 FROM a1 CROSS JOIN ta1),
       |h1 AS (SELECT e.c,
-      |         CAST(SUM(CAST(n.na1 AS DECIMAL(38,12))) AS DOUBLE) AS h1
+      |         CAST(CAST(SUM(CAST(n.na1 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS h1
       |       FROM edges e JOIN na1 n ON e.p = n.p GROUP BY e.c),
-      |th1 AS (SELECT CAST(SUM(CAST(h1 AS DECIMAL(38,12))) AS DOUBLE) AS t
+      |th1 AS (SELECT CAST(CAST(SUM(CAST(h1 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS t
       |        FROM h1),
       |nh1 AS (SELECT c, h1 / th1.t AS nh1 FROM h1 CROSS JOIN th1),
       |a2 AS (SELECT e.p,
-      |         CAST(SUM(CAST(x.nh1 AS DECIMAL(38,12))) AS DOUBLE) AS a2
+      |         CAST(CAST(SUM(CAST(x.nh1 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS a2
       |       FROM edges e JOIN nh1 x ON e.c = x.c GROUP BY e.p),
-      |ta2 AS (SELECT CAST(SUM(CAST(a2 AS DECIMAL(38,12))) AS DOUBLE) AS t
+      |ta2 AS (SELECT CAST(CAST(SUM(CAST(a2 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS t
       |        FROM a2)
       |SELECT a2.p AS part_id, n.deg AS n_buyers, a2.a2 / ta2.t AS authority
       |FROM a2 CROSS JOIN ta2 JOIN na1 n ON a2.p = n.p

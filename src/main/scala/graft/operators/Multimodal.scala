@@ -344,7 +344,7 @@ object Multimodal {
       |  FROM embeddings)
       |SELECT med.format, e.label, count(*) AS n_pairs,
       |  CAST(SUM(med.n_bytes) AS BIGINT) AS total_bytes,
-      |  CAST(SUM(CAST(e.nrm AS DECIMAL(38,6))) AS DOUBLE) AS norm_sum
+      |  CAST(CAST(SUM(CAST(e.nrm AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS norm_sum
       |FROM med JOIN e ON med.doc_id = e.vec_id
       |GROUP BY med.format, e.label
       |ORDER BY med.format, e.label""".stripMargin

@@ -70,7 +70,7 @@ object Relational {
 
   val revenueByBrandSql: String =
     """SELECT p_brand,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -95,7 +95,7 @@ object Relational {
   val topCustomersSql: String =
     """SELECT c_custkey, c_name, revenue, n_orders
       |FROM (SELECT o_custkey,
-      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |        count(*) AS n_orders
       |      FROM orders GROUP BY o_custkey) o
       |JOIN customer ON o_custkey = c_custkey
@@ -121,7 +121,7 @@ object Relational {
 
   val revenueByNationSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -364,7 +364,7 @@ object Relational {
 
   val rollupSummarySql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin
@@ -407,8 +407,8 @@ object Relational {
   val unpivotSummarySql: String =
     """WITH wide AS (
       |  SELECT l_returnflag,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
       |UNION ALL
@@ -603,11 +603,11 @@ object Relational {
   val subqueryRichCustomersSql: String =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c
-      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS VARCHAR(38)) AS DOUBLE)
       |                          / COUNT(c2.c_acctbal)
       |                   FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)
-      |  AND c_acctbal > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |  AND c_acctbal > (SELECT CAST(CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(38,6))) AS VARCHAR(38)) AS DOUBLE)
       |                          / COUNT(c3.c_acctbal)
       |                   FROM customer c3)
       |ORDER BY c_custkey""".stripMargin
@@ -623,7 +623,7 @@ object Relational {
 
   val cubeSummarySql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin
@@ -685,7 +685,7 @@ object Relational {
       |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
       |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
       |  count(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_priority,
@@ -778,7 +778,7 @@ object Relational {
 
   val saltedSupplierRevenueSql: String =
     """SELECT s_nationkey,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
@@ -854,7 +854,7 @@ object Relational {
 
   val bloomJoinSql: String =
     """SELECT l_returnflag, count(*) AS n_items,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -957,7 +957,7 @@ object Relational {
 
   val smallQtyRevenueSql: String =
     """SELECT p_brand, COUNT(*) AS n_small_lines,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |    AS locked_revenue
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE l_quantity < 0.2 * (
@@ -1019,11 +1019,11 @@ object Relational {
 
   val salesOpportunitySql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |    AS total_balance
       |FROM customer
       |WHERE c_acctbal > (
-      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |      / COUNT(c_acctbal) FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |    AND o_orderdate >= TIMESTAMP '2000-09-01')
@@ -1337,13 +1337,13 @@ object Relational {
       |    AND o_orderdate >= TIMESTAMP '1997-01-01'
       |    AND o_orderdate < TIMESTAMP '1999-01-01')
       |SELECT CAST(o_year AS INT) AS o_year,
-      |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN rev
-      |    ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS nation_rev,
-      |  CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS total_rev,
+      |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN rev
+      |    ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS nation_rev,
+      |  CAST(CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_rev,
       |  COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN rev
-      |    ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) /
-      |    CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+      |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN rev
+      |    ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
       |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin
 
   /** q_r37: TPC-H Q18-shaped large-volume customers — orders whose total
@@ -1374,10 +1374,10 @@ object Relational {
   val largeVolumeCustomersSql: String =
     """WITH big AS (
       |  SELECT l_orderkey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |      AS total_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250)
+      |  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) > 250)
       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
       |  total_qty
       |FROM big
@@ -1604,13 +1604,13 @@ object Relational {
       |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'),
       |pv AS (
       |  SELECT l_partkey,
-      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS value
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS value
       |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
       |  GROUP BY l_partkey)
       |SELECT l_partkey, value FROM pv
       |WHERE value > 0.0005 * (
-      |  SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) FROM pv)
+      |  SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) FROM pv)
       |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** q_r43: TPC-H Q12-shaped SHIPPING-DELAY AUDIT — high- vs low-priority
@@ -1715,11 +1715,11 @@ object Relational {
 
   val promoRevenueSql: String =
     """SELECT
-      |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |  100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
       |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-      |      AS DECIMAL(38,6))) AS DOUBLE)
-      |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue_pct,
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -1757,8 +1757,8 @@ object Relational {
   val topSupplierSql: String =
     """WITH rev AS (
       |  SELECT l_suppkey,
-      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       |    AND l_shipdate < TIMESTAMP '1998-04-01'
@@ -1809,7 +1809,7 @@ object Relational {
   val dominantSuppliersSql: String =
     """WITH sp AS (
       |  SELECT l_suppkey, l_partkey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |      AS pair_qty
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -865,7 +865,7 @@ object Similarity {
   def ivfBuildSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String =
     s"""${ivfRoundsSql(k, iters, dims)}
        |SELECT cid, count(*) AS n_vecs,
-       |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+       |  CAST(CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS inertia
        |FROM a$iters GROUP BY cid ORDER BY cid""".stripMargin
 
   /** DuckDB replay of [[semDedup]]: the shared k-means rounds feeding the
@@ -1184,7 +1184,7 @@ object Similarity {
        |           UNION ALL SELECT vec_id, cid, v FROM da),
        |nm AS (
        |  SELECT allass.cid, dd2.i AS dim,
-       |    CAST(SUM(CAST(allass.v[CAST(dd2.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(allass.v[CAST(dd2.i+1 AS INT)] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
        |      / COUNT(allass.v[CAST(dd2.i+1 AS INT)]) AS m
        |  FROM allass CROSS JOIN (SELECT unnest(range(0, $dims)) AS i) dd2
        |  GROUP BY allass.cid, dd2.i),
@@ -1244,7 +1244,7 @@ object Similarity {
     def recenter(r: Int): String =
       s"""${p}m$r AS (
          |  SELECT ${p}a$r.cid, dd.i AS dim,
-         |    CAST(SUM(CAST(${p}a$r.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+         |    CAST(CAST(SUM(CAST(${p}a$r.v[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |      / COUNT(${p}a$r.v[CAST(dd.i+1 AS INT)]) AS m
          |  FROM ${p}a$r CROSS JOIN (SELECT unnest(range(0, $dims)) AS i) dd
          |  GROUP BY ${p}a$r.cid, dd.i),
@@ -1394,7 +1394,7 @@ object Similarity {
     def recenter(r: Int): String =
       s"""${p}m$r AS (
          |  SELECT ${p}a$r.m, ${p}a$r.cid, dd.i AS dim,
-         |    CAST(SUM(CAST(${p}a$r.sv[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+         |    CAST(CAST(SUM(CAST(${p}a$r.sv[CAST(dd.i+1 AS INT)] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |      / COUNT(${p}a$r.sv[CAST(dd.i+1 AS INT)]) AS mean
          |  FROM ${p}a$r CROSS JOIN (SELECT unnest(range(0, $subDim)) AS i) dd
          |  GROUP BY ${p}a$r.m, ${p}a$r.cid, dd.i),
@@ -1415,7 +1415,7 @@ object Similarity {
   def pqBuildSql(m: Int = 8, k: Int = 16, iters: Int = 2): String =
     s"""${pqRoundsSql(m, k, iters)}
        |SELECT m, cid, count(*) AS n_vecs,
-       |  CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+       |  CAST(CAST(SUM(CAST(dist2 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS inertia
        |FROM a$iters GROUP BY m, cid ORDER BY m, cid""".stripMargin
 
   def pqSearchSql(m: Int = 8, k: Int = 16, iters: Int = 2,
@@ -1432,7 +1432,7 @@ object Similarity {
        |  WHERE s.vec_id < 10),
        |adc AS (
        |  SELECT qt.query_id, a$iters.vec_id,
-       |    CAST(SUM(CAST(qt.qdist2 AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |    CAST(CAST(SUM(CAST(qt.qdist2 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS adist
        |  FROM a$iters JOIN qt
        |    ON a$iters.m = qt.m AND a$iters.cid = qt.cid
        |  WHERE a$iters.vec_id <> qt.query_id
@@ -1722,7 +1722,7 @@ object Similarity {
       |  FROM m a JOIN m b ON a.vec_id <> b.vec_id),
       |perlabel AS (
       |  SELECT ida, la, lb,
-      |    CAST(SUM(CAST(dist AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mdist
+      |    CAST(CAST(SUM(CAST(dist AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(*) AS mdist
       |  FROM d GROUP BY ida, la, lb),
       |own AS (SELECT ida, la, mdist AS a_i FROM perlabel WHERE la = lb),
       |other AS (SELECT ida, min(mdist) AS b_i FROM perlabel
@@ -1731,7 +1731,7 @@ object Similarity {
       |  SELECT o.la, (t.b_i - o.a_i) / greatest(o.a_i, t.b_i) AS s
       |  FROM own o JOIN other t USING (ida))
       |SELECT la AS label, count(*) AS n_vecs,
-      |  CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_sil
+      |  CAST(CAST(SUM(CAST(s AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_sil
       |FROM sil GROUP BY la ORDER BY label""".stripMargin
 
   val embeddingNearDupsSql: String =
@@ -1786,7 +1786,7 @@ object Similarity {
       |  FROM e, s GROUP BY e.vec_id)
       |SELECT CAST(floor(max_sim * 20) AS BIGINT) AS bin,
       |  count(*) AS n_vectors,
-      |  CAST(SUM(CAST(max_sim AS DECIMAL(38,12))) AS DOUBLE) AS sum_max_sim
+      |  CAST(CAST(SUM(CAST(max_sim AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_max_sim
       |FROM best GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** q_y17: COMPOSED IVF+PQ search — the full FAISS-style index shape a
@@ -1891,7 +1891,7 @@ object Similarity {
        |  FROM qsub qs JOIN pc1 ON qs.m = pc1.m),
        |adc AS (
        |  SELECT c.query_id, c.vec_id,
-       |    CAST(SUM(CAST(qt.qdist2 AS DECIMAL(38,6))) AS DOUBLE) AS adist
+       |    CAST(CAST(SUM(CAST(qt.qdist2 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS adist
        |  FROM cand c JOIN pa2 k ON c.vec_id = k.vec_id
        |              JOIN qt ON qt.query_id = c.query_id
        |                     AND qt.m = k.m AND qt.cid = k.cid
@@ -2113,7 +2113,7 @@ object Similarity {
       s"""d$r AS (
          |  SELECT e.vec_id, min(${d2fold(s"g${r - 1}")}) AS d2
          |  FROM e CROSS JOIN g${r - 1} GROUP BY e.vec_id),
-         |p$r AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE)
+         |p$r AS (SELECT CAST(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |          AS phi FROM d$r),
          |s$r AS (
          |  SELECT e.vec_id AS cid, e.v AS c, CAST($r AS BIGINT) AS round

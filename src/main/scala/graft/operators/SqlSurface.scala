@@ -173,7 +173,7 @@ object SqlSurface {
       |SELECT panel, value FROM (
       |  SELECT 'total_trades' AS panel, CAST(count(*) AS DOUBLE) AS value FROM e
       |  UNION ALL
-      |  SELECT 'avg_price', round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 1)
+      |  SELECT 'avg_price', round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(value), 1)
       |    FROM e WHERE event_type = 'purchase'
       |  UNION ALL
       |  SELECT 'total_volume', CAST(sum(k) AS DOUBLE) FROM e

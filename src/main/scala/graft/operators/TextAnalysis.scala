@@ -570,7 +570,7 @@ object TextAnalysis {
        |       FROM documents),
        |stats AS (
        |  SELECT count(*) AS n_docs,
-       |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+       |    CAST(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(dl) AS avgdl
        |  FROM dl),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toks
@@ -606,7 +606,7 @@ object TextAnalysis {
       |       FROM documents),
       |stats AS (
       |  SELECT count(*) AS n_docs,
-      |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+      |    CAST(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(dl) AS avgdl
       |  FROM dl),
       |tf AS (
       |  SELECT doc_id, term, count(*) AS tf FROM toks
@@ -621,7 +621,7 @@ object TextAnalysis {
       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
       |  CROSS JOIN stats)
       |SELECT doc_id,
-      |  CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score,
+      |  CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS score,
       |  count(*) AS n_terms_hit
       |FROM contribs GROUP BY doc_id
       |ORDER BY score DESC, doc_id""".stripMargin
@@ -948,10 +948,10 @@ object TextAnalysis {
       val e = err(wb, wt, wc)
       s"""a$k AS (
          |  SELECT
-         |    CAST(SUM(CAST($e AS DECIMAL(38,12))) AS DOUBLE) AS g0,
-         |    CAST(SUM(CAST($e * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
-         |    CAST(SUM(CAST($e * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2,
-         |    CAST(SUM(CAST($e * $e AS DECIMAL(38,12))) AS DOUBLE) AS se,
+         |    CAST(CAST(SUM(CAST($e AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS g0,
+         |    CAST(CAST(SUM(CAST($e * x1 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS g1,
+         |    CAST(CAST(SUM(CAST($e * x2 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS g2,
+         |    CAST(CAST(SUM(CAST($e * $e AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS se,
          |    COUNT(*) AS n
          |  FROM $from)""".stripMargin
     }

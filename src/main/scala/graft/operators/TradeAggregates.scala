@@ -111,7 +111,7 @@ object TradeAggregates {
       |SELECT min(ts) AS session_start,
       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
       |  user_id, count(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM islands GROUP BY user_id, island
       |ORDER BY user_id, session_start""".stripMargin
 
@@ -120,13 +120,13 @@ object TradeAggregates {
       |  count(*) AS trade_count,
       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid_count,
       |  count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask_count,
-      |  CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
+      |  CAST(CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_amount,
       |  CAST(SUM(k) AS BIGINT) AS total_volume,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS avg_price,
       |  MIN(value) AS min_price,
       |  MAX(value) AS max_price,
       |  CASE WHEN SUM(k) > 0
-      |       THEN CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) / SUM(k)
+      |       THEN CAST(CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / SUM(k)
       |       ELSE 0.0 END AS vwap
       |FROM (SELECT *, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
       |      FROM events)

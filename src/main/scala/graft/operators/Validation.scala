@@ -931,8 +931,8 @@ object Validation {
   val orderConsistencySql: String =
     """WITH per AS (
       |  SELECT l_orderkey AS o_orderkey,
-      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS computed,
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS computed,
       |    count(*) AS n_lines
       |  FROM lineitem GROUP BY 1),
       |j AS (

@@ -75,7 +75,7 @@ object Formats {
     """WITH a AS (
       |  SELECT count(*) AS n_rows,
       |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
       |         count(DISTINCT o_orderstatus) AS n_status,
       |         min(o_orderdate) AS min_date,
       |         max(o_orderdate) AS max_date,

@@ -786,7 +786,7 @@ object StreamingJobs {
        |SELECT min(ts) AS session_start,
        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
        |  market, count(*) AS n_events,
-       |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       |  CAST(CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
        |FROM islands GROUP BY market, island
        |ORDER BY market, session_start""".stripMargin
   }
@@ -1305,7 +1305,7 @@ object StreamingJobs {
        |SELECT make_timestamp((source_ts // 300000) * 300000 * 1000)
        |    AS window_start,
        |  market, count(*) AS n_trades,
-       |  CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS DOUBLE)
+       |  CAST(CAST(SUM(CAST(trade_price AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
        |    AS total_value
        |FROM kept GROUP BY 1, 2
        |ORDER BY window_start, market""".stripMargin
@@ -1653,13 +1653,13 @@ object StreamingJobs {
        |  count(*) AS trade_count,
        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bid_count,
        |  count(CASE WHEN event_type <> 'purchase' THEN 1 END) AS ask_count,
-       |  CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) AS total_amount,
+       |  CAST(CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_amount,
        |  SUM(k) AS total_volume,
-       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_price,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS avg_price,
        |  MIN(value) AS min_price,
        |  MAX(value) AS max_price,
        |  CASE WHEN SUM(k) > 0
-       |       THEN CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS DOUBLE) / SUM(k)
+       |       THEN CAST(CAST(SUM(CAST(value * k AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / SUM(k)
        |       ELSE 0.0 END AS vwap
        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }

@@ -159,7 +159,7 @@ object G {
     * in the last bits and fail the driver's hash compare. Casting each value
     * to DECIMAL(38,scale) first makes the sum exact and associative; casting
     * back to double yields a bit-identical result on both engines.
-    * DuckDB oracle equivalent: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+    * DuckDB oracle equivalent: `CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)`.
     */
   def dsum(c: Column, scale: Int = 6): Column =
     if (exactSums) sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
