@@ -109,13 +109,20 @@ object ScaleGen {
       .withColumn("t0", split(col("text"), "\\s+"))
       // per-token char rotation by copy: token lengths, doc lengths and
       // within-copy similarity structure are preserved; vocabularies are
-      // disjoint across copies (single-char tokens excepted)
-      .withColumn("text", concat_ws(" ", expr(
-        """transform(t0, tk -> concat(
-          |  substring(tk, CAST(pmod(copy, greatest(length(tk), 1)) AS INT) + 1),
-          |  substring(tk, 1, CAST(pmod(copy, greatest(length(tk), 1)) AS INT))))"""
-          .stripMargin)))
-      .withColumn("n_chars", length(col("text")))
+      // disjoint across copies (single-char tokens excepted). Copy 0 keeps
+      // the ORIGINAL column value, not a split+concat_ws rebuild — the
+      // rebuild is byte-identical only while the corpus happens to be
+      // single-space-separated, and the 'copy 0 verbatim' invariant
+      // (which bounded-window oracle comparability relies on) must not
+      // depend on that accident
+      .withColumn("text", when(col("copy") === 0, col("text"))
+        .otherwise(concat_ws(" ", expr(
+          """transform(t0, tk -> concat(
+            |  substring(tk, CAST(pmod(copy, greatest(length(tk), 1)) AS INT) + 1),
+            |  substring(tk, 1, CAST(pmod(copy, greatest(length(tk), 1)) AS INT))))"""
+            .stripMargin))))
+      .withColumn("n_chars", when(col("copy") === 0, col("n_chars"))
+        .otherwise(length(col("text"))))
       .drop("t0"),
       "documents", math.max(1, k / 2))
     write(copies(t("embeddings"))

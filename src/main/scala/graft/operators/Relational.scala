@@ -718,12 +718,21 @@ object Relational {
     * Oracle: textually identical SQL in DuckDB (same WITH RECURSIVE
     * semantics, floor-division parent function, decimal sums). */
   def recursiveSubtreeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val cust = G.table(spark, dir, "customer")
+    // the raised recursion row-limit is sized to THIS corpus and must not
+    // leak: the returned frame executes later, so the conf cannot simply be
+    // restored here, and a permanent set would leave the runaway-recursion
+    // safety rail raised for every subsequent query in a long-lived
+    // bench/verify session (and race with concurrent verify workers). A
+    // cloned session shares the SparkContext and cache but isolates conf
+    // and temp views — the frame carries the clone, so the limit applies
+    // exactly to this query's execution and nothing else.
+    val s2 = spark.newSession()
+    val cust = G.table(s2, dir, "customer")
     cust.createOrReplaceTempView("customer_rc")
-    G.table(spark, dir, "orders").createOrReplaceTempView("orders_rc")
-    spark.conf.set("spark.sql.cteRecursionRowLimit",
+    G.table(s2, dir, "orders").createOrReplaceTempView("orders_rc")
+    s2.conf.set("spark.sql.cteRecursionRowLimit",
       math.max(1000000L, cust.count() * 21).toString)
-    spark.sql(recursiveSubtreeRollupSql
+    s2.sql(recursiveSubtreeRollupSql
       .replace("FROM customer", "FROM customer_rc")
       .replace("FROM orders", "FROM orders_rc"))
   }

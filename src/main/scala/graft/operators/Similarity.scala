@@ -1970,7 +1970,18 @@ object Similarity {
       // engine's cast applies" (the 10× rehearsal caught a 1-term
       // two-step-rounding divergence). Σ over d=64 squares ≤ 64·2e15,
       // exact in Long.
-      val norm2 = collected.map(x => (x * x * 1e12).toLong).sum
+      // guard the fixed-point range: scala (d).toLong SATURATES at
+      // Long.MaxValue where DuckDB's trunc→BIGINT cast errors — a silent
+      // saturation would replay as a cross-engine mismatch (or worse, a
+      // silently wrong λ). |w| stays O(1) on unit-norm inputs; this fires
+      // only if a caller feeds unnormalized vectors far outside the
+      // operator's contract.
+      val norm2 = collected.map { x =>
+        val t = x * x * 1e12
+        require(t < Long.MaxValue.toDouble,
+          s"power-iteration norm term overflows fixed-point range: w=$x")
+        t.toLong
+      }.sum
       lambda = math.sqrt(norm2.toDouble / 1e12)
       v = collected.map(_ / lambda)
     }
@@ -2000,19 +2011,24 @@ object Similarity {
   }
 
   val powerIterationSql: String = {
+    // DuckDB sums BIGINTs into HUGEINT; HUGEINT→DOUBLE is not guaranteed
+    // single-rounded once |sum| > 2^63 (and the norm sum already tops 2^53),
+    // so both aggregate conversions route through the fleet-wide VARCHAR
+    // bridge (strtod is correctly rounded, matching the JVM's
+    // DECIMAL(38,0)→double conversion at every magnitude)
     def round(prevArr: String, w: String, n: String, vv: String,
         arr: String): String =
       s"""$w AS (
          |  SELECT x.dim,
-         |    CAST(SUM(CAST(trunc(x.val * p.dt * 1000000000000.0) AS BIGINT))
-         |      AS DOUBLE) / 1000000000000.0 AS w
+         |    CAST(CAST(SUM(CAST(trunc(x.val * p.dt * 1000000000000.0) AS BIGINT))
+         |      AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS w
          |  FROM x JOIN (
          |    SELECT vec_id, list_dot_product(v, $prevArr) AS dt FROM e) p
          |  ON x.vec_id = p.vec_id
          |  GROUP BY x.dim),
          |$n AS (
-         |  SELECT sqrt(CAST(SUM(CAST(trunc(w * w * 1000000000000.0) AS BIGINT))
-         |      AS DOUBLE) / 1000000000000.0)
+         |  SELECT sqrt(CAST(CAST(SUM(CAST(trunc(w * w * 1000000000000.0) AS BIGINT))
+         |      AS VARCHAR) AS DOUBLE) / 1000000000000.0)
          |    AS n FROM $w),
          |$vv AS (SELECT dim, w / (SELECT n FROM $n) AS vv FROM $w),
          |$arr AS (SELECT list(vv ORDER BY dim) AS arr FROM $vv)""".stripMargin

@@ -22,12 +22,24 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
     (Long, String), (java.lang.ref.WeakReference[SparkSession], V)]()
 
   def getOrBuild(spark: SparkSession, dir: String)(build: => V): V = {
+    val key = (SessionMemo.idOf(spark), SessionMemo.fingerprint(dir))
     m.forEach { (k, v) =>
       val s = v._1.get()
-      if ((s == null || s.sparkContext.isStopped) && m.remove(k, v))
+      // dead-session sweep, plus SUPERSEDED entries of the LIVE session:
+      // when a data dir is regenerated in place the new fingerprint creates
+      // a new key, and without this the stale entry (and whatever onEvict
+      // would release — checkpointed RDD blocks, temp dirs) survives until
+      // the session stops; repeated regeneration in one long session (the
+      // ScaleGen-rehearsal loop the fingerprint exists for) would
+      // accumulate pinned artifacts
+      val superseded = k._1 == key._1 && k._2 != key._2 &&
+        SessionMemo.pathPrefix(k._2) == SessionMemo.pathPrefix(key._2) &&
+        SessionMemo.genOf(k._2) != SessionMemo.genOf(key._2)
+      if ((s == null || s.sparkContext.isStopped || superseded) &&
+          m.remove(k, v))
         onEvict(v._2)
     }
-    m.computeIfAbsent((SessionMemo.idOf(spark), SessionMemo.fingerprint(dir)),
+    m.computeIfAbsent(key,
       _ => (new java.lang.ref.WeakReference(spark), build))._2
   }
 
@@ -51,6 +63,22 @@ object SessionMemo {
   private val nextId = new java.util.concurrent.atomic.AtomicLong()
   private[graft] def idOf(spark: SparkSession): Long =
     ids.computeIfAbsent(spark, _ => nextId.incrementAndGet())
+
+  /** Tag text before the params/content-hash suffixes ('#' tag qualifier,
+    * '@' content hash) — the data-dir path component. Two keys with the
+    * same path but different content generations ([[genOf]]) denote stale
+    * vs current builds of artifacts over the same dir; keys with the same
+    * path AND generation but different '#params' are DISTINCT live
+    * artifacts (e.g. `dir#k=4` vs `dir#k=8`) and must coexist. */
+  private[graft] def pathPrefix(tag: String): String =
+    tag.takeWhile(c => c != '#' && c != '@')
+
+  /** The '@'-appended content-hash generation of a fingerprinted tag
+    * ("" for non-directory tags, which fingerprint() passes through). */
+  private[graft] def genOf(tag: String): String = {
+    val i = tag.lastIndexOf('@')
+    if (i < 0) "" else tag.substring(i + 1)
+  }
 
   /** Content fingerprint appended to a memo tag: the tag's path component
     * (up to '#') is walked and its (relative-path, size, mtime) listing

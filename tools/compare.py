@@ -39,14 +39,19 @@ def norm(df):
 
 def main(sf_dir, out_dir, only=()):
     import os
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver testdata ships single parquet FILES; ScaleGen scale-up
-        # corpora are Spark-written DIRECTORIES (part-* files plus _SUCCESS
-        # markers that break a bare parquet_scan on the dir)
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"'{p}/part-*.parquet'" if os.path.isdir(p) else f"'{p}'"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            # driver testdata ships single parquet FILES; ScaleGen scale-up
+            # corpora are Spark-written DIRECTORIES (part-* files plus
+            # _SUCCESS markers that break a bare parquet_scan on the dir)
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"'{p}/part-*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        return c
+
+    con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # optional per-oracle timeout (seconds) for scale-up runs: brute-force
     # oracles (O(n^2) string-set joins, unrolled CTEs) stop fitting in
@@ -70,9 +75,16 @@ def main(sf_dir, out_dir, only=()):
         except Exception as e:
             if timer:
                 timer.cancel()
+                timer.join()
             if timed_out:
                 print(f"SKIP {name}: oracle timeout after {timeout:.0f}s")
                 n_skip += 1
+                # the interrupt may land after the query already aborted,
+                # leaving a pending interrupt that would spuriously abort the
+                # NEXT oracle (reported as a hard FAIL) — discard the
+                # connection and re-register the views instead
+                con.close()
+                con = fresh_con()
             else:
                 print(f"FAIL {name}: oracle error: {e}")
                 n_fail += 1
@@ -80,6 +92,13 @@ def main(sf_dir, out_dir, only=()):
         finally:
             if timer:
                 timer.cancel()
+                timer.join()
+        if timed_out:
+            # timer fired between completion and cancel(): the query itself
+            # succeeded, but a pending interrupt may be parked on the
+            # connection — benign for THIS oracle, poison for the next one
+            con.close()
+            con = fresh_con()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
