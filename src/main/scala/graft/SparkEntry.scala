@@ -367,6 +367,22 @@ object SparkEntry {
     // contrastive mining: per-anchor top-3 positives + hard negatives
     "q_y24_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_y25_signlsh_recall" -> ((s, d) => Similarity.signLshRecall(s, d)),
+    // moderate-tau near-dup on the IVF path (the q_y25-measured sign-LSH
+    // recall collapse's production alternative) + its measured recall
+    "q_y26_ivf_neardup" -> ((s, d) => Similarity.ivfNearDups(s, d)),
+    "q_y27_ivf_recall" -> ((s, d) => Similarity.ivfNearDupRecall(s, d)),
+    // bounded-window twins of the 9 queries whose brute-force oracles
+    // outgrow DuckDB above the sf0.01 gate: same operators, fixed windows,
+    // oracles evaluable at every scale (round-9 sf1 skip list closed)
+    "q_a21w_ewma_window" -> ((s, d) => DashboardQueries.ewmaBandsW(s, d)),
+    "q_c10w_clusters_window" -> ((s, d) => Dedup.dedupClustersW(s, d)),
+    "q_c16w_canonical_window" -> ((s, d) => Dedup.canonicalPerClusterW(s, d)),
+    "q_c22w_leakfree_window" -> ((s, d) => Dedup.leakFreeSplitW(s, d)),
+    "q_c27w_incr_window" -> ((s, d) => Dedup.incrementalClustersW(s, d)),
+    "q_g11w_modularity_window" -> ((s, d) => Graph.modularityW(s, d)),
+    "q_x6w_suffix_window" -> ((s, d) => Dedup.suffixArrayW(s, d)),
+    "q_x7w_spans_window" -> ((s, d) => Dedup.repeatedSpansW(s, d)),
+    "q_x12w_simjoin_window" -> ((s, d) => Dedup.simJoinW(s, d)),
     // Benford first-digit audit (literal expectations, no runtime log)
     "q_v12_benford" -> ((s, d) => Validation.benford(s, d)),
     // incremental cluster-label maintenance == full recompute, hash-proven
@@ -674,6 +690,17 @@ object SparkEntry {
     "q_m12_scene_cuts" -> Multimodal.sceneCutsSql,
     "q_y24_hard_negatives" -> Similarity.hardNegativesSql,
     "q_y25_signlsh_recall" -> Similarity.signLshRecallSql,
+    "q_y26_ivf_neardup" -> Similarity.ivfNearDupsSql(),
+    "q_y27_ivf_recall" -> Similarity.ivfNearDupRecallSql(),
+    "q_a21w_ewma_window" -> DashboardQueries.ewmaBandsWSql,
+    "q_c10w_clusters_window" -> Dedup.dedupClustersWSql,
+    "q_c16w_canonical_window" -> Dedup.canonicalPerClusterWSql,
+    "q_c22w_leakfree_window" -> Dedup.leakFreeSplitWSql,
+    "q_c27w_incr_window" -> Dedup.incrementalClustersWSql,
+    "q_g11w_modularity_window" -> Graph.modularityWSql,
+    "q_x6w_suffix_window" -> Dedup.suffixArrayWSql,
+    "q_x7w_spans_window" -> Dedup.repeatedSpansWSql,
+    "q_x12w_simjoin_window" -> Dedup.simJoinWSql,
     "q_v12_benford" -> Validation.benfordSql,
     "q_c27_incremental_clusters" -> Dedup.incrementalClustersSql,
     "q_stream_sliding" -> graft.streaming.StreamingJobs.slidingDistinctReplaySql,

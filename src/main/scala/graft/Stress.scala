@@ -585,6 +585,28 @@ object Stress {
         graft.operators.Similarity.lshNearDupsCheckedOn(e)
           .write.mode("overwrite").format("noop").save()
       },
+      time("ivf_neardup") {
+        // same planted-pair corpus as signlsh_neardup, so the two
+        // moderate-tau near-dup paths ladder on identical inputs; k from
+        // the production constant-cell law, so the ladder measures the
+        // operator applying its own tuning rule (candidates ~ T*np*c*n =
+        // LINEAR under k = n/c; the first draft's sqrt(n) law measured
+        // 790 s at the 100k rung from its 45*n^1.5 candidate constant)
+        val nVecs = math.max(n / 100, 1000L)
+        val e = spark.range(nVecs)
+          .select(col("id").as("vec_id"),
+            when(col("id") % 50 === 49, col("id") - 1).otherwise(col("id"))
+              .as("seed"))
+          .select(col("vec_id"), expr(
+            """transform(sequence(0, 63),
+              |  d -> CAST(pmod(xxhash64(seed * 64 + d), 2001) - 1000
+              |       AS DOUBLE) / 1000.0)""".stripMargin).as("v"))
+          .withColumn("nrm", sqrt(expr(
+            "aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)")))
+        graft.operators.Similarity
+          .ivfNearDupsOn(e, graft.operators.Similarity.autoKNearDup(nVecs))
+          .write.mode("overwrite").format("noop").save()
+      },
       time("phash_neardup") {
         // planted pair: every 9th blob re-appears under a shifted id
         val nBlobs = math.max(n / 100, 1000L)

@@ -56,6 +56,57 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance of two array<double> columns — the k-means
+  * assignment kernel (ivfAssignCentOn and the near-dup probe ranking run it
+  * n·k times per pass; at the constant-cell law k reaches the hundreds and
+  * the HOF `aggregate(zip_with(...))` formulation's per-row array
+  * allocation became the dominant cost of the Stress ivf_neardup rung).
+  * Same strict left-to-right fold as the HOF version and the oracle's
+  * `list_reduce(list_prepend(0.0, list_transform(...)))` — each (xᵢ−yᵢ)²
+  * term is computed independently and added in index order, so results are
+  * bit-identical. */
+case class VectorDist2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dist2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDist2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Int8-quantization statistics of an array<double> in one codegen'd pass:
   * struct(max_abs, n_sat, rmse) for the symmetric scale 127/max|x|,
   * q = floor(x·scale + 0.5).
@@ -171,6 +222,8 @@ object VectorExpressions {
       "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quant_stats", exprs => QuantStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dist2", exprs => VectorDist2(exprs.head, exprs(1)), "built-in")
   }
 
   /** Dot product of two array<double> columns (codegen'd).
@@ -181,6 +234,11 @@ object VectorExpressions {
   /** struct(max_abs, n_sat, rmse) of int8 quantization of an array<double>
     * column (codegen'd). Requires ensureRegistered on the session. */
   def quant_stats(v: Column): Column = call_function("quant_stats", v)
+
+  /** Squared Euclidean distance of two array<double> columns (codegen'd;
+    * bit-identical to the HOF/oracle folds). Requires ensureRegistered. */
+  def vector_dist2(a: Column, b: Column): Column =
+    call_function("vector_dist2", a, b)
 
   /** Cosine similarity built from vector_dot — same fold order as the
     * DuckDB oracle (`list_dot_product` / sqrt composition). */

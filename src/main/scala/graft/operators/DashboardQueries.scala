@@ -669,13 +669,35 @@ object DashboardQueries {
     * (43 200 minutes/month), the x4/x9 bounded-kernel pattern — and one
     * codegen'd HOF fold per key. No window over raw rows, no state
     * bigger than one struct per key. */
-  def ewmaBands(spark: SparkSession, dir: String): DataFrame = {
-    val mins = G.table(spark, dir, "events")
+  def ewmaBands(spark: SparkSession, dir: String): DataFrame =
+    ewmaBandsOf(ewmaMinutes(spark, dir))
+
+  /** The per-(type, minute) value series both the full query and the
+    * bounded twin fold. */
+  private def ewmaMinutes(spark: SparkSession, dir: String): DataFrame =
+    G.table(spark, dir, "events")
       .select(col("event_type"),
         expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
         expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 60000").as("minute"))
       .groupBy(col("event_type"), col("minute"))
       .agg(sum(col("cents")).as("v"))
+
+  /** q_a21w: the EWMA fold over the corpus's FIRST 120 MINUTES only — the
+    * bounded twin whose recursive-CTE oracle stays evaluable at every
+    * scale (the full oracle's step CTE iterates once per distinct minute;
+    * a 10× corpus densifies the series toward all 43 200 month-minutes
+    * and outgrows the compare window, while this twin is 120 iterations
+    * forever). The window anchors on min(minute) — deterministic, no
+    * wall-clock. */
+  def ewmaBandsW(spark: SparkSession, dir: String): DataFrame = {
+    val mins = ewmaMinutes(spark, dir)
+    val m0 = mins.agg(min(col("minute")).as("m0"))
+    ewmaBandsOf(mins.crossJoin(broadcast(m0))
+      .filter(col("minute") < col("m0") + 120)
+      .select(col("event_type"), col("minute"), col("v")))
+  }
+
+  private def ewmaBandsOf(mins: DataFrame): DataFrame =
     mins.groupBy(col("event_type"))
       .agg(expr(
         """transform(array_sort(collect_list(struct(minute, v))),
@@ -707,7 +729,6 @@ object DashboardQueries {
         col("st.e").as("last_ewma_mc"),
         col("st.b").as("last_band_mc"))
       .orderBy(col("event_type"))
-  }
 
   /** Recursive-CTE state machine, NOT list_reduce: DuckDB 1.0.0's lambda
     * fold over a struct accumulator is run-to-run NONDETERMINISTIC (the
@@ -750,6 +771,17 @@ object DashboardQueries {
       |  l.e AS last_ewma_mc, l.b AS last_band_mc
       |FROM last l JOIN n USING (event_type) WHERE rn = 1
       |ORDER BY event_type""".stripMargin
+
+  /** [[ewmaBandsW]]'s oracle: the same recursive machine with the series
+    * restricted to the first 120 minutes before grouping. */
+  val ewmaBandsWSql: String = {
+    val from = "FROM events GROUP BY 1, 2"
+    require(ewmaBandsSql.contains(from))
+    ewmaBandsSql.replace(from,
+      "FROM events WHERE epoch_ms(ts) // 60000 < " +
+        "(SELECT min(epoch_ms(ts) // 60000) + 120 FROM events) " +
+        "GROUP BY 1, 2")
+  }
 
   /** q_a22: day-of-week × hour SEASONALITY heatmap — the traffic-shape
     * panel every ops dashboard carries (when do users arrive; when can

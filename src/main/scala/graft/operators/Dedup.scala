@@ -1011,10 +1011,14 @@ object Dedup {
   /** Per-doc (doc_id, famkey, split) frame — the spec asserts the
     * no-straddle law on it directly. */
   private[graft] def leakFreeSplitDocs(spark: SparkSession,
-      dir: String): DataFrame = {
-    val members = sharedClusterLabels(spark, dir)
-      .withColumnRenamed("id", "doc_id")
-    G.table(spark, dir, "documents").select(col("doc_id"))
+      dir: String): DataFrame =
+    leakFreeSplitDocsOf(sharedClusterLabels(spark, dir),
+      G.table(spark, dir, "documents"))
+
+  private def leakFreeSplitDocsOf(labels: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val members = labels.withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
       .join(members, Seq("doc_id"), "left_outer")
       .withColumn("famkey", coalesce(col("label"), col("doc_id")))
       .withColumn("split",
@@ -1048,10 +1052,13 @@ object Dedup {
     * Composes three verified operators (x3c graph → c10 components → t2
     * quality) into the production decision, and the composition itself is
     * hash-checked end to end. */
-  def canonicalPerCluster(spark: SparkSession, dir: String): DataFrame = {
-    val members = sharedClusterLabels(spark, dir)
-    val quality = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
+  def canonicalPerCluster(spark: SparkSession, dir: String): DataFrame =
+    canonicalOf(sharedClusterLabels(spark, dir),
+      TextAnalysis.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality_score")))
+
+  private def canonicalOf(members: DataFrame,
+      quality: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("label"))
       .orderBy(col("quality_score").desc, col("doc_id"))
@@ -1527,13 +1534,21 @@ object Dedup {
     * scan. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = G.table(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
-      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
     val ranks = {
       val spk = spark
       import spk.implicits._
       saRanks(spark, dir).toDF("pos", "r")
     }
+    repeatedSpansOf(docs, ranks)
+  }
+
+  /** The adjacent-class LCP kernel on any (doc_id, text) frame plus its
+    * suffix ranks — shared by the full query and the bounded twin. */
+  private def repeatedSpansOf(docsRaw: DataFrame, ranks: DataFrame)
+      : DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
     val cls = ranks.groupBy("r")
       .agg(count(lit(1)).as("cnt"), min("pos").as("rep"))
       .join(docs, expr("rep DIV 256") === col("doc_id"))
@@ -2230,10 +2245,13 @@ object Dedup {
     * 2-4 shuffle O(delta edges + touched base labels) longs only. The
     * label-propagation rounds run on the contracted graph, whose diameter
     * collapses with the base components. */
-  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame =
+    incrementalClustersOf(sharedNearDupPairs(spark, dir))
+
+  private def incrementalClustersOf(pairsRaw: DataFrame): DataFrame = {
+    val spark = pairsRaw.sparkSession
     import spark.implicits._
-    val pairs = sharedNearDupPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairsRaw.select(col("doc_a"), col("doc_b"))
     def isDelta(c: org.apache.spark.sql.Column) = c % 5 === 0
     val basePairs = pairs
       .filter(!isDelta(col("doc_a")) && !isDelta(col("doc_b")))
@@ -2413,4 +2431,123 @@ object Dedup {
       |  md5(coalesce(string_agg(CASE WHEN cut THEN NULL ELSE chunk END,
       |    ' ' ORDER BY idx), '')) AS clean_digest
       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ─── Bounded-window twins ──────────────────────────────────────────────
+  // The x14/c29 sample-calibration move applied to every query whose
+  // brute-force oracle outgrows DuckDB above the sf0.01 gate (the round-9
+  // sf1 compare's 9 timeout skips): each twin runs the SAME operator over a
+  // fixed doc_id window, so its oracle stays evaluable AT EVERY SCALE and
+  // the scale-up compare checks a real engine output for the family instead
+  // of skipping it. Window filters commute with the operators by
+  // construction — signatures/shingles/quality are per-doc functions, and
+  // the banding recall guarantees (simhash pigeonhole, PPJoin prefix bound)
+  // hold within any id-restricted corpus. ScaleGen shifts copy keys by 1e8,
+  // so a window below that stride always selects base-corpus (copy 0)
+  // documents, whose content is copy-0-verbatim by generator invariant —
+  // the twin's cost is scale-INDEPENDENT.
+
+  /** Window pairs off the memoized simhash pair list: banding is lossless
+    * (pigeonhole: hamming ≤ 2 ⟹ some band equal), so the pair set of the
+    * id-restricted corpus IS the full pair set restricted to the window —
+    * the twin reuses the shared artifact instead of re-banding. */
+  private def windowPairs(spark: SparkSession, dir: String,
+      w: Long): DataFrame =
+    sharedNearDupPairs(spark, dir)
+      .filter(col("doc_a") < w && col("doc_b") < w)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Oracle rewrite: restrict every `documents` reference to the window.
+    * The derived table keeps the relation name, so predicates and column
+    * references in the surrounding SQL are untouched. */
+  private[graft] def windowedDocsSql(sql: String, w: Long): String = {
+    require(sql.contains("FROM documents"), "oracle no longer reads documents")
+    sql.replace("FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id < $w) documents")
+  }
+
+  /** q_x6w: the suffix array over the doc_id < 1200 window. */
+  def suffixArrayW(spark: SparkSession, dir: String,
+      w: Long = 1200): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    saRanksOn(spark,
+        G.table(spark, dir, "documents").filter(col("doc_id") < w))
+      .toDF("pos", "r")
+      .select(col("r").as("rank"),
+        expr("pos DIV 256").as("doc_id"), expr("pos % 256").as("off"))
+      .orderBy(col("rank"), col("doc_id"), col("off"))
+  }
+
+  val suffixArrayWSql: String = windowedDocsSql(suffixArraySql, 1200)
+
+  /** q_x7w: longest repeated token span within the doc_id < 1200 window. */
+  def repeatedSpansW(spark: SparkSession, dir: String,
+      w: Long = 1200): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    val docs = G.table(spark, dir, "documents").filter(col("doc_id") < w)
+    repeatedSpansOf(docs, saRanksOn(spark, docs).toDF("pos", "r"))
+  }
+
+  val repeatedSpansWSql: String = windowedDocsSql(repeatedSpansSql, 1200)
+
+  /** q_x12w: exact PPJoin similarity join within the doc_id < 800
+    * window (the brute-force oracle is O(w²) list intersections — the
+    * tightest window budget of the family). */
+  def simJoinW(spark: SparkSession, dir: String, w: Long = 800): DataFrame =
+    simJoinOn(G.table(spark, dir, "documents").filter(col("doc_id") < w),
+      0.5)
+
+  val simJoinWSql: String = windowedDocsSql(simJoinSql, 800)
+
+  /** q_c10w: near-dup clusters over the doc_id < 2000 window. */
+  def dedupClustersW(spark: SparkSession, dir: String,
+      w: Long = 2000): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    clustersFromPairs(windowPairs(spark, dir, w).as[(Long, Long)])
+  }
+
+  val dedupClustersWSql: String = windowedDocsSql(dedupClustersSql, 2000)
+
+  /** q_c16w: canonical selection over the doc_id < 2000 window (quality
+    * is a per-doc score, so window-filtering commutes with scoring). */
+  def canonicalPerClusterW(spark: SparkSession, dir: String,
+      w: Long = 2000): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    canonicalOf(memberLabels(windowPairs(spark, dir, w).as[(Long, Long)]),
+      TextAnalysis.qualityScore(spark, dir)
+        .filter(col("doc_id") < w)
+        .select(col("doc_id"), col("quality_score")))
+  }
+
+  val canonicalPerClusterWSql: String =
+    windowedDocsSql(canonicalPerClusterSql, 2000)
+
+  /** q_c22w: leak-free split over the doc_id < 2000 window. */
+  def leakFreeSplitW(spark: SparkSession, dir: String,
+      w: Long = 2000): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    leakFreeSplitDocsOf(
+        memberLabels(windowPairs(spark, dir, w).as[(Long, Long)]),
+        G.table(spark, dir, "documents").filter(col("doc_id") < w))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("famkey")).as("n_families"))
+      .orderBy(col("split"))
+  }
+
+  val leakFreeSplitWSql: String = windowedDocsSql(leakFreeSplitSql, 2000)
+
+  /** q_c27w: incremental cluster maintenance over the doc_id < 2000
+    * window — the same base/delta composition, oracle = the full-graph
+    * fixpoint on the window. */
+  def incrementalClustersW(spark: SparkSession, dir: String,
+      w: Long = 2000): DataFrame =
+    incrementalClustersOf(windowPairs(spark, dir, w))
+
+  val incrementalClustersWSql: String =
+    windowedDocsSql(incrementalClustersSql, 2000)
 }

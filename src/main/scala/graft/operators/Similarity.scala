@@ -488,6 +488,214 @@ object Similarity {
        |  CAST((SELECT count(*) FROM caught) AS DOUBLE)
        |    / CAST((SELECT count(*) FROM brute) AS DOUBLE) AS recall""".stripMargin
 
+  /** q_y26: IVF-bucketed embedding near-dup JOIN — the production
+    * moderate-threshold (τ≈0.35) semantic near-dup path that sign-LSH
+    * cannot serve at scale (q_y25 measured the banded sketch's boundary
+    * recall collapsing 0.87 → 0.10 at 10× — an LSH theory limit at
+    * moderate τ, see the scaladoc on [[lshNearDups]]; this operator is
+    * the redirect target made real).
+    *
+    * Shape: `tables` INDEPENDENTLY-SEEDED k-means partitions of the
+    * corpus (table t seeds from vec_ids [t·k, (t+1)·k) — disjoint seed
+    * sets give quasi-independent Voronoi structures, the LSH-forest
+    * insight applied to IVF). Per table: INDEX each vector in its home
+    * cell, PROBE its `nprobe` nearest cells (rank over the exact centroid
+    * distances, ties (dist2, cid) — deterministic cross-engine),
+    * candidates = (prober, home-indexed) sharing a cell. Candidate pairs
+    * union across tables, dedupe to unordered (id_a < id_b), then verify
+    * with EXACT cosine ≥ τ. No false positives by construction; recall is
+    * a measured quantity (q_y27), not an assumption.
+    *
+    * Why multiple tables instead of deeper probing: at the SAME candidate
+    * budget (T·np·n²/k), independent partitions dominate — measured at
+    * 10× under the √n k-law (k=25): 1 table × np=8 → recall 0.833;
+    * 2 tables × np=4 → 0.933 (miss events decorrelate across partitions:
+    * 1−(1−r)^T). The same sweep measured single-table np=2 collapsing
+    * 0.70 → 0.53 across 1×→10× as the cells narrowed, which is why the
+    * default budget is 2×4, not the minimal 1×2.
+    *
+    * Cell law: k = [[autoKNearDup]] (n/200, CONSTANT ~200-vector cells),
+    * NOT semdedup's √n [[autoK]] — the two operators have different cost
+    * models. Semdedup verifies ALL within-cell pairs, so √n cells
+    * equalize assignment (n·k) against pair volume (n²/k) at Θ(n^1.5).
+    * Here the pair volume is the whole cost at scale, and constant cells
+    * make candidates LINEAR: T·np·c·n = 1600·n — measured 4× fewer
+    * candidates at 10× than the √n law AND better recall (0.978 vs
+    * 0.933; finer partitions make each probe rank more informative:
+    * 1.000 / 0.978 / 0.978 at 1×/sf0.1-10×... i.e. sf0.01/sf0.1/sf1).
+    * The price is assignment cost n·k = n²/200 — negligible through the
+    * measured rungs (k ≤ 10³ broadcasts ≤ 0.5 MB of centroids); past
+    * k ≈ 10⁴ a deployment routes through a two-level index (√k coarse
+    * cells pick the candidate fine cells — the IMI move), which changes
+    * the probe ranking only, not the pair/verify machinery here.
+    *
+    * At 100 TB: per table the corpus shuffles ONCE on cid (pair
+    * generation is a keyed self-join, never all-pairs); candidates are
+    * id-pairs only, payload vectors rejoin for the verify at
+    * O(candidates)·d; a hot cell is an AQE skew-join split. The
+    * (tables, nprobe) pair is the latency/recall dial; q_y27 prices it
+    * honestly at every scale rung. */
+  def ivfNearDups(spark: SparkSession, dir: String, k: Int = 0,
+      iters: Int = 2, nprobe: Int = 4, tables: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val kk =
+      if (k > 0) k
+      else autoKNearDup(G.table(spark, dir, "embeddings").count())
+    val tabs = (0 until tables).map(t =>
+      ivfAssignCentSeeded(spark, dir, kk, iters, t))
+    ivfNearDupPairsOf(tabs, embeddings(spark, dir),
+      math.min(nprobe, kk), tau)
+  }
+
+  /** [[ivfNearDups]] over a caller-supplied (vec_id, v, nrm) frame — the
+    * Stress ladder drives synthetic corpora through it (no memo; each
+    * table's k-means trains inline). */
+  private[graft] def ivfNearDupsOn(e: DataFrame, k: Int, iters: Int = 2,
+      nprobe: Int = 4, tables: Int = 2, tau: Double = 0.35): DataFrame = {
+    val tabs = (0 until tables).map(t =>
+      ivfAssignCentOn(e.select(col("vec_id"), col("v")), k, iters, t))
+    ivfNearDupPairsOf(tabs, e, math.min(nprobe, k), tau)
+  }
+
+  /** The probe → per-table candidates → union-dedupe → exact-cosine
+    * verify tail shared by the memoized and On variants. */
+  private def ivfNearDupPairsOf(tabs: Seq[(DataFrame, DataFrame)],
+      e: DataFrame, np: Int, tau: Double): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(e.sparkSession)
+    val cand = tabs.map { case (assign, cent) =>
+      val corpus = assign.select(col("vec_id"), col("cid"), col("v"))
+      // the window ranks a v-FREE (vec_id, pcid, pdist2) frame: pdist2 is
+      // computed in the crossJoin projection and the 512 B vector payload
+      // never enters the n·k sort (the same spill class as the wide-k
+      // argmin above; probes only need ids)
+      val probes = corpus.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cent.select(col("cid").as("pcid"), col("c"))))
+        .select(col("vec_id"), col("pcid"), graft.functions.VectorExpressions
+          .vector_dist2(col("v"), col("c")).as("pdist2"))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("pdist2"), col("pcid"))))
+        .filter(col("prank") <= np)
+        .select(col("vec_id").as("qid"), col("pcid").as("cid"))
+      probes.join(corpus.select(col("vec_id").as("hid"), col("cid")), "cid")
+        .filter(col("qid") =!= col("hid"))
+        .select(least(col("qid"), col("hid")).as("id_a"),
+          greatest(col("qid"), col("hid")).as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    val x = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(x, "id_a").join(y, "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(G.simFilter(col("sim"), lit(tau)))
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB replay of [[ivfNearDups]]: one k-means CTE chain per table
+    * (prefix `t<i>` for i > 0; the probe ranking reads straight off each
+    * final round's all-centroid distance frame d_iters), the same
+    * least/greatest per-table candidates, a UNION (distinct) across
+    * tables, the same exact-cosine verify. */
+  /** Constant-cell-size law for the near-dup join (see the cell-law
+    * paragraph on [[ivfNearDups]]); 200 anchors k(2000) = 10 ≈ the sf0.1
+    * bench corpus. The oracle derives the identical k in SQL. */
+  private[graft] def autoKNearDup(n: Long): Int =
+    math.max(8, (n / 200).toInt)
+
+  private val autoKNearDupSql: String =
+    "(SELECT GREATEST(8, CAST(count(*) / 200 AS INT)) FROM e)"
+
+  def ivfNearDupsSql(k: Int = 0, iters: Int = 2, nprobe: Int = 4,
+      tables: Int = 2, tau: Double = 0.35): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${ivfNearDupCandCtes(if (k > 0) k.toString else autoKNearDupSql,
+          iters, nprobe, tables)},
+       |${ivfNearDupVerifyCte(tau)}
+       |SELECT id_a, id_b, sim FROM ivfp ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-table k-means + probe + candidate CTEs, and the cross-table
+    * `cand` union — shared by q_y26 and the q_y27 recall oracle. */
+  private def ivfNearDupCandCtes(kSql: String, iters: Int, nprobe: Int,
+      tables: Int): String = {
+    val chains = (0 until tables).map { t =>
+      val p = if (t == 0) "" else s"t$t"
+      val seedPred =
+        if (t == 0) s"vec_id < $kSql"
+        else s"vec_id >= $t * $kSql AND vec_id < ${t + 1} * $kSql"
+      s"""${ivfCtesSeeded(kSql, iters, 64, p, seedPred)},
+         |${p}probe AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |    FROM ${p}d$iters) t
+         |  WHERE rn <= $nprobe),
+         |${p}cand0 AS (
+         |  SELECT DISTINCT least(p.qid, h.vec_id) AS id_a,
+         |                  greatest(p.qid, h.vec_id) AS id_b
+         |  FROM ${p}probe p JOIN ${p}a$iters h
+         |    ON p.cid = h.cid AND p.qid <> h.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until tables).map { t =>
+      val p = if (t == 0) "" else s"t$t"
+      s"SELECT id_a, id_b FROM ${p}cand0"
+    }.mkString("\n  UNION\n  ")
+    s"$chains,\ncand AS (\n  $union)"
+  }
+
+  private def ivfNearDupVerifyCte(tau: Double): String =
+    s"""ivfp AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v))
+       |       * sqrt(list_dot_product(y.v, y.v))) AS sim
+       |  FROM cand c JOIN e x ON x.vec_id = c.id_a
+       |              JOIN e y ON y.vec_id = c.id_b
+       |  WHERE list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v))
+       |         * sqrt(list_dot_product(y.v, y.v))) >= $tau)""".stripMargin
+
+  /** q_y27: the IVF near-dup path's RECALL, measured as a query against
+    * the y3 bounded brute-force truth window (vec_id < 300, cosine ≥
+    * 0.35) — the same honest-measurement contract as q_y25 gives the
+    * sign-LSH sketch, so the two operating points sit side by side in
+    * every correctness/bench run at every scale. Counts and the
+    * count/count division are exact cross-engine. */
+  def ivfNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = embeddingNearDups(spark, dir).select(col("id_a"), col("id_b"))
+    val ivf = ivfNearDups(spark, dir)
+      .filter(col("id_a") < 300 && col("id_b") < 300)
+      .select(col("id_a"), col("id_b"))
+    val caught = brute.join(ivf, Seq("id_a", "id_b"), "left_semi")
+    brute.agg(count(lit(1)).as("n_true"))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_true").cast("double"))
+  }
+
+  def ivfNearDupRecallSql(iters: Int = 2, nprobe: Int = 4,
+      tables: Int = 2, tau: Double = 0.35): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${ivfNearDupCandCtes(autoKNearDupSql, iters, nprobe, tables)},
+       |${ivfNearDupVerifyCte(tau)},
+       |lvf AS (
+       |  SELECT id_a, id_b FROM ivfp WHERE id_a < 300 AND id_b < 300),
+       |brute AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM e a JOIN e b
+       |    ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+       |  WHERE list_dot_product(a.v, b.v) /
+       |        (sqrt(list_dot_product(a.v, a.v))
+       |         * sqrt(list_dot_product(b.v, b.v))) >= $tau),
+       |caught AS (
+       |  SELECT b.id_a, b.id_b FROM brute b
+       |  JOIN lvf l ON b.id_a = l.id_a AND b.id_b = l.id_b)
+       |SELECT (SELECT count(*) FROM brute) AS n_true,
+       |  (SELECT count(*) FROM caught) AS n_caught,
+       |  CAST((SELECT count(*) FROM caught) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM brute) AS DOUBLE) AS recall""".stripMargin
+
   /** IVF index BUILD — the missing half of the ANN story (q_y2 assumes the
     * coarse cells exist; this constructs them): k-means with deterministic
     * seeding (centroids ← vectors 0..k-1) and a FIXED number of Lloyd
@@ -527,26 +735,42 @@ object Similarity {
   private val ivfMemo = new graft.SessionMemo[(DataFrame, DataFrame)]()
   private def ivfAssignCent(spark: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, DataFrame) =
-    // (k, iters) fold into the memo tag; SessionMemo sweeps entries from
-    // stopped sessions on every access (identityHashCode reuse guard)
-    ivfMemo.getOrBuild(spark, s"$dir#k=$k#it=$iters") {
+    ivfAssignCentSeeded(spark, dir, k, iters, 0)
+
+  /** [[ivfAssignCent]] with a seed OFFSET: table `off` seeds its k-means
+    * from vec_ids [off·k, (off+1)·k) — disjoint seed sets per table, the
+    * quasi-independent partitions [[ivfNearDups]] unions. off = 0 is the
+    * seeding every other IVF query trains, so its memo entry is shared
+    * with y6/y9/y15/y17. */
+  private def ivfAssignCentSeeded(spark: SparkSession, dir: String, k: Int,
+      iters: Int, off: Int): (DataFrame, DataFrame) =
+    // (k, iters, off) fold into the memo tag; SessionMemo sweeps entries
+    // from stopped sessions on every access (identityHashCode reuse guard)
+    ivfMemo.getOrBuild(spark,
+        s"$dir#k=$k#it=$iters${if (off == 0) "" else s"#off=$off"}") {
       val (a, c) = ivfAssignCentOn(
-        embeddings(spark, dir).select(col("vec_id"), col("v")), k, iters)
+        embeddings(spark, dir).select(col("vec_id"), col("v")), k, iters,
+        off)
       (a.localCheckpoint(), c.localCheckpoint())
     }
 
   /** [[ivfAssignCent]] over a caller-supplied (vec_id, v) frame — the
     * incremental refresh (q_y18) trains on the BASE slice only. */
   private[graft] def ivfAssignCentOn(e: DataFrame, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    var cent = e.filter(col("vec_id") < k)
+      iters: Int, off: Int = 0): (DataFrame, DataFrame) = {
+    var cent = e
+      .filter(col("vec_id") >= lit(off.toLong * k) &&
+        col("vec_id") < lit((off + 1).toLong * k))
       .select(col("vec_id").as("cid"), col("v").as("c"))
+    graft.functions.VectorExpressions.ensureRegistered(e.sparkSession)
     var assign: DataFrame = e.sparkSession.emptyDataFrame
     for (round <- 1 to iters) {
+      // vector_dist2: the codegen'd native fold (bit-identical to the HOF
+      // zip_with+aggregate and the oracle's list_reduce formulation; the
+      // HOF's per-row array allocation dominated wide-k assignment)
       val d = e.crossJoin(broadcast(cent))
-        .withColumn("dist2", expr(
-          """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
-            |          CAST(0.0 AS DOUBLE), (s, t) -> s + t)""".stripMargin))
+        .withColumn("dist2", graft.functions.VectorExpressions
+          .vector_dist2(col("v"), col("c")))
       // argmin stays a row_number window, DELIBERATELY: min(struct(...))
       // would partial-aggregate the k candidates map-side, but Min over a
       // struct falls to SortAggregate with interpreted comparisons (and
@@ -555,8 +779,24 @@ object Similarity {
       // narrow-struct + join-back variant still loses 2×). One window
       // sort of the candidate frame is the cheapest argmin Spark has.
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-      assign = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
+      assign =
+        if (k <= 64)
+          d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
+        else {
+          // wide-k regime (the near-dup tables' constant-cell law can put
+          // k in the hundreds): the 512 B vector payload must NOT ride the
+          // n·k window sort — at k = 500, n = 100k that is a ~27 GB sort
+          // that spills (measured 303 s on the Stress rung; v-free rank
+          // frame is 24 B/row, then ONE n-row join rehydrates v). The
+          // join-back loses 2× at small k (the measurement above), so the
+          // narrow path is gated, not unconditional.
+          d.select(col("vec_id"), col("cid"), col("dist2"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .drop("rn")
+            .join(e, "vec_id")
+            .select(col("vec_id"), col("cid"), col("dist2"), col("v"))
+        }
       if (round < iters)
         cent = assign
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -1226,7 +1466,13 @@ object Similarity {
     ivfCtesK(k.toString, iters, dims, p)
   }
 
-  private def ivfCtesK(k: String, iters: Int, dims: Int, p: String): String = {
+  private def ivfCtesK(k: String, iters: Int, dims: Int, p: String): String =
+    ivfCtesSeeded(k, iters, dims, p, s"vec_id < $k")
+
+  /** [[ivfCtesK]] with an explicit seed predicate — the per-table seeding
+    * of [[ivfNearDupsSql]] (table t seeds vec_ids [t·k, (t+1)·k)). */
+  private def ivfCtesSeeded(k: String, iters: Int, dims: Int, p: String,
+      seedPred: String): String = {
     require(iters > 0 && dims > 0)
     def dist(r: Int): String =
       s"""${p}d$r AS (
@@ -1252,7 +1498,7 @@ object Similarity {
     val rounds = (1 to iters).map { r =>
       if (r < iters) dist(r) + ",\n" + recenter(r) else dist(r)
     }.mkString(",\n")
-    s"""${p}c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k),
+    s"""${p}c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE $seedPred),
        |$rounds""".stripMargin
   }
 

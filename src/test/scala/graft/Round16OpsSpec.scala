@@ -105,6 +105,45 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfNearDups: exact planted twins are always caught (identical " +
+      "vectors co-locate in every table), and every reported pair is a " +
+      "true tau pair") {
+    // 400 near-orthogonal random vectors; every 20th duplicates its
+    // predecessor (cosine 1.0). Exact twins have identical centroid
+    // distance profiles, so they share a home cell in EVERY table —
+    // catching them needs no probing luck at all.
+    val e = spark.range(400)
+      .select(col("id").as("vec_id"),
+        when(col("id") % 20 === 19, col("id") - 1).otherwise(col("id"))
+          .as("seed"))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63),
+          |  d -> CAST(pmod(xxhash64(seed * 64 + d), 2001) - 1000
+          |       AS DOUBLE) / 1000.0)""".stripMargin).as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)")))
+      .cache()
+    val got = operators.Similarity.ivfNearDupsOn(e, k = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = (19L until 400L by 20L).map(b => (b - 1, b)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted exact twins: ${planted -- got}")
+    // no false positives: recompute the true pair set brute-force
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", operators.Similarity.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")))
+      .filter(col("sim") >= 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth),
+      s"reported non-tau pairs (verify must be exact): ${got -- truth}")
+  }
+
   test("power iteration: out-of-range norm terms fail loudly instead of " +
       "saturating Long.MaxValue") {
     // the band the DRIVER guard owns: every distributed per-term product
