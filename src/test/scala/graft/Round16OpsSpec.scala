@@ -144,6 +144,123 @@ class Round16OpsSpec extends SparkSpec {
       s"reported non-tau pairs (verify must be exact): ${got -- truth}")
   }
 
+  test("ArtifactStore: publishes once, cold-reads after, republishes and " +
+      "sweeps superseded generations when the corpus regenerates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art_src")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("part-0.parquet"), "g1")
+      var builds = 0
+      def get(): Seq[Long] = ArtifactStore
+        .getOrBuild(spark, "round16_spec_artifact", dir.toString) {
+          builds += 1
+          spark.range(3).select(col("id") + builds)
+        }.collect().map(_.getLong(0)).sorted.toSeq
+      assert(get() == Seq(1L, 2L, 3L) && builds == 1)
+      assert(get() == Seq(1L, 2L, 3L) && builds == 1,
+        "second access must read the published artifact, not rebuild")
+      // regenerate the corpus in place: new generation must publish and
+      // the stale one must be swept from disk
+      java.nio.file.Files.writeString(dir.resolve("part-0.parquet"),
+        "g2 regenerated longer")
+      assert(get() == Seq(2L, 3L, 4L) && builds == 2,
+        "regenerated corpus must rebuild under the new generation")
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(
+        java.nio.file.Paths.get("/tmp/graft_artifacts"))
+      val gens =
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("round16_spec_artifact-")).toSeq
+        finally l.close()
+      assert(gens.size == 1, s"superseded generation not swept: $gens")
+      gens.foreach(g => SessionMemo.deleteTree(s"/tmp/graft_artifacts/$g"))
+    } finally SessionMemo.deleteTree(dir.toString)
+  }
+
+  /** ScaleGen byte-stability pin (VERDICT r9 #6): the sf1 rehearsal's
+    * cross-round comparability rests on "deterministic end to end" — this
+    * machine-checks it. The fixture maps a combined input digest of the
+    * sf0.001 source tables to the digest of the ENTIRE K=2 generated
+    * corpus (every table, canonical sorted rows); a new testdata vintage
+    * records its entry after a determinism double-run, and any later drift
+    * on unchanged inputs fails here. */
+  test("ScaleGen: K=2 output digest matches the recorded golden value " +
+      "for this testdata vintage") {
+    def sha(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map("%02x".format(_)).mkString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val inputHash = sha(tables.map { t =>
+      sha(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${sf()}/$t.parquet")))
+    }.mkString("|").getBytes("UTF-8"))
+    def corpusDigest(): String = {
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft_sg_digest").toString
+      try {
+        ScaleGen.generate(spark, sf(), dst, 2)
+        sha(tables.map { t =>
+          val rows = spark.read.parquet(s"$dst/$t.parquet")
+            .collect().map(_.toString).sorted
+          s"$t:${sha(rows.mkString("\n").getBytes("UTF-8"))}"
+        }.mkString("\n").getBytes("UTF-8"))
+      } finally SessionMemo.deleteTree(dst)
+    }
+    val fixture =
+      java.nio.file.Paths.get("src/test/resources/scalegen_golden.properties")
+    val props = new java.util.Properties()
+    if (java.nio.file.Files.exists(fixture)) {
+      val in = java.nio.file.Files.newInputStream(fixture)
+      try props.load(in) finally in.close()
+    }
+    val digest = corpusDigest()
+    Option(props.getProperty(inputHash)) match {
+      case Some(golden) =>
+        assert(digest == golden,
+          "ScaleGen output drifted on UNCHANGED testdata: scale-rehearsal " +
+            "numbers are no longer cross-round comparable (update the " +
+            "fixture only if the generator change is intended)")
+      case None =>
+        assert(digest == corpusDigest(), "ScaleGen is not deterministic")
+        props.setProperty(inputHash, digest)
+        val out = java.nio.file.Files.newOutputStream(fixture)
+        try props.store(out, "ScaleGen golden digest: sha256(source tables)" +
+          " -> sha256(per-table sorted-row digests at K=2)")
+        finally out.close()
+    }
+  }
+
+  /** q_stream_late cost-structure pin (VERDICT r9 #4): the replay's time
+    * is ~all micro-batch trigger machinery — one trigger per staged
+    * arrival-slice file plus the state-flush sentinel. The round-9 bench
+    * "drift" (6.2 → 7.1 s) solo-measures at 6.8 s warm with max/min 2.48
+    * across idle reps (noise, not a plan change); what COULD silently
+    * erode the number is a fixture-slicing change multiplying the trigger
+    * count. Pin: file count == distinct 2.5-day arrival slices + 1. */
+  test("q_stream_late fixture stages one file per arrival slice plus " +
+      "the sentinel (trigger count pinned)") {
+    val in = streaming.StreamingJobs.lateFixtureDir(spark, sf())
+    val files = new java.io.File(in).listFiles()
+      .filter(f => f.getName.startsWith("part-") || f.getName.startsWith("z-"))
+    val env = operators.CdcParser.eventsAsEnvelopeJsonTs(spark, sf())
+    val cut = env
+      .filter(col("event_id") % 17 =!= 0 && col("event_id") % 23 =!= 0)
+      .agg(max(col("cdc_ms"))).head().getLong(0) - 691200000L
+    val slices = env.withColumn("arrival",
+        col("cdc_ms") +
+          when(col("event_id") % 101 === 0 && col("cdc_ms") <= cut,
+            lit(604800000L))
+          .when(col("event_id") % 103 === 0 && col("event_id") % 101 =!= 0,
+            lit(21600000L))
+          .otherwise(lit(0L)))
+      .selectExpr("arrival DIV 216000000 AS slice")
+      .distinct().count()
+    assert(files.length == slices + 1,
+      s"staged ${files.length} trigger files for $slices arrival slices " +
+        "+ 1 sentinel — the replay's micro-batch count (its whole cost) " +
+        "changed shape")
+  }
+
   test("power iteration: out-of-range norm terms fail loudly instead of " +
       "saturating Long.MaxValue") {
     // the band the DRIVER guard owns: every distributed per-term product
