@@ -716,25 +716,59 @@ object Dedup {
     * Pigeonhole guarantee: ≤ 2 differing bits across 3 bands leaves ≥ 1
     * band identical, so every hamming≤2 pair collides in some bucket — the
     * recall argument LSH banding gives MinHash, here in closed form.
+    * HOT buckets (round-10, the sf10 decade's catch): a flat capBuckets
+    * DROP of over-cap buckets silently broke the pigeonhole guarantee once
+    * a (band, bucket) exceeded 100 k members at 500 k docs — the bounded
+    * window twins measured copy-0 window pairs falling 91 204 → 64 845 and
+    * a cluster splitting 7 → 8 at sf10. Over-cap buckets are now RE-BANDED
+    * instead of dropped: within a hot band-b bucket, a surviving hamming≤2
+    * pair differs in ≤ 2 of the REMAINING 20 bits, so splitting those into
+    * 3 sub-bands (7+7+6 bits) pigeonholes again — some sub-band is clean —
+    * and pairing within (band, bucket, sub-band, sub-value) loses nothing
+    * while cutting the hot bucket's pair volume by ~the sub-bucket fan-out
+    * (2⁷). Only sub-buckets STILL over the cap are dropped (that needs
+    * ≥ cap docs agreeing on 17 of 30 bits — a degenerate-corpus problem,
+    * not a banding problem; the window twins would measure it).
+    *
     * Scale shape identical to MinHash LSH: O(n·3) rows into the bucket
-    * join, capBuckets guards hot buckets, never O(n²). The DuckDB oracle
-    * *is* O(n²) (plain cross-product filter) — affordable at verify SF and
-    * proof the banding loses nothing. */
+    * join (hot rows ×3 more), hot mass re-banded not dropped, never
+    * all-pairs. The DuckDB oracle *is* O(n²) (plain cross-product filter)
+    * — affordable at verify SF and proof the banding loses nothing. */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhash30(spark, dir).select(col("doc_id"), col("simhash30"))
-    val banded = capBuckets(
-      sigs.select(col("doc_id"), col("simhash30"),
+    val cap = 100000L
+    val exploded = sigs.select(col("doc_id"), col("simhash30"),
         posexplode(expr(
           """array(simhash30 & 1023,
             |      shiftright(simhash30, 10) & 1023,
             |      shiftright(simhash30, 20) & 1023)""".stripMargin))
-          .as(Seq("band", "bucket"))),
-      Seq("band", "bucket"), maxBucketSize = 100000)
-    val a = banded.select(col("doc_id").as("doc_a"),
-      col("simhash30").as("sig_a"), col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"),
-      col("simhash30").as("sig_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+          .as(Seq("band", "bucket")))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+    val cold = exploded.filter(col("__n") <= cap).drop("__n")
+      .withColumn("sb", lit(-1L)).withColumn("sbv", lit(-1L))
+    // the 20 signature bits OUTSIDE band b, split into 7+7+6-bit sub-bands
+    val hot = exploded.filter(col("__n") > cap).drop("__n")
+      .withColumn("rest", expr(
+        """CASE band
+          |  WHEN 0 THEN shiftright(simhash30, 10)
+          |  WHEN 1 THEN (simhash30 & 1023)
+          |              | shiftleft(shiftright(simhash30, 20), 10)
+          |  ELSE simhash30 & 1048575 END""".stripMargin))
+      .select(col("doc_id"), col("simhash30"), col("band"), col("bucket"),
+        posexplode(expr(
+          """array(rest & 127,
+            |      shiftright(rest, 7) & 127,
+            |      shiftright(rest, 14) & 63)""".stripMargin))
+          .as(Seq("sb", "sbv")))
+    val keys = Seq("band", "bucket", "sb", "sbv")
+    val banded = capBuckets(cold.unionByName(hot), keys, maxBucketSize = cap)
+    val a = banded.select((col("doc_id").as("doc_a") +:
+      col("simhash30").as("sig_a") +: keys.map(col)): _*)
+    val b = banded.select((col("doc_id").as("doc_b") +:
+      col("simhash30").as("sig_b") +: keys.map(col)): _*)
+    a.join(b, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))

@@ -157,8 +157,16 @@ object ArtifactStore {
   @volatile var enabled: Boolean =
     !sys.env.get("GRAFT_ARTIFACT_DIR").contains("")
 
-  def getOrBuild(spark: SparkSession, name: String, dir: String)(
+  /** Producer-code generation, folded into every published name: a code
+    * change that alters an artifact's CONTENT (e.g. the round-10 hot-bucket
+    * re-banding changed the pair list at saturation scales) must not serve
+    * artifacts published by the old code — the content fingerprint only
+    * tracks the CORPUS. Bump on any semantic producer change. */
+  private val CODE_GEN = "v2"
+
+  def getOrBuild(spark: SparkSession, name0: String, dir: String)(
       build: => DataFrame): DataFrame = {
+    val name = s"$name0.$CODE_GEN"
     if (!enabled) return build
     val fp = SessionMemo.fingerprint(dir)
     val gen = SessionMemo.genOf(fp) match {
