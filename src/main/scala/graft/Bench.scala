@@ -129,9 +129,16 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(vr(k))))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // name the noisiest query next to the ratio (VERDICT r10 #8): a
+    // max_vr of 50 means ONE query's reps varied 50× (usually the
+    // first-payer of a shared artifact build, c10-style) — naming it keeps
+    // ratio-based regression flags readable without grepping the vr map
+    val maxVrQuery =
+      if (vr.isEmpty) "" else vr.maxBy { case (k, v) => (v, k) }._1
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,""" +
-        s""""reps":$reps,"vr":$vrJson,"sql_panel_p50_ms":${pct(0.5)},""" +
+        s""""reps":$reps,"vr":$vrJson,"max_vr_query":"$maxVrQuery",""" +
+        s""""sql_panel_p50_ms":${pct(0.5)},""" +
         s""""sql_panel_p95_ms":${pct(0.95)},"sf":"$sfDir"}"""
 
     // The driver captures only a bounded stdout tail (both r1 and r2
@@ -161,7 +168,7 @@ object Bench {
     val sfName = Paths.get(sfDir).getFileName.toString
     val shortLine =
       s"""{"metric":"total","value":${d(total, 2)},"unit":"sec","value_cold":${d(totalCold, 2)},"queries":$qsShort,""" +
-        s""""reps":$reps,"max_vr":${d(maxVr, 2)},""" +
+        s""""reps":$reps,"max_vr":${d(maxVr, 2)},"max_vr_q":"${alias.getOrElse(maxVrQuery, maxVrQuery)}",""" +
         s""""sql_panel_p95_ms":${d(pct(0.95), 1)},"sf":"$sfName"}"""
 
     // regression tracking vs the previous history entry (same sf only).

@@ -161,44 +161,93 @@ object ArtifactStore {
     * change that alters an artifact's CONTENT (e.g. the round-10 hot-bucket
     * re-banding changed the pair list at saturation scales) must not serve
     * artifacts published by the old code — the content fingerprint only
-    * tracks the CORPUS. Bump on any semantic producer change. */
+    * tracks the CORPUS. Bump on any semantic producer change. Specs pin
+    * the versioned publish name explicitly, so a bump is a conscious edit
+    * in both places. */
   private val CODE_GEN = "v2"
+  /** Test hook: lets the sweep spec publish under a fake older producer
+    * generation and assert a CODE_GEN bump sweeps it. */
+  @volatile private[graft] var codeGenOverride: Option[String] = None
+  private def codeGen: String = codeGenOverride.getOrElse(CODE_GEN)
+
+  /** Grace period before a SUPERSEDED artifact directory is physically
+    * deleted. A concurrent session/JVM may still hold lazily-planned
+    * DataFrames scanning the old generation's parquet files (SessionMemo
+    * eviction is per-session and only fires on that session's next
+    * access); deleting at publish time would fail those in-flight reads
+    * with missing-file errors. Superseded dirs are therefore left in
+    * place until they are older than this, and purged by any LATER
+    * publish's sweep — regeneration loops still can't accumulate more
+    * than one grace window of garbage. Specs set 0 for immediate sweep. */
+  @volatile private[graft] var graceMs: Long = 10 * 60 * 1000L
 
   def getOrBuild(spark: SparkSession, name0: String, dir: String)(
       build: => DataFrame): DataFrame = {
-    val name = s"$name0.$CODE_GEN"
     if (!enabled) return build
     val fp = SessionMemo.fingerprint(dir)
     val gen = SessionMemo.genOf(fp) match {
       case "" => "static" // non-directory tag: content assumed immutable
       case g  => g
     }
-    val base = f"$name-${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    val dirHash = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    val base = s"$name0.$codeGen-$dirHash"
     val pub = root.resolve(s"$base@$gen")
     val success = pub.resolve("_SUCCESS")
     if (java.nio.file.Files.exists(success))
       return spark.read.parquet(pub.toString)
     val tmp = java.nio.file.Files.createTempDirectory(root, s"$base.tmp")
     build.write.mode("overwrite").parquet(tmp.toString)
+    if (publish(tmp, pub)) sweepSuperseded(name0, dirHash, s"$base@$gen")
+    spark.read.parquet(pub.toString)
+  }
+
+  /** Atomic publish of a staged artifact directory; true iff this caller
+    * won. Losing the cross-JVM race is NORMAL: on Linux the loser's
+    * ATOMIC_MOVE onto the winner's non-empty directory surfaces as
+    * DirectoryNotEmptyException (ENOTEMPTY), not only
+    * FileAlreadyExistsException — so the common FileSystemException
+    * parent is caught, and treated as a lost race ONLY when the winner's
+    * _SUCCESS actually exists (the loser then discards its staged copy
+    * and reads the winner's); anything else is a real I/O failure and
+    * propagates. */
+  private[graft] def publish(tmp: java.nio.file.Path,
+      pub: java.nio.file.Path): Boolean =
     try {
       java.nio.file.Files.move(tmp, pub,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // sweep superseded generations of this artifact (same name+dir,
-      // different content hash) — regeneration loops must not accumulate
-      import scala.jdk.CollectionConverters._
-      val list = java.nio.file.Files.list(root)
-      try list.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith(s"$base@") && n != s"$base@$gen"
-        }
-        .toSeq.foreach(p => SessionMemo.deleteTree(p.toString))
-      finally list.close()
+      true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        SessionMemo.deleteTree(tmp.toString) // lost the publish race
+      case e: java.nio.file.FileSystemException =>
+        if (java.nio.file.Files.exists(pub.resolve("_SUCCESS"))) {
+          SessionMemo.deleteTree(tmp.toString)
+          false
+        } else throw e
     }
-    spark.read.parquet(pub.toString)
+
+  /** Deletes superseded publishes of (name0, dirHash): every sibling whose
+    * name parses as `name0.v<N>-<dirHash>@<gen>` other than `keep`. The
+    * match is on the CODE_GEN-STRIPPED prefix, so a producer-code bump
+    * also removes the old code's artifacts instead of stranding them
+    * (pre-v2 dirs were orphaned forever when the base embedded the
+    * version). Deletion respects [[graceMs]]. */
+  private def sweepSuperseded(name0: String, dirHash: String,
+      keep: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name0) + "\\.v\\d+-" +
+        java.util.regex.Pattern.quote(dirHash) + "@.+")
+    val cutoff = System.currentTimeMillis() - graceMs
+    val list = java.nio.file.Files.list(root)
+    try list.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n != keep && pat.matcher(n).matches() &&
+          (try java.nio.file.Files.getLastModifiedTime(p)
+            .toMillis <= cutoff
+          catch { case _: java.io.IOException => false })
+      }
+      .toSeq.foreach(p => SessionMemo.deleteTree(p.toString))
+    finally list.close()
   }
 }
 

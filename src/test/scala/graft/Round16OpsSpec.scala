@@ -144,9 +144,34 @@ class Round16OpsSpec extends SparkSpec {
       s"reported non-tau pairs (verify must be exact): ${got -- truth}")
   }
 
+  /** Lists /tmp/graft_artifacts entries for a spec artifact name. The
+    * prefix pins the CURRENT producer generation (`.v2`) explicitly — a
+    * CODE_GEN bump must consciously edit this pin (VERDICT r10 #1). */
+  private def artifactDirs(prefix: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("/tmp/graft_artifacts")
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val l = java.nio.file.Files.list(root)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq
+      finally l.close()
+    }
+  }
+
+  /** Drops stale spec artifacts from earlier test runs — every run uses a
+    * fresh temp source dir, so prior runs' publishes have foreign dirHashes
+    * the production sweep (correctly) never touches. */
+  private def dropSpecArtifacts(name: String): Unit =
+    artifactDirs(name).foreach(g =>
+      SessionMemo.deleteTree(s"/tmp/graft_artifacts/$g"))
+
   test("ArtifactStore: publishes once, cold-reads after, republishes and " +
       "sweeps superseded generations when the corpus regenerates") {
+    dropSpecArtifacts("round16_spec_artifact")
     val dir = java.nio.file.Files.createTempDirectory("graft_art_src")
+    val grace0 = ArtifactStore.graceMs
+    ArtifactStore.graceMs = 0L // spec wants the sweep observable NOW
     try {
       java.nio.file.Files.writeString(dir.resolve("part-0.parquet"), "g1")
       var builds = 0
@@ -158,22 +183,82 @@ class Round16OpsSpec extends SparkSpec {
       assert(get() == Seq(1L, 2L, 3L) && builds == 1)
       assert(get() == Seq(1L, 2L, 3L) && builds == 1,
         "second access must read the published artifact, not rebuild")
+      assert(artifactDirs("round16_spec_artifact.v2-").size == 1,
+        "published name must carry the current producer generation")
       // regenerate the corpus in place: new generation must publish and
       // the stale one must be swept from disk
       java.nio.file.Files.writeString(dir.resolve("part-0.parquet"),
         "g2 regenerated longer")
       assert(get() == Seq(2L, 3L, 4L) && builds == 2,
         "regenerated corpus must rebuild under the new generation")
-      import scala.jdk.CollectionConverters._
-      val l = java.nio.file.Files.list(
-        java.nio.file.Paths.get("/tmp/graft_artifacts"))
-      val gens =
-        try l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("round16_spec_artifact-")).toSeq
-        finally l.close()
+      val gens = artifactDirs("round16_spec_artifact.v2-")
       assert(gens.size == 1, s"superseded generation not swept: $gens")
       gens.foreach(g => SessionMemo.deleteTree(s"/tmp/graft_artifacts/$g"))
-    } finally SessionMemo.deleteTree(dir.toString)
+    } finally {
+      ArtifactStore.graceMs = grace0
+      SessionMemo.deleteTree(dir.toString)
+    }
+  }
+
+  test("ArtifactStore: a producer CODE_GEN bump sweeps the old code's " +
+      "artifacts instead of stranding them (VERDICT r10 sweep gap)") {
+    dropSpecArtifacts("round16_gen_artifact")
+    val dir = java.nio.file.Files.createTempDirectory("graft_art_gen")
+    val grace0 = ArtifactStore.graceMs
+    ArtifactStore.graceMs = 0L
+    try {
+      java.nio.file.Files.writeString(dir.resolve("part-0.parquet"), "g1")
+      ArtifactStore.codeGenOverride = Some("v1")
+      ArtifactStore.getOrBuild(spark, "round16_gen_artifact", dir.toString) {
+        spark.range(2).toDF()
+      }.collect()
+      assert(artifactDirs("round16_gen_artifact.v1-").size == 1)
+      ArtifactStore.codeGenOverride = None // "ship" the current producer
+      val got = ArtifactStore
+        .getOrBuild(spark, "round16_gen_artifact", dir.toString) {
+          spark.range(5).toDF()
+        }.count()
+      assert(got == 5, "new producer generation must rebuild, not serve v1")
+      assert(artifactDirs("round16_gen_artifact.v1-").isEmpty,
+        "pre-bump artifact directory must be swept, not orphaned")
+      val cur = artifactDirs("round16_gen_artifact.")
+      assert(cur.size == 1 && cur.head.startsWith("round16_gen_artifact.v2-"))
+      cur.foreach(g => SessionMemo.deleteTree(s"/tmp/graft_artifacts/$g"))
+    } finally {
+      ArtifactStore.codeGenOverride = None
+      ArtifactStore.graceMs = grace0
+      SessionMemo.deleteTree(dir.toString)
+    }
+  }
+
+  test("ArtifactStore: losing the cross-JVM publish race onto a non-empty " +
+      "winner directory (ENOTEMPTY, not just EEXIST) discards the staged " +
+      "copy and reads the winner (ADVICE r10)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_art_race")
+    try {
+      // winner: an already-published non-empty artifact with _SUCCESS
+      val pub = root.resolve("a@g")
+      java.nio.file.Files.createDirectories(pub)
+      java.nio.file.Files.writeString(pub.resolve("part-0.parquet"), "win")
+      java.nio.file.Files.writeString(pub.resolve("_SUCCESS"), "")
+      // loser: a staged tmp sibling racing onto the same name — on Linux
+      // this move fails DirectoryNotEmptyException, which must be handled
+      val tmp = java.nio.file.Files.createTempDirectory(root, "a.tmp")
+      java.nio.file.Files.writeString(tmp.resolve("part-0.parquet"), "lose")
+      assert(!ArtifactStore.publish(tmp, pub), "loser must report lost race")
+      assert(!java.nio.file.Files.exists(tmp), "loser's tmp must be deleted")
+      assert(java.nio.file.Files.readString(pub.resolve("part-0.parquet"))
+        == "win", "winner's artifact must be untouched")
+      // but a move failure with NO winner _SUCCESS is a real error
+      val pub2 = root.resolve("b@g")
+      java.nio.file.Files.createDirectories(pub2)
+      java.nio.file.Files.writeString(pub2.resolve("part-0.parquet"), "junk")
+      val tmp2 = java.nio.file.Files.createTempDirectory(root, "b.tmp")
+      java.nio.file.Files.writeString(tmp2.resolve("x"), "y")
+      assertThrows[java.nio.file.FileSystemException] {
+        ArtifactStore.publish(tmp2, pub2)
+      }
+    } finally SessionMemo.deleteTree(root.toString)
   }
 
   /** ScaleGen byte-stability pin (VERDICT r9 #6): the sf1 rehearsal's
