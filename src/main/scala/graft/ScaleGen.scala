@@ -28,15 +28,26 @@ import org.apache.spark.sql.functions._
   *    breaks it — copies interleave in time with far-apart ids, and the
   *    scd2 version chains diverge from the batch oracle (caught by the
   *    sf1 correctness pass);
-  *  - `documents`: K copies, `doc_id` shifted, and EACH TOKEN's characters
-  *    rotated by copy (copy 0 verbatim) — the copies carry K disjoint
-  *    vocabularies, so cross-copy shingle Jaccard ≈ 0 and the near-dup
-  *    rate stays the base corpus's. (The first draft rotated the token
-  *    SEQUENCE instead, which preserves all but the wrap-boundary
-  *    3-grams: every doc gained K−1 twins at Jaccard ≈ 0.9 and the
-  *    shingle pair mass Σ freq² went 2.8M → 277M at K=10 — measuring
-  *    pair-list explosion, not corpus scaling.) Bounded-window oracles
-  *    (doc_id < N) see copy 0 only and stay comparable;
+  *  - `documents`: K copies, `doc_id` shifted, and each copy's text run
+  *    through a PER-COPY CHARACTER SUBSTITUTION (copy 0 verbatim): a
+  *    deterministic hash-seeded permutation of each character class
+  *    (lowercase, uppercase, digits; whitespace/punct untouched), applied
+  *    with `translate`. Class-preserving and 1:1, so token lengths, doc
+  *    lengths, case/digit structure and the WITHIN-copy similarity
+  *    structure are preserved exactly (substitution is a bijection on the
+  *    alphabet, so shingle structure is isomorphic), while cross-copy
+  *    token equality requires every character to be a fixed point of two
+  *    independent random permutations — vanishing. Two earlier drafts
+  *    measured why weaker maps fail: rotating the token SEQUENCE
+  *    preserves all but wrap-boundary 3-grams (every doc gained K−1 twins
+  *    at Jaccard ≈ 0.9; Σ freq² 2.8M → 277M at K=10), and rotating each
+  *    token's CHARACTERS is identity on single-char tokens and periodic
+  *    in token length, so cross-copy hamming≤2 simhash mass grew ∝ K²
+  *    (639 k → 162 M pairs from K=10 → 100 — SCALE.md round-10 finding
+  *    2, the defect this substitution closes; a Caesar-per-class map
+  *    would re-collide at copy ≡ copy' mod 26, which matters at
+  *    K = 1000). Bounded-window oracles (doc_id < N) see copy 0 only and
+  *    stay comparable;
   *  - `embeddings`: K copies, `vec_id` shifted, dimensions rotated by
   *    copy — rotation preserves the norm and the coordinate distribution
   *    while making cross-copy cosine ≈ the base corpus's background
@@ -104,26 +115,35 @@ object ScaleGen {
       .withColumn("event_id", col("event_id") * k + col("copy"))
       .withColumn("user_id", shift("user_id")),
       "events", k)
+    // per-copy class-preserving substitution ciphers, built driver-side
+    // (K rows of three 26/26/10-char strings) and broadcast in: each copy
+    // gets an independent hash-seeded permutation of every class, so the
+    // map itself is a tiny dimension join, not a per-row re-derivation.
+    // Copy 0 keeps the ORIGINAL column value (not translate through an
+    // identity map) — the 'copy 0 verbatim' invariant bounded-window
+    // oracle comparability relies on must be structural, not an accident
+    // of the map being identity.
+    val subFrom = ('a' to 'z').mkString + ('A' to 'Z').mkString +
+      ('0' to '9').mkString
+    def permuted(alphabet: String, copy: Long): String =
+      if (copy == 0L) alphabet
+      else alphabet.zipWithIndex.sortBy { case (ch, i) =>
+        scala.util.hashing.MurmurHash3.stringHash(s"graft:$copy:$i:$ch")
+      }.map(_._1).mkString
+    val subTo = spark.createDataFrame(
+      (0L until k.toLong).map { c =>
+        (c, permuted(('a' to 'z').mkString, c) +
+          permuted(('A' to 'Z').mkString, c) +
+          permuted(('0' to '9').mkString, c))
+      }).toDF("copy", "sub_to")
     write(copies(t("documents"))
       .withColumn("doc_id", shift("doc_id"))
-      .withColumn("t0", split(col("text"), "\\s+"))
-      // per-token char rotation by copy: token lengths, doc lengths and
-      // within-copy similarity structure are preserved; vocabularies are
-      // disjoint across copies (single-char tokens excepted). Copy 0 keeps
-      // the ORIGINAL column value, not a split+concat_ws rebuild — the
-      // rebuild is byte-identical only while the corpus happens to be
-      // single-space-separated, and the 'copy 0 verbatim' invariant
-      // (which bounded-window oracle comparability relies on) must not
-      // depend on that accident
+      .join(broadcast(subTo), "copy")
+      // n_chars is preserved verbatim for every copy: translate with
+      // equal-length from/to is strictly 1:1 on characters
       .withColumn("text", when(col("copy") === 0, col("text"))
-        .otherwise(concat_ws(" ", expr(
-          """transform(t0, tk -> concat(
-            |  substring(tk, CAST(pmod(copy, greatest(length(tk), 1)) AS INT) + 1),
-            |  substring(tk, 1, CAST(pmod(copy, greatest(length(tk), 1)) AS INT))))"""
-            .stripMargin))))
-      .withColumn("n_chars", when(col("copy") === 0, col("n_chars"))
-        .otherwise(length(col("text"))))
-      .drop("t0"),
+        .otherwise(expr(s"translate(text, '$subFrom', sub_to)")))
+      .drop("sub_to"),
       "documents", math.max(1, k / 2))
     write(copies(t("embeddings"))
       .withColumn("vec_id", shift("vec_id"))
