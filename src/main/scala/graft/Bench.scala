@@ -46,6 +46,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Round-11 measurement honesty: every bench invocation computes from
+    // the parquet inputs — a fresh private ArtifactStore root means rep 1
+    // (the reported COLD total) can never read indexes persisted by a
+    // previous invocation or by a verify pass; rep 2+ (the warm min) reads
+    // back only what THIS invocation built. Swept at JVM exit.
+    ArtifactStore.freshRootForThisInvocation()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default 4, not 32: measured at sf0.1, 57 queries run 53.5 s on
     // local[4] vs 72.8 s on local[32] — per-stage task scheduling dominates

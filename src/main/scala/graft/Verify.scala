@@ -35,6 +35,10 @@ object Verify {
     "q_t14_bpe_train", "q_stream_merge", "q_stream_waterfill",
     "q_stream_raw")
   def main(args: Array[String]): Unit = {
+    // fresh per-invocation artifact root (same contract as Bench): the
+    // oracle dump always computes from the parquet inputs, never from
+    // indexes a previous run persisted
+    ArtifactStore.freshRootForThisInvocation()
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg (builder-local only; the driver passes two): run a
     // comma-separated subset — single-query oracle checks without the

@@ -31,7 +31,13 @@ object Graph {
     edgesMemo.getOrBuild(spark, dir) {
       // ArtifactStore: the edge list is the g-family's per-snapshot index;
       // cold runs read the published parquet instead of re-running the
-      // basket self-join (ten consumers)
+      // basket self-join (ten consumers).
+      // localCheckpoint (round-11, guide §5/§3.1): consumers previously
+      // re-scanned the artifact parquet per query AND the planner only had
+      // file-size estimates for it; the checkpointed frame is an in-memory
+      // scan with exact size stats, so downstream degree/label joins stay
+      // broadcast without hints. Values are exact longs — the RDD
+      // round-trip is bit-lossless.
       graft.ArtifactStore.getOrBuild(spark, "copurchase_edges", dir) {
         val li = G.table(spark, dir, "lineitem")
           .filter(col("l_quantity") >= 30)
@@ -40,7 +46,7 @@ object Graph {
         val b = li.select(col("ok"), col("pk").as("v"))
         a.join(b, "ok").filter(col("u") < col("v"))
           .select(col("u"), col("v")).distinct()
-      }
+      }.localCheckpoint()
     }
   }
 
@@ -63,30 +69,32 @@ object Graph {
     * counts explode each triangle to its three corners — O(3·triangles)
     * rows, never materializing adjacency lists.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String): DataFrame =
     // bulk lines only (quantity >= 30): the unfiltered co-purchase graph is
     // near-complete at TPC-H's 2000-parts-per-60k-lines density (41 M wedges
     // at sf0.1 — measured), which tests nothing but join throughput; the
-    // scoped graph keeps ~200k edges / 63k triangles at sf0.1. The filter
-    // pushes into the parquet scan.
-    trianglesFromBaskets(
-      G.table(spark, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
-  }
+    // scoped graph keeps ~200k edges / 63k triangles at sf0.1.
+    // Round-11 (guide §2.4): consume the SHARED co-purchase edge artifact
+    // like every other g-family operator instead of re-running the basket
+    // self-join + distinct per execution — the edge definition here was
+    // character-identical to [[coPurchaseEdges]]. Removes the lineitem
+    // scan, the ok-keyed exchange pair and the distinct exchange from
+    // every execution (plan: 53 Exchange → see plans/r11/q_g1_triangles).
+    trianglesFromEdges(coPurchaseEdges(spark, dir))
 
   /** Core kernel on a (ok, pk) basket frame — shared by the q_g1 query and
     * the graft.Stress `triangles` ladder stage. */
   private[graft] def trianglesFromBaskets(li: DataFrame): DataFrame = {
     val a = li.select(col("ok"), col("pk").as("u"))
     val b = li.select(col("ok"), col("pk").as("v"))
-    // edges feeds deg + oriented, oriented feeds both sides of the wedge
-    // join and the closing-edge join: cache both (the LSH-bucket-frame
-    // pattern — Bench/Verify clearCache() between queries) or every reuse
-    // re-runs the basket self-join from the scan.
-    val edges = a.join(b, "ok").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().cache()
+    // edges feeds deg + oriented: cache (the LSH-bucket-frame pattern) or
+    // every reuse re-runs the basket self-join from the scan.
+    trianglesFromEdges(a.join(b, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().cache())
+  }
 
+  /** Triangle kernel on a distinct undirected (u < v) edge frame. */
+  private[graft] def trianglesFromEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -146,9 +146,30 @@ object SessionMemo {
   * so the parquet round-trip is bit-lossless and every consumer stays
   * hash-green. */
 object ArtifactStore {
+  /** Per-invocation root override. The driver-contract mains (Bench,
+    * Verify) set this to a FRESH temp directory at startup so that every
+    * bench/oracle invocation computes all artifacts from the parquet
+    * inputs — nothing persisted by a previous invocation (or by the
+    * verify pass) can leak into a later run's "cold" numbers. Within one
+    * invocation the store still behaves exactly like production (first
+    * consumer builds + publishes, later consumers and reps read back).
+    * Long-lived entry points (Graft, StreamDemo) keep the durable
+    * GRAFT_ARTIFACT_DIR default — the cross-run maintained-index shape is
+    * theirs. */
+  @volatile private[graft] var rootOverride: Option[java.nio.file.Path] = None
+
+  /** Point the store at a fresh private root, swept at JVM exit. */
+  private[graft] def freshRootForThisInvocation(): Unit = {
+    val r = java.nio.file.Files.createTempDirectory("graft_artifacts_run_")
+    rootOverride = Some(r)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => SessionMemo.deleteTree(r.toString),
+        "graft-artifact-run-cleanup"))
+  }
+
   private def root: java.nio.file.Path = {
-    val r = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "/tmp/graft_artifacts"))
+    val r = rootOverride.getOrElse(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "/tmp/graft_artifacts")))
     java.nio.file.Files.createDirectories(r)
     r
   }
