@@ -64,6 +64,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Round-11 (guide §2.2/§2.5): AQE's parallelism-first coalescing
+      // bottoms out at minPartitionSize (default 1m), which SERIALIZES
+      // byte-small but CPU-dense stages — x12's candidate verify
+      // (array_intersect over 322k pairs, ~5 MB shuffled) ran as 3 tasks
+      // and measured 6.5 s vs 2.3 s at 64k in a within-JVM A/B. 64k only
+      // changes shuffles far below the advisory size, so cluster-scale
+      // plans (partitions ≫ 1 MB) are untouched — this is a
+      // small-shuffle parallelism floor, not a local[32] constant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k"))
       // FAIR so the q_sql_concurrent panel volley shares cores across its
       // 12 per-panel pools instead of queueing them FIFO
       .config("spark.scheduler.mode", "FAIR")

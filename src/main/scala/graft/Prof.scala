@@ -26,6 +26,8 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k"))
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -44,6 +46,16 @@ object Prof {
             if (s != null)
               println(f"JOB ${e.jobId}%4d ${(System.nanoTime() - s) / 1e6}%8.1f ms")
           }
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = e.stageInfo
+            val ms = for {
+              a <- si.completionTime; b <- si.submissionTime
+            } yield a - b
+            println(f"STAGE ${si.stageId}%4d ${ms.getOrElse(-1L)}%7d ms " +
+              f"tasks=${si.numTasks}%3d ${si.name.takeWhile(_ != '(').trim}%s")
+          }
         })
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -61,8 +73,25 @@ object Prof {
     spark.range(1000).selectExpr("sum(id)").write
       .mode("overwrite").format("noop").save()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Within-JVM A/B (PROF_AB="conf.key=valueA|valueB"): warm the query
+    // once, then alternate the conf between timed reps — box-load drift
+    // hits both arms equally, unlike separate JVM runs (measured ±30%
+    // cross-run noise on this box).
+    val ab = sys.env.get("PROF_AB").map { s =>
+      val Array(k, vs) = s.split("=", 2); (k, vs.split("\\|"))
+    }
     names.foreach { name =>
+      ab.foreach { case (_, _) => // warm-up rep outside the A/B pairs
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+      }
       (1 to reps).foreach { i =>
+        ab.foreach { case (k, vs) =>
+          val v = vs((i - 1) % vs.length)
+          spark.conf.set(k, v)
+          println(s"PROF_AB $k=$v")
+        }
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         val t1 = System.nanoTime()

@@ -797,7 +797,15 @@ object Dedup {
       .select(col("doc_id"),
         expr("""array_distinct(transform(sequence(1, length(text)-2),
                |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+    // repartition the STREAMED side of the bounded cross join (round-11,
+    // guide §2.6 idle capacity): the 100-doc window is one parquet split,
+    // so the O(pairs) gram-set intersections otherwise run on ONE task
+    // while 31 cores idle. Width follows the session's shuffle setting —
+    // a conf, not a local constant (and AQE never coalesces a numbered
+    // repartition). Row set unchanged.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      .repartition(parts)
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
     a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
@@ -822,7 +830,12 @@ object Dedup {
     val pre = G.table(spark, dir, "documents")
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+    // repartition the streamed side — same single-split serialization as
+    // x4 (round-11): ~5k Levenshtein DPs over 200-char prefixes are ~200M
+    // cell updates, all on one task without this.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = pre.select(col("doc_id").as("doc_a"), col("p").as("pa"))
+      .repartition(parts)
     val b = pre.select(col("doc_id").as("doc_b"), col("p").as("pb"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
@@ -1822,6 +1835,10 @@ object Dedup {
     val pre = sorted.select(col("doc_id"),
       explode(expr(s"slice(sts, 1, CAST(sz - ceil($tau * sz) + 1 AS INT))"))
         .as("g"))
+    // NOT checkpointed (round-11 measured): the two sides of the candidate
+    // self-join share the window's exchange via ReuseExchange already — an
+    // explicit localCheckpoint of `capped` ADDED 0.9 s (materialization
+    // barrier + serialization) over letting the planner reuse the shuffle.
     val capped = capBuckets(pre, Seq("g"), maxBucketSize = 100000)
     val cand = capped.select(col("g"), col("doc_id").as("doc_a"))
       .join(capped.select(col("g"), col("doc_id").as("doc_b")), "g")
@@ -2043,7 +2060,11 @@ object Dedup {
     // same injective long encoding as the blocker ([[charGramSets]]):
     // Jaccard is identical, the 3-char string allocations are not
     val grams = charGramSets(docs)
+    // numbered repartition of the streamed side — see jaccard3gramPairs
+    // (round-11): the truth all-pairs otherwise runs on one scan split
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      .repartition(parts)
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
     val truth = a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
@@ -2417,7 +2438,10 @@ object Dedup {
     // intersections onto one core; spreading a across the session's
     // shuffle parallelism is a 200-row exchange that unlocks all of them
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
-      .repartition(col("doc_a"))
+      // NUMBERED repartition (round-11): the col-keyed form is
+      // AQE-coalescible and folded back to 1-2 partitions at this byte
+      // size, re-serializing the intersections it was added to spread
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
     val pairs = a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))

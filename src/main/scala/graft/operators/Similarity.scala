@@ -1696,8 +1696,12 @@ object Similarity {
     * embeddings are random so 0.35 yields a thin non-empty tail). */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).filter(col("vec_id") < 300)
+    // numbered repartition of the streamed side (round-11, guide §2.6):
+    // the bounded window arrives as one scan split and the O(pairs) dot
+    // products serialize onto one task; width follows the session conf.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
+      col("nrm").as("na")).repartition(parts)
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
     a.crossJoin(b)
@@ -1934,8 +1938,11 @@ object Similarity {
     * the inner own-join on both engines identically. */
   def silhouette(spark: SparkSession, dir: String): DataFrame = {
     val s = embeddings(spark, dir).filter(col("vec_id") < 500)
+    // numbered repartition of the streamed side — see embeddingNearDups
+    // (round-11): 250k pairwise dots otherwise run on one scan split
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = s.select(col("vec_id").as("ida"), col("label").as("la"),
-      col("v").as("va"), col("nrm").as("nra"))
+      col("v").as("va"), col("nrm").as("nra")).repartition(parts)
     val b = s.select(col("vec_id").as("idb"), col("label").as("lb"),
       col("v").as("vb"), col("nrm").as("nrb"))
     val perLabel = a.crossJoin(b).filter(col("ida") =!= col("idb"))
