@@ -32,6 +32,16 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Small-shuffle parallelism floor (round-11 Bench/Verify, promoted
+      // to the production facade in round-12 per VERDICT r11 #1): AQE's
+      // parallelism-first coalescing bottoms out at minPartitionSize
+      // (default 1m), which serializes byte-small but CPU-dense stages
+      // (measured 3× on q_x12's candidate-verify shuffle). 64k only
+      // affects shuffles far below the advisory partition size, so
+      // cluster-scale plans with ≫1 MB partitions are untouched.
+      // Same env override as the harness mains.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k"))
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()

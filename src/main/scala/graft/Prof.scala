@@ -16,6 +16,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object Prof {
   def main(args: Array[String]): Unit = {
+    // same measurement-honesty contract as Bench/Verify (ADVICE r11):
+    // a durable artifact root would let rep-1 "build" timings silently
+    // read indexes published by earlier invocations
+    ArtifactStore.freshRootForThisInvocation()
     val names = args(0).split(",").toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
@@ -35,14 +39,18 @@ object Prof {
     if (sys.env.contains("PROF_JOBS"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
+          // boxed key/value types: with [Int, Long] a remove() miss
+          // unboxes null to 0L and the null guard is vacuously true
+          // (ADVICE r11) — an unmatched JobEnd must be skipped, not
+          // printed as a multi-hour duration
           private val t0 = new java.util.concurrent.ConcurrentHashMap[
-            Int, Long]()
+            Integer, java.lang.Long]()
           override def onJobStart(
               e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             t0.put(e.jobId, System.nanoTime())
           override def onJobEnd(
               e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val s = t0.remove(e.jobId)
+            val s = t0.remove(Integer.valueOf(e.jobId))
             if (s != null)
               println(f"JOB ${e.jobId}%4d ${(System.nanoTime() - s) / 1e6}%8.1f ms")
           }

@@ -318,7 +318,8 @@ object CdcParser {
     * Debezium envelopes — a dozen fixture writers per bench/verify run
     * paying the same projection. Session-scoped memo, same pattern as
     * [[graft.operators.Dedup.sharedNearDupPairs]]. */
-  private val envelopeMemo = new graft.SessionMemo[DataFrame]()
+  private val envelopeMemo = // onEvict: release checkpoint blocks on sweep
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
 
   private def envelopeBuild(spark: SparkSession,
       dir: String): DataFrame = {
@@ -366,7 +367,8 @@ object CdcParser {
     * operators consume the parsed CDC frame and each paid the full
     * envelope encode + Jackson parse per query; the parsed frame is a
     * few MB at sf0.1. SessionMemo sweeps stopped-session entries. */
-  private val parseMemo = new graft.SessionMemo[DataFrame]()
+  private val parseMemo = // onEvict: release checkpoint blocks on sweep
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
   def cdcParseRoundtrip(spark: SparkSession, dir: String): DataFrame =
     parseMemo.getOrBuild(spark, dir) {
       parse(eventsAsEnvelopeJson(spark, dir), col("json"))

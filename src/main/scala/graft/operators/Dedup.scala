@@ -904,8 +904,12 @@ object Dedup {
     * and persists, later callers reuse the cached frame. Keyed by
     * (session identity, data dir) so concurrent Verify workers and
     * multi-SF test sessions never cross-contaminate. */
-  private val pairsMemo = new graft.SessionMemo[DataFrame]()
-  private val labelsMemo = new graft.SessionMemo[DataFrame]()
+  // onEvict (ADVICE r11): a superseded-entry sweep must release the
+  // localCheckpoint blocks, not just drop the map entry
+  private val pairsMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
+  private val labelsMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
 
   private[graft] def sharedNearDupPairs(spark: SparkSession,
       dir: String): DataFrame =
@@ -1449,8 +1453,9 @@ object Dedup {
     * per query. First caller builds and persists the rank RDD (RDD
     * storage, untouched by Bench's `catalog.clearCache()`), the other
     * reuses it. */
-  private val saMemo =
-    new graft.SessionMemo[org.apache.spark.rdd.RDD[(Long, Long)]]()
+  private val saMemo = // onEvict: release the persisted rank RDD on sweep
+    new graft.SessionMemo[org.apache.spark.rdd.RDD[(Long, Long)]](
+      r => { try r.unpersist(false) catch { case _: Throwable => () }; () })
   private def saRanks(spark: SparkSession, dir: String)
       : org.apache.spark.rdd.RDD[(Long, Long)] =
     saMemo.getOrBuild(spark, dir) {
@@ -1829,7 +1834,8 @@ object Dedup {
     res
   }
 
-  private val ppIndexMemo = new graft.SessionMemo[DataFrame]()
+  private val ppIndexMemo = // onEvict: release checkpoint blocks on sweep
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
 
   private def simJoinCore(sorted: DataFrame, tau: Double): DataFrame = {
     val pre = sorted.select(col("doc_id"),
@@ -2551,7 +2557,8 @@ object Dedup {
     * verify pass already built (VERDICT r10 #7). The window artifact is
     * tiny (w docs × ≤256 positions of exact longs), so consumers just
     * scan the published parquet. */
-  private val saWMemo = new graft.SessionMemo[DataFrame]()
+  private val saWMemo = // onEvict: release checkpoint blocks on sweep
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
   private def saRanksW(spark: SparkSession, dir: String,
       w: Long): DataFrame =
     saWMemo.getOrBuild(spark, s"$dir#w=$w") {

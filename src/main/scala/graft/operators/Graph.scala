@@ -21,7 +21,8 @@ object Graph {
     * adjacent iff some order contains BOTH in bulk (quantity >= 30);
     * distinct undirected (u < v) edges. One definition, ten consumers —
     * changing the graph means changing exactly this and the SQL CTEs. */
-  private val edgesMemo = new graft.SessionMemo[DataFrame]()
+  private val edgesMemo = // onEvict: release checkpoint blocks on sweep
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
   private[graft] def coPurchaseEdges(spark: SparkSession,
       dir: String): DataFrame = {
     // session-scoped memo (the sharedNearDupPairs pattern): ten operators

@@ -732,7 +732,11 @@ object Similarity {
     * queries; persist() would not), later callers reuse. The per-corpus
     * index build a production vector store runs once per snapshot, not
     * once per query. */
-  private val ivfMemo = new graft.SessionMemo[(DataFrame, DataFrame)]()
+  private val ivfMemo = // onEvict: release both checkpoint frames on sweep
+    new graft.SessionMemo[(DataFrame, DataFrame)]({ case (a, c) =>
+      graft.SessionMemo.unpersistCheckpointed(a)
+      graft.SessionMemo.unpersistCheckpointed(c)
+    })
   private def ivfAssignCent(spark: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, DataFrame) =
     ivfAssignCentSeeded(spark, dir, k, iters, 0)
@@ -1513,7 +1517,11 @@ object Similarity {
     * Returns (final assignment (vec_id, m, cid, dist2), the codebook that
     * produced it). Per round: one pass over the subvectors, one tiny
     * m·k·d-group aggregate, the corpus never shuffles. */
-  private val pqMemo = new graft.SessionMemo[(DataFrame, DataFrame)]()
+  private val pqMemo = // onEvict: release both checkpoint frames on sweep
+    new graft.SessionMemo[(DataFrame, DataFrame)]({ case (a, c) =>
+      graft.SessionMemo.unpersistCheckpointed(a)
+      graft.SessionMemo.unpersistCheckpointed(c)
+    })
   private def pqAssign(spark: SparkSession, dir: String, m: Int, k: Int,
       iters: Int): (DataFrame, DataFrame) =
     // same session-scoped memo as ivfAssignCent: y7/y8/y17 train the

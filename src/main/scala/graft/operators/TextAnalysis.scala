@@ -760,8 +760,9 @@ object TextAnalysis {
     * round-11, guide §1.2 "don't compute things you throw away"). The
     * final census is localCheckpoint-ed so it survives Bench's clearCache
     * and carries exact size stats into the broadcast apply join. */
-  private val bpeMemo =
-    new graft.SessionMemo[(Seq[(Long, String, Long)], DataFrame)]()
+  private val bpeMemo = // onEvict: release the census checkpoint on sweep
+    new graft.SessionMemo[(Seq[(Long, String, Long)], DataFrame)](
+      { case (_, fin) => graft.SessionMemo.unpersistCheckpointed(fin) })
   private def bpeRounds(spark: SparkSession, dir: String, rounds: Int)
       : (Seq[(Long, String, Long)], DataFrame) =
     bpeMemo.getOrBuild(spark, s"$dir#rounds=$rounds") {

@@ -105,6 +105,25 @@ object SessionMemo {
     }
   }
 
+  /** Release the RDD blocks behind a localCheckpoint-ed frame (ADVICE
+    * r11): `Dataset.unpersist` only talks to the CacheManager, which
+    * localCheckpoint bypasses — the blocks belong to the internal
+    * checkpointed RDD, reachable through the plan's LogicalRDD leaf.
+    * Used as the memo `onEvict` for checkpointed artifacts so a
+    * superseded-entry sweep (in-place corpus regeneration in one long
+    * session) releases the blocks instead of pinning them until session
+    * stop. Defensive no-op on stopped sessions or non-checkpoint plans. */
+  private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
+    try df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed.foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.unpersist(false)
+          case _ => ()
+        }
+      case _ => ()
+    } catch { case _: Throwable => () }
+
   private[graft] def deleteTree(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -161,6 +180,12 @@ object ArtifactStore {
   /** Point the store at a fresh private root, swept at JVM exit. */
   private[graft] def freshRootForThisInvocation(): Unit = {
     val r = java.nio.file.Files.createTempDirectory("graft_artifacts_run_")
+    // observable override (ADVICE r11): an operator pointing the harness
+    // at a durable GRAFT_ARTIFACT_DIR would otherwise get this private
+    // temp root with no visible indication
+    System.err.println(s"[graft] per-invocation artifact root: $r" +
+      sys.env.get("GRAFT_ARTIFACT_DIR").filter(_.nonEmpty)
+        .map(d => s" (overrides GRAFT_ARTIFACT_DIR=$d)").getOrElse(""))
     rootOverride = Some(r)
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => SessionMemo.deleteTree(r.toString),
