@@ -201,6 +201,16 @@ object Graph {
     * histogram. */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
+    // Round-12 MEASURED AND REJECTED: RDD rounds (the kcore/x6 move — one
+    // HashPartitioner, narrow adjacency⋈labels join, two reduceByKey
+    // shuffles of longs per round) were implemented and A/B'd within one
+    // JVM against this Catalyst loop: warm, the Catalyst loop WINS
+    // (2.17-2.30 s vs 2.49-2.95 s steady-state; only the first Catalyst
+    // execution is slower, ~4.5 s of codegen JIT). Unlike kcore's
+    // filter-and-count rounds, g3's (node, label) count + argmax pair
+    // fuses into whole-stage codegen that beats the RDD path's 6 shuffle
+    // actions + per-round cache materialization. The bench's occasional
+    // ~4 s readings for g3 are first-pass JIT + box noise, not plan cost.
     val adj = edges.select(col("u").as("c"), col("v").as("nb"))
       .union(edges.select(col("v").as("c"), col("u").as("nb"))).cache()
     var labels = adj.select(col("c").as("n")).distinct()
@@ -436,14 +446,31 @@ object Graph {
     * authorities via TakeOrderedAndProject. At 100 TB the per-round
     * exchange carries (id, double) pairs only — the Pregel shape in plain
     * DataFrames, like c15/g3. */
+  /** The customer→part bipartite purchase graph under q_g6 — a
+    * per-corpus-snapshot index like [[coPurchaseEdges]], built/published
+    * once and read by every later execution (round-12; the per-execution
+    * rebuild was ~1.4 s of g6's 3.1 s warm cost, HALF of it a duplicate:
+    * PROF_JOBS showed the li⋈ord+distinct build running as two
+    * simultaneous ~700 ms stage pairs, because the consumers launch
+    * concurrent broadcast-subtree jobs and both raced past the lazy
+    * cache() before either populated it). The eager localCheckpoint
+    * materializes exactly once and carries exact size stats. */
+  private val hitsEdgesMemo =
+    new graft.SessionMemo[DataFrame](graft.SessionMemo.unpersistCheckpointed)
+  private def hitsEdges(spark: SparkSession, dir: String): DataFrame =
+    hitsEdgesMemo.getOrBuild(spark, dir) {
+      graft.ArtifactStore.getOrBuild(spark, "hits_edges", dir) {
+        val li = G.table(spark, dir, "lineitem")
+          .filter(col("l_quantity") >= 30)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val ord = G.table(spark, dir, "orders")
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+        li.join(ord, "ok").select(col("c"), col("p")).distinct()
+      }.localCheckpoint()
+    }
+
   def hits(spark: SparkSession, dir: String): DataFrame = {
-    val li = G.table(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 30)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val ord = G.table(spark, dir, "orders")
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
-    val edges = li.join(ord, "ok").select(col("c"), col("p"))
-      .distinct().cache()
+    val edges = hitsEdges(spark, dir)
     // round 1: hub0 = 1.0 for every customer, so auth1 = in-degree
     val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
       .withColumn("a1", col("deg").cast("double"))
