@@ -1326,7 +1326,7 @@ object Dedup {
     val n = deg.count()
     var ranks = deg
       .select(col("node"), col("deg"), (lit(1.0) / n).as("rank"))
-    val ckpt = spark.conf.getOption("graft.c15.ckpt").forall(_.toBoolean)
+    val ckpt = spark.conf.getOption("graft.c15.ckpt").exists(_.toBoolean)
     for (i <- 1 to iters) {
       val contrib = edges
         .join(ranks, col("src") === col("node"))
@@ -1335,15 +1335,15 @@ object Dedup {
       ranks = deg.join(contrib, col("node") === col("dst"))
         .select(col("node"), col("deg"),
           (lit(0.15) / n + lit(0.85) * col("contrib")).as("rank"))
-      // Round-12 (guide §3.3 "materialize to truncate the plan"): without
-      // a per-round barrier the rounds CHAIN lazily — round i's stages ship
-      // task binaries containing every earlier round's subtree (2 MiB+
-      // "large task binary" warnings, ~1 s per 64-task stage on an 11k-row
-      // cached edge frame). Checkpointing the O(nodes) rank frame after
-      // each round keeps every stage's closure one round deep. The values
-      // are bit-identical (the checkpoint stores the same doubles the next
-      // round would recompute). Not checkpointing the LAST round: the
-      // final sort consumes it once. Conf gate for within-JVM A/B.
+      // Round-12 MEASURED AND REJECTED (default off): a per-round
+      // localCheckpoint truncates the lazily-chained round plans (plan
+      // 496 -> 228 lines, exec 2.5 -> 1.0 s) but the checkpoint
+      // materialization costs ~2 s per execution — 12-rep within-JVM A/B
+      // totals: ckpt ~3.26 s vs plain ~3.09 s steady-state, and the full
+      // bench read c15 3.6 -> 4.3 s with it on. The chained plan's task
+      // binaries (2 MiB+) are cheaper than eager materialization at this
+      // round count. Conf gate kept for re-measurement at larger scale,
+      // where plan depth grows with data and the trade may invert.
       if (ckpt && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node").as("doc_id"), col("deg"), col("rank"))
@@ -1946,7 +1946,19 @@ object Dedup {
 
   /** Kernel on any (doc_id, text) frame — the spec runs it on planted
     * excerpt/duplicate fixtures. */
-  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+  private[graft] def containmentOn(docsRaw: DataFrame): DataFrame = {
+    // Round-12 (the x8 move, guide §2.6 idle capacity): the documents scan
+    // is ONE split at bench SFs, so the per-position 8-gram concat+xxhash —
+    // this query's dominant CPU — ran as 0.8-2.5 s single-task stages
+    // (PROF_JOBS). The numbered repartition (AQE never coalesces it)
+    // spreads gram generation; guarded to fire only when the scan's own
+    // parallelism is under half the session width, so a many-split
+    // production corpus skips the shuffle.
+    val width = docsRaw.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
+    val docs =
+      if (docsRaw.rdd.getNumPartitions * 2 < width) docsRaw.repartition(width)
+      else docsRaw
     val g = docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= 8)
